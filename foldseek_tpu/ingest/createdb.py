@@ -1,0 +1,108 @@
+"""createdb: structure files -> array-native StructDB.
+
+Mirrors the reference ingest driver (reference: src/strucclustutils/structcreatedb.cpp):
+walk files/dirs, parse PDB/mmCIF(+gz), per chain apply the <=3-residue and
+all-X filters (:486-501), detect C-alpha-only chains (:504-518), encode 3Di,
+apply b-factor masking to lowercase (:524-531), then sort all entries by
+entry name and assign sequential keys (:1353-1382).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..db.storage import StructDB, StructDBWriter
+from ..ops.matrices import encode_seq
+from ..utils.log import logger
+from . import pdb as pdb_parser
+from .encoder3di import encode_chain
+
+STRUCTURE_EXTS = (".pdb", ".cif", ".mmcif", ".ent", ".pdb.gz", ".cif.gz",
+                  ".mmcif.gz", ".ent.gz")
+
+
+def collect_input_files(inputs: List[str]) -> List[str]:
+    files = []
+    for inp in inputs:
+        if os.path.isdir(inp):
+            for root, _, fnames in os.walk(inp):
+                for fn in sorted(fnames):
+                    files.append(os.path.join(root, fn))
+        elif os.path.isfile(inp):
+            files.append(inp)
+        else:
+            raise FileNotFoundError(inp)
+    return files
+
+
+def remove_two_extensions(name: str) -> str:
+    """reference: structcreatedb.cpp:1366-1371 (sort key for entry ordering)."""
+    if name.endswith((".gz", ".zstd", ".zst")):
+        name = os.path.splitext(name)[0]
+        name = os.path.splitext(name)[0]
+        return os.path.splitext(name)[0]
+    name = os.path.splitext(name)[0]
+    return os.path.splitext(name)[0]
+
+
+def create_db(inputs: List[str], out_path: str,
+              chain_name_mode: str = "auto",
+              mask_bfactor_threshold: float = 0.0) -> StructDB:
+    files = collect_input_files(inputs)
+    entries = []  # (entry_name, header, aa_num, ss_num, ca, mask)
+    too_short = 0
+    not_protein = 0
+    failed = 0
+    for path in files:
+        try:
+            st = pdb_parser.parse_structure(path)
+        except Exception as e:  # noqa: BLE001 - ingest must survive bad files
+            logger.warning("failed to parse %s: %s", path, e)
+            failed += 1
+            continue
+        multi_chain = len(st.chains) > 1
+        for ch in st.chains:
+            L = len(ch.aa)
+            if L <= 3:
+                too_short += 1
+                continue
+            if all(c in "Xx" for c in ch.aa):
+                not_protein += 1
+                continue
+            ca_only = (
+                L >= 4
+                and np.isnan(ch.n[:4, 0]).all()
+                and np.isnan(ch.c[:4, 0]).all()
+            )
+            if ca_only:
+                # TODO(pulchra): backbone rebuild for C-alpha-only traces;
+                # until then every residue is masked invalid -> all-coil 3Di.
+                logger.warning("%s chain %s is C-alpha only; 3Di will be coil",
+                               st.name, ch.name)
+            states = encode_chain(ch.ca, ch.n, ch.c, ch.cb)
+            name = st.name
+            if st.model_count > 1:
+                name = f"{name}_MODEL_{ch.model}"
+            if chain_name_mode == "add" or (chain_name_mode == "auto" and multi_chain):
+                name = f"{name}_{ch.name}"
+            header = name
+            if st.title:
+                header = f"{name} {st.title}"
+            mask = (ch.bfactor < mask_bfactor_threshold).astype(np.uint8)
+            ca = np.nan_to_num(ch.ca, nan=0.0).astype(np.float32)
+            entries.append((name, header, encode_seq(ch.aa), states, ca, mask))
+
+    # sort by name (two extra extensions removed) with stable tie order,
+    # assign sequential keys (structcreatedb.cpp:1356-1382)
+    order = sorted(range(len(entries)),
+                   key=lambda i: (remove_two_extensions(entries[i][0]), i))
+    writer = StructDBWriter(out_path)
+    for new_key, idx in enumerate(order):
+        name, header, aa_num, ss_num, ca, mask = entries[idx]
+        writer.add_entry(new_key, name, header, aa_num, ss_num, ca, mask)
+    db = writer.finish()
+    logger.info("createdb: %d entries (%d too short, %d not protein, %d failed files)",
+                db.size, too_short, not_protein, failed)
+    return db

@@ -1,0 +1,26 @@
+import os
+
+# Force a deterministic 8-device CPU mesh for all tests BEFORE jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+EXAMPLE_DIR = pathlib.Path("/root/reference/example")
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    return GOLDEN_DIR
+
+
+@pytest.fixture(scope="session")
+def example_dir():
+    if not EXAMPLE_DIR.exists():
+        pytest.skip("reference example dir unavailable")
+    return EXAMPLE_DIR
