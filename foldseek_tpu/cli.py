@@ -1,0 +1,173 @@
+"""foldseek-tpu command line: the reference's verb CLI
+(reference: src/FoldseekBase.cpp:17-442 command table, SURVEY Appendix A).
+
+Usage: python -m foldseek_tpu <command> [args...]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .search.params import SearchParams
+from .utils.log import logger, set_verbosity
+
+
+def _add_search_params(p: argparse.ArgumentParser):
+    p.add_argument("-e", "--evalue", type=float, default=10.0,
+                   help="E-value threshold (default 10)")
+    p.add_argument("-s", "--sensitivity", type=float, default=9.5)
+    p.add_argument("--max-seqs", type=int, default=1000)
+    p.add_argument("-c", "--cov", dest="cov_thr", type=float, default=0.0)
+    p.add_argument("--cov-mode", type=int, default=0)
+    p.add_argument("--min-seq-id", dest="seq_id_thr", type=float, default=0.0)
+    p.add_argument("--alignment-type", type=int, default=2,
+                   help="0: 3Di, 1: TM-align, 2: 3Di+AA")
+    p.add_argument("--tmscore-threshold", type=float, default=0.0)
+    p.add_argument("--tmscore-threshold-mode", type=int, default=0)
+    p.add_argument("--lddt-threshold", type=float, default=0.0)
+    p.add_argument("--sort-by-structure-bits", type=int, default=1)
+    p.add_argument("--exhaustive-search", type=int, default=0)
+    p.add_argument("--prefilter-mode", type=int, default=0,
+                   help="0: kmer, 1: ungapped, 2: exhaustive")
+    p.add_argument("--comp-bias-corr", type=int, default=1)
+    p.add_argument("--exact-tmscore", type=int, default=0)
+    p.add_argument("--gap-open", type=int, default=10)
+    p.add_argument("--gap-extend", type=int, default=1)
+    p.add_argument("--format-output", type=str,
+                   default=("query,target,fident,alnlen,mismatch,gapopen,"
+                            "qstart,qend,tstart,tend,evalue,bits"))
+    p.add_argument("--format-mode", type=int, default=0)
+    p.add_argument("-a", dest="add_backtrace", action="store_true")
+    p.add_argument("--max-accept", type=int, default=2**31 - 1)
+    p.add_argument("--max-rejected", type=int, default=2**31 - 1)
+    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+
+
+def params_from_args(args) -> SearchParams:
+    return SearchParams(
+        evalue_thr=args.evalue, sensitivity=args.sensitivity,
+        max_seqs=args.max_seqs, cov_thr=args.cov_thr, cov_mode=args.cov_mode,
+        seq_id_thr=args.seq_id_thr, alignment_type=args.alignment_type,
+        tmscore_threshold=args.tmscore_threshold,
+        tmscore_threshold_mode=args.tmscore_threshold_mode,
+        lddt_threshold=args.lddt_threshold,
+        sort_by_structure_bits=bool(args.sort_by_structure_bits),
+        exhaustive_search=bool(args.exhaustive_search),
+        prefilter_mode=args.prefilter_mode,
+        comp_bias_correction=bool(args.comp_bias_corr),
+        exact_tmscore=bool(args.exact_tmscore),
+        gap_open=args.gap_open, gap_extend=args.gap_extend,
+        format_output=args.format_output, format_mode=args.format_mode,
+        add_backtrace=args.add_backtrace,
+        max_accept=args.max_accept, max_rejected=args.max_rejected,
+        threads=args.threads,
+    )
+
+
+def cmd_createdb(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu createdb")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    p.add_argument("--chain-name-mode", type=int, default=0,
+                   help="0: auto, 1: always add chain name")
+    p.add_argument("--mask-bfactor-threshold", type=float, default=0.0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .ingest.createdb import create_db
+    create_db(args.inputs, args.output,
+              chain_name_mode="add" if args.chain_name_mode == 1 else "auto",
+              mask_bfactor_threshold=args.mask_bfactor_threshold)
+    return 0
+
+
+def cmd_easy_search(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu easy-search")
+    p.add_argument("query")
+    p.add_argument("target")
+    p.add_argument("output")
+    p.add_argument("tmp_dir")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.pipeline import easy_search
+    easy_search(args.query, args.target, args.output, args.tmp_dir,
+                params_from_args(args))
+    return 0
+
+
+def cmd_search(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu search")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result")
+    p.add_argument("tmp_dir")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.pipeline import search
+    from .search.resultdb import write_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    params = params_from_args(args)
+    params.add_backtrace = True
+    results = search(qdb, tdb, params)
+    write_result_db(results, args.result, add_backtrace=True)
+    return 0
+
+
+def cmd_convertalis(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu convertalis")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.convertalis import format_results, needs_backtrace
+    from .search.resultdb import read_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    results, has_bt = read_result_db(args.result_db)
+    lines = format_results(qdb, tdb, results, args.format_output,
+                           with_backtrace=has_bt and needs_backtrace(args.format_output) or has_bt)
+    with open(args.output, "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+    return 0
+
+
+def cmd_version(argv):
+    print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
+    return 0
+
+
+COMMANDS = {
+    "createdb": (cmd_createdb, "Convert PDB/mmCIF files to a structure DB"),
+    "easy-search": (cmd_easy_search, "Structure search from files (createdb+search+convertalis)"),
+    "search": (cmd_search, "Search a query DB against a target DB"),
+    "convertalis": (cmd_convertalis, "Convert alignment DB to BLAST-tab/HTML formats"),
+    "version": (cmd_version, "Show version"),
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("foldseek-tpu — TPU-native protein structure search\n\nCommands:")
+        for name, (_, desc) in COMMANDS.items():
+            print(f"  {name:22s} {desc}")
+        return 0 if argv else 1
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        logger.error("unknown command: %s", cmd)
+        return 1
+    return COMMANDS[cmd][0](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

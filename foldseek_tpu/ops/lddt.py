@@ -1,0 +1,72 @@
+"""C-alpha LDDT of a fixed alignment.
+
+Re-derivation of the reference LDDT (reference: src/commons/LDDT.cpp:87-215):
+for each pair of aligned query residues closer than 15 A in the query, score
+0.25 * #(|d_query - d_target| < {0.5, 1, 2, 4}) and credit both residues;
+normalize each aligned column by that query residue's total <15 A neighbor
+count over ALL query residues (aligned or not); average over M columns
+(columns with no neighbors are excluded, LDDT.h LDDTScoreResult NaN skip).
+
+The reference uses a 3-D grid hash to prune the O(L^2) neighbor search — a CPU
+optimization; here the masked pairwise form is a few vectorized ops and maps
+directly onto the TPU for the batched path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class LDDTResult:
+    avg_lddt: float
+    per_col: np.ndarray  # per aligned (M) column scores
+    score_length: int
+
+
+def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
+                 q_start: int, t_start: int, backtrace: str) -> LDDTResult:
+    qi, ti = q_start, t_start
+    q_idx = []
+    t_idx = []
+    for op in backtrace:
+        if op == "M":
+            q_idx.append(qi)
+            t_idx.append(ti)
+            qi += 1
+            ti += 1
+        elif op == "I":
+            qi += 1
+        else:
+            ti += 1
+    n = len(q_idx)
+    if n == 0:
+        return LDDTResult(0.0, np.zeros(0, dtype=np.float32), 0)
+
+    q = np.asarray(q_ca, dtype=np.float32)
+    qa = q[q_idx]
+    ta = np.asarray(t_ca, dtype=np.float32)[t_idx]
+
+    # neighbor degree over the FULL query (norm, LDDT.cpp:100-116)
+    dq_full = np.sqrt(((q[:, None, :] - q[None, :, :]) ** 2).sum(-1))
+    close_full = dq_full < 15.0
+    np.fill_diagonal(close_full, False)
+    degree = close_full.sum(axis=1).astype(np.float32)
+
+    # aligned-aligned pair scores
+    dq = dq_full[np.ix_(q_idx, q_idx)]
+    close = close_full[np.ix_(q_idx, q_idx)]
+    dt = np.sqrt(((ta[:, None, :] - ta[None, :, :]) ** 2).sum(-1))
+    dl = np.abs(dq - dt)
+    pair = 0.25 * ((dl < 0.5).astype(np.float32) + (dl < 1.0) + (dl < 2.0) + (dl < 4.0))
+    pair = np.where(close, pair, 0.0)
+    col_sum = pair.sum(axis=1)
+
+    deg = degree[q_idx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        per_col = np.where(deg > 0, col_sum / np.maximum(deg, 1), np.nan).astype(np.float32)
+    valid = ~np.isnan(per_col)
+    score_length = int(valid.sum())
+    avg = float(per_col[valid].sum() / score_length) if score_length else 0.0
+    return LDDTResult(avg, np.nan_to_num(per_col), score_length)

@@ -48,18 +48,22 @@ def calc_comp_bias(seq_num: np.ndarray, sub_mat: np.ndarray, p_back: np.ndarray,
     """
     N = len(seq_num)
     w = 40
-    scores = sub_mat[seq_num][:, seq_num].astype(np.float64)  # [N, N] int scores
-    out = np.zeros(N, dtype=np.float32)
-    # expected background score per residue i
-    exp_bg = (sub_mat[seq_num].astype(np.float64) * p_back[None, :]).sum(axis=1)
-    csum = np.zeros((N + 1,), dtype=np.float64)
-    for i in range(N):
-        lo = max(0, i - w // 2)
-        hi = min(N, i + w // 2)
-        win = scores[i, lo:hi].sum() - scores[i, i]
-        delta = -win / float(hi - lo) + exp_bg[i]
-        # reference accumulates in float32
-        out[i] = np.float32(scale) * np.float32(delta)
+    rows = sub_mat[seq_num].astype(np.int64)  # [N, 21]
+    scores = rows[:, seq_num]  # [N, N] int scores
+    # windowed sum via cumulative sums (exact: integer math)
+    idx = np.arange(N)
+    lo = np.maximum(0, idx - w // 2)
+    hi = np.minimum(N, idx + w // 2)
+    csum = np.zeros((N, N + 1), dtype=np.int64)
+    np.cumsum(scores, axis=1, out=csum[:, 1:])
+    win = csum[idx, hi] - csum[idx, lo] - scores[idx, idx]
+    # float32 sequential accumulation identical to the reference loop
+    # (float deltaS_i += double(pBack[a]) * float(short score))
+    delta = (win.astype(np.float64) / (-1.0 * (hi - lo))).astype(np.float32)
+    n_alpha = sub_mat.shape[0]
+    for a in range(n_alpha):
+        delta = (delta.astype(np.float64) + p_back[a] * rows[:, a].astype(np.float64)).astype(np.float32)
+    out = np.float32(scale) * delta
     b = np.where(out < 0.0, out - 0.5, out + 0.5)
     return b.astype(np.int8)
 
@@ -83,6 +87,8 @@ class QueryProfile:
         self.L = len(q_aa)
         self.gap_open = gap_open
         self.gap_extend = gap_extend
+        self._bias_on = comp_bias_correction
+        self._bias_scale = comp_bias_scale
         if comp_bias_correction:
             self.bias_aa = calc_comp_bias(self.q_aa, mb.scores, mb.back, 1.0)
             self.bias_ss = calc_comp_bias(self.q_ss, mb.scores, mb.back, comp_bias_scale)
@@ -96,16 +102,48 @@ class QueryProfile:
                         + self.bias_ss[None, :].astype(np.int32))
 
     def reversed(self) -> "QueryProfile":
+        """Profile of the reversed query. The reference reverses the sequence
+        and recomputes the composition bias (structurealign.cpp:345-347); the
+        [i-20, i+20) window is not mirror-symmetric, so the bias must be
+        recomputed, not flipped."""
         rev = object.__new__(QueryProfile)
         rev.q_aa = self.q_aa[::-1].copy()
         rev.q_ss = self.q_ss[::-1].copy()
         rev.L = self.L
         rev.gap_open = self.gap_open
         rev.gap_extend = self.gap_extend
-        # the reference reverses the *sequence* then recomputes the bias; the
-        # window is symmetric so the bias reverses with it
+        mb = blosum62()
+        has_bias = bool(self.bias_aa.any() or self.bias_ss.any() or self._bias_on)
+        if has_bias:
+            rev.bias_aa = calc_comp_bias(rev.q_aa, mb.scores, mb.back, 1.0)
+            rev.bias_ss = calc_comp_bias(rev.q_ss, mb.scores, mb.back, self._bias_scale)
+        else:
+            rev.bias_aa = np.zeros(self.L, dtype=np.int8)
+            rev.bias_ss = np.zeros(self.L, dtype=np.int8)
+        rev._bias_on = self._bias_on
+        rev._bias_scale = self._bias_scale
+        m3 = mat3di()
+        rev.prof_aa = (mb.scores[:, rev.q_aa].astype(np.int32)
+                       + rev.bias_aa[None, :].astype(np.int32))
+        rev.prof_ss = (m3.scores[:, rev.q_ss].astype(np.int32)
+                       + rev.bias_ss[None, :].astype(np.int32))
+        return rev
+
+    def flipped(self) -> "QueryProfile":
+        """Reverse-copied profile (sequence AND bias flipped) — this is what
+        the reference uses for start-position recovery
+        (StructureSmithWaterman.cpp:1703-1706 reverse_copy of the forward
+        composition bias), unlike reversed() which recomputes the bias."""
+        rev = object.__new__(QueryProfile)
+        rev.q_aa = self.q_aa[::-1].copy()
+        rev.q_ss = self.q_ss[::-1].copy()
+        rev.L = self.L
+        rev.gap_open = self.gap_open
+        rev.gap_extend = self.gap_extend
         rev.bias_aa = self.bias_aa[::-1].copy()
         rev.bias_ss = self.bias_ss[::-1].copy()
+        rev._bias_on = self._bias_on
+        rev._bias_scale = self._bias_scale
         rev.prof_aa = self.prof_aa[:, ::-1].copy()
         rev.prof_ss = self.prof_ss[:, ::-1].copy()
         return rev

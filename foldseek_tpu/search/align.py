@@ -1,0 +1,235 @@
+"""structurealign: dual-alphabet gapped alignment stage.
+
+Mirrors the reference driver (reference: src/strucclustutils/structurealign.cpp:
+alignStructure :37-112, main loop :318-453): per query build forward +
+reversed profiles, score every prefilter candidate (device, batched), gate by
+E-value with the reversed-query score subtraction, recover backtraces on the
+host for survivors, apply TM-score / LDDT gates, scale the score by
+sqrt(lddt * tm) when sorting by structure bits, sort and emit.
+
+TPU mapping: the two score passes (forward + reversed query) run as batched
+`sw_score_endpos` kernels over length-bucketed padded targets; everything per
+surviving hit (backtrace, Kabsch/TM iterations, LDDT) stays on the host.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..db.storage import StructDB
+from ..nn.evalue import EvalueComputer
+from ..ops import backtrace as bt_ops
+from ..ops import lddt as lddt_ops
+from ..ops import tmscore as tm_ops
+from ..ops.sw import NEG_INF, QueryProfile, sw_score_endpos
+from ..utils.log import logger
+from .params import SearchParams, can_be_covered, has_coverage
+from .results import AlnResult, compare_hits, compare_hits_by_structure_bits
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+class DeviceScorer:
+    """Batched SW scoring of one query profile against many targets.
+
+    Targets are grouped into power-of-2 length buckets to bound the number of
+    XLA compilations; each bucket is padded to [B, Lt_pad] and scored in one
+    kernel launch."""
+
+    def __init__(self, tdb: StructDB, batch_size: int = 128):
+        self.tdb = tdb
+        self.batch = batch_size
+
+    def score(self, prof: QueryProfile, target_ids: np.ndarray):
+        import jax.numpy as jnp
+
+        lq_pad = max(8, _next_pow2(prof.L))
+        pa, ps = prof.padded(lq_pad)
+        pa = jnp.asarray(pa)
+        ps = jnp.asarray(ps)
+        n = len(target_ids)
+        scores = np.zeros(n, dtype=np.int32)
+        qends = np.zeros(n, dtype=np.int32)
+        tends = np.zeros(n, dtype=np.int32)
+        lens = self.tdb.lengths()[target_ids]
+        order = np.argsort(lens, kind="stable")
+        # walk in length order, grouping consecutive targets into one padded batch
+        pos = 0
+        while pos < n:
+            chunk = order[pos: pos + self.batch]
+            lt_pad = max(8, _next_pow2(int(lens[chunk].max())))
+            b_pad = self.batch
+            t_aa = np.full((b_pad, lt_pad), 20, dtype=np.int8)  # 'X' pad
+            t_ss = np.full((b_pad, lt_pad), 20, dtype=np.int8)
+            t_len = np.zeros(b_pad, dtype=np.int32)
+            for bi, oi in enumerate(chunk):
+                tid = target_ids[oi]
+                seq_aa = self.tdb.get_aa(tid)
+                seq_ss = self.tdb.get_ss(tid)
+                t_aa[bi, : len(seq_aa)] = seq_aa
+                t_ss[bi, : len(seq_ss)] = seq_ss
+                t_len[bi] = len(seq_aa)
+            s, qe, te = sw_score_endpos(
+                pa, ps, jnp.asarray(t_aa), jnp.asarray(t_ss), jnp.asarray(t_len),
+                gap_open=prof.gap_open, gap_extend=prof.gap_extend)
+            s = np.asarray(s)
+            qe = np.asarray(qe)
+            te = np.asarray(te)
+            for bi, oi in enumerate(chunk):
+                scores[oi] = s[bi]
+                qends[oi] = qe[bi]
+                tends[oi] = te[bi]
+            pos += len(chunk)
+        return scores, qends, tends
+
+
+def align_all(qdb: StructDB, tdb: StructDB,
+              prefilter: Dict[int, Sequence[int]],
+              params: SearchParams,
+              same_db: bool = False) -> Dict[int, List[AlnResult]]:
+    """Run the alignment stage for every query.
+
+    prefilter: query key -> ordered candidate target keys.
+    Returns query key -> sorted AlnResult list.
+    """
+    ev = EvalueComputer(tdb.total_residues)
+    scorer = DeviceScorer(tdb)
+    tkey_to_idx = tdb.key_to_index()
+    qkey_to_idx = qdb.key_to_index()
+
+    need_tm = params.tmscore_threshold > 0 or params.sort_by_structure_bits
+    need_lddt = params.lddt_threshold > 0 or params.sort_by_structure_bits
+    need_ca = (need_tm or need_lddt) and qdb.ca is not None and tdb.ca is not None
+    if (need_tm or need_lddt) and not need_ca:
+        logger.warning("C-alpha data missing; disabling structure bits/TM/LDDT gates")
+        need_tm = need_lddt = False
+        params.sort_by_structure_bits = False
+
+    out: Dict[int, List[AlnResult]] = {}
+    for qkey, cand_keys in prefilter.items():
+        qi = qkey_to_idx[int(qkey)]
+        out[int(qkey)] = align_query(
+            qi, qdb, tdb, cand_keys, params, ev, scorer, tkey_to_idx,
+            need_tm=need_tm, need_lddt=need_lddt, same_db=same_db)
+    return out
+
+
+def align_query(qi: int, qdb: StructDB, tdb: StructDB,
+                cand_keys: Sequence[int], params: SearchParams,
+                ev: EvalueComputer, scorer: DeviceScorer, tkey_to_idx,
+                need_tm: bool, need_lddt: bool, same_db: bool) -> List[AlnResult]:
+    q_aa = qdb.get_aa(qi)
+    q_ss = qdb.get_ss(qi)
+    q_len = len(q_aa)
+    prof = QueryProfile(q_aa, q_ss,
+                        comp_bias_correction=params.comp_bias_correction,
+                        comp_bias_scale=params.comp_bias_correction_scale,
+                        gap_open=params.gap_open, gap_extend=params.gap_extend)
+    rprof = prof.reversed()
+    lam, mu = ev.predict_lambda_mu(q_ss)
+    q_ca = qdb.get_ca(qi) if need_tm or need_lddt else None
+
+    tids = np.array([tkey_to_idx[int(k)] for k in cand_keys], dtype=np.int64)
+    if len(tids) == 0:
+        return []
+
+    fwd, qend, tend = scorer.score(prof, tids)
+    rev, _, _ = scorer.score(rprof, tids)
+    scores = fwd.astype(np.int64) - rev.astype(np.int64)
+    ev_fwd = ev.evalue_corr_batch(fwd, lam, mu)
+    ev_corr = ev.evalue_corr_batch(scores, lam, mu)
+
+    results: List[AlnResult] = []
+    passed = 0
+    rejected = 0
+    for ci in range(len(tids)):
+        if passed >= params.max_accept or rejected >= params.max_rejected:
+            break
+        ti = tids[ci]
+        tkey = int(cand_keys[ci])
+        t_len = tdb.entry_len(ti)
+        # reference: isIdentity = (queryId == targetId && (includeIdentity || sameDB))
+        is_identity = (int(qdb.keys[qi]) == tkey) and (same_db or params.include_identity)
+        if not can_be_covered(params.cov_thr, params.cov_mode, q_len, t_len):
+            rejected += 1
+            continue
+        # coverage estimate from end positions only (alignScoreEndPos)
+        q_cov0 = min(1.0, (qend[ci] + 1) / q_len)
+        t_cov0 = min(1.0, (tend[ci] + 1) / t_len)
+        if not has_coverage(params.cov_thr, params.cov_mode, q_cov0, t_cov0):
+            rejected += 1
+            continue
+        if ev_fwd[ci] > params.evalue_thr:
+            rejected += 1
+            continue
+        if ev_corr[ci] > params.evalue_thr:
+            rejected += 1
+            continue
+
+        t_aa = tdb.get_aa(ti)
+        t_ss = tdb.get_ss(ti)
+        try:
+            tb = bt_ops.recover_alignment(prof, np.asarray(t_aa), np.asarray(t_ss),
+                                          int(fwd[ci]), int(qend[ci]), int(tend[ci]))
+        except RuntimeError as e:
+            logger.warning("backtrace failed for query %d target %d: %s", qi, ti, e)
+            rejected += 1
+            continue
+
+        aln_len = len(tb.backtrace)
+        seq_id = tb.identical_aa / aln_len if aln_len else 0.0
+        qcov = (qend[ci] - tb.q_start + 1) / q_len
+        tcov = (tend[ci] - tb.t_start + 1) / t_len
+        res = AlnResult(
+            db_key=tkey, score=int(scores[ci]), seq_id=float(np.float32(seq_id)),
+            evalue=float(ev_corr[ci]),
+            q_start=int(tb.q_start), q_end=int(qend[ci]), q_len=q_len,
+            t_start=int(tb.t_start), t_end=int(tend[ci]), t_len=t_len,
+            backtrace=tb.backtrace, qcov=qcov, tcov=tcov,
+            aln_length=aln_len, identical=tb.identical_aa)
+
+        ok = is_identity or (
+            res.evalue <= params.evalue_thr
+            and res.seq_id >= params.seq_id_thr
+            and has_coverage(params.cov_thr, params.cov_mode, qcov, tcov)
+            and aln_len >= params.aln_len_thr)
+        if not ok:
+            rejected += 1
+            continue
+
+        if need_tm or need_lddt:
+            t_ca = tdb.get_ca(ti)
+            if need_tm:
+                norm_len = tm_ops.normalization(
+                    params.tmscore_threshold_mode,
+                    min(res.q_end - res.q_start, res.t_end - res.t_start),
+                    q_len, t_len)
+                tmres = tm_ops.compute_tm_score(q_ca, t_ca, res.q_start, res.t_start,
+                                                res.backtrace, norm_len)
+                if tmres.tmscore < params.tmscore_threshold:
+                    continue
+                res.tm = tmres.tmscore
+                res.u = tmres.u
+                res.t = tmres.t
+            if need_lddt:
+                lr = lddt_ops.compute_lddt(q_ca, t_ca, res.q_start, res.t_start,
+                                           res.backtrace)
+                if lr.avg_lddt < params.lddt_threshold:
+                    continue
+                res.lddt = lr.avg_lddt
+            if params.sort_by_structure_bits and need_tm and need_lddt:
+                res.score = int(res.score * math.sqrt(res.lddt * res.tm))
+
+        results.append(res)
+        passed += 1
+        rejected = 0
+
+    if params.sort_by_structure_bits:
+        results.sort(key=compare_hits_by_structure_bits)
+    else:
+        results.sort(key=compare_hits)
+    return results

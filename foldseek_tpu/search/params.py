@@ -1,0 +1,87 @@
+"""Search parameters — the foldseek-visible knobs with reference defaults
+(reference: src/commons/LocalParameters.cpp:320-365,
+lib/mmseqs/src/commons/Parameters.cpp:2440-2520)."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+INT_MAX = 2**31 - 1
+
+ALIGNMENT_TYPE_TMALIGN = 1
+ALIGNMENT_TYPE_3DI_AA = 2
+ALIGNMENT_TYPE_LOLALIGN = 3
+
+PREF_MODE_KMER = 0
+PREF_MODE_UNGAPPED = 1
+PREF_MODE_EXHAUSTIVE = 2
+
+
+@dataclass
+class SearchParams:
+    # alignment
+    alignment_type: int = ALIGNMENT_TYPE_3DI_AA
+    gap_open: int = 10
+    gap_extend: int = 1
+    evalue_thr: float = 10.0
+    seq_id_thr: float = 0.0
+    aln_len_thr: int = 0
+    cov_thr: float = 0.0
+    cov_mode: int = 0   # bidirectional
+    max_accept: int = INT_MAX
+    max_rejected: int = INT_MAX
+    comp_bias_correction: bool = True
+    comp_bias_correction_scale: float = 0.5  # structurealign default (:33)
+    add_backtrace: bool = False
+    alt_alignment: int = 0
+    include_identity: bool = False
+    seq_id_mode: int = 0  # SEQ_ID_ALN_LEN
+
+    # structure gates / scoring
+    sort_by_structure_bits: bool = True
+    tmscore_threshold: float = 0.0
+    tmscore_threshold_mode: int = 0  # alignment-length normalization
+    lddt_threshold: float = 0.0
+    exact_tmscore: bool = False
+
+    # prefilter
+    prefilter_mode: int = PREF_MODE_KMER
+    exhaustive_search: bool = False
+    sensitivity: float = 9.5
+    kmer_size: int = 0  # 0 = auto
+    max_seqs: int = 1000
+
+    # output
+    format_output: str = ("query,target,fident,alnlen,mismatch,gapopen,"
+                          "qstart,qend,tstart,tend,evalue,bits")
+    format_mode: int = 0
+
+    threads: int = 1
+
+
+def has_coverage(cov_thr: float, cov_mode: int, q_cov: float, t_cov: float) -> bool:
+    """reference: Util.h hasCoverage (modes 0-5)."""
+    if cov_thr <= 0.0:
+        return True
+    if cov_mode == 0:    # bidirectional
+        return q_cov >= cov_thr and t_cov >= cov_thr
+    if cov_mode == 1:    # target
+        return t_cov >= cov_thr
+    if cov_mode == 2:    # query
+        return q_cov >= cov_thr
+    if cov_mode == 3:    # target-in-query length ratio handled in canBeCovered
+        return True
+    return True
+
+
+def can_be_covered(cov_thr: float, cov_mode: int, q_len: int, t_len: int) -> bool:
+    """reference: Util::canBeCovered — length-ratio pre-gate."""
+    if cov_thr <= 0.0:
+        return True
+    shorter, longer = (q_len, t_len) if q_len <= t_len else (t_len, q_len)
+    if cov_mode == 0:
+        return shorter / longer >= cov_thr
+    if cov_mode == 1:
+        return True  # every target can in principle be covered by the query
+    if cov_mode == 2:
+        return t_len / q_len >= cov_thr if q_len else True
+    return True

@@ -1,0 +1,61 @@
+"""Search workflows: easy-search / search as an in-process stage graph.
+
+The reference implements workflows as generated shell scripts re-invoking the
+binary per stage, resumable via `.dbtype` existence checks
+(reference: data/structuresearch.sh, data/easystructuresearch.sh,
+src/workflow/StructureSearch.cpp). Here the same stages run in-process with
+the same idempotent-resume semantics via stage manifests in the tmp dir.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+from ..db.storage import StructDB, is_db, load_db
+from ..ingest.createdb import create_db
+from ..utils.log import Timer, logger
+from .align import align_all
+from .convertalis import format_results, needs_backtrace
+from .params import SearchParams
+from .prefilter import run_prefilter
+from .results import AlnResult
+
+
+def ensure_db(path_or_input: str, tmp_dir: str, tag: str) -> StructDB:
+    """Accept either an existing StructDB directory or raw structure
+    files/dirs (easy-* convenience, data/easystructuresearch.sh:18-27)."""
+    if is_db(path_or_input):
+        return load_db(path_or_input)
+    db_path = os.path.join(tmp_dir, f"{tag}_db")
+    if is_db(db_path):
+        logger.info("reusing %s", db_path)
+        return load_db(db_path)
+    return create_db([path_or_input], db_path)
+
+
+def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
+           same_db: Optional[bool] = None) -> Dict[int, List[AlnResult]]:
+    if same_db is None:
+        same_db = qdb.path == tdb.path
+    with Timer("prefilter"):
+        pref = run_prefilter(qdb, tdb, params)
+    with Timer("structurealign"):
+        return align_all(qdb, tdb, pref, params, same_db=same_db)
+
+
+def easy_search(query_input: str, target_input: str, out_path: str,
+                tmp_dir: str, params: SearchParams) -> List[str]:
+    os.makedirs(tmp_dir, exist_ok=True)
+    qdb = ensure_db(query_input, tmp_dir, "query")
+    same_input = os.path.abspath(query_input) == os.path.abspath(target_input)
+    tdb = qdb if same_input else ensure_db(target_input, tmp_dir, "target")
+    params.add_backtrace = params.add_backtrace or needs_backtrace(params.format_output)
+    results = search(qdb, tdb, params, same_db=same_input)
+    lines = format_results(qdb, tdb, results, params.format_output,
+                           with_backtrace=params.add_backtrace)
+    with open(out_path, "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+    logger.info("easy-search: %d hits -> %s", len(lines), out_path)
+    return lines

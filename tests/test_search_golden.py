@@ -1,0 +1,47 @@
+"""End-to-end easy-search parity vs reference golden m8 outputs."""
+import shutil
+
+import pytest
+
+from foldseek_tpu.search.params import SearchParams
+from foldseek_tpu.search.pipeline import easy_search
+
+
+@pytest.fixture(scope="module")
+def scop_dir(example_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("scop")
+    for f in example_dir.iterdir():
+        if "tim" not in f.name:
+            shutil.copy(f, d / f.name)
+    return d
+
+
+def _diff_lines(mine, golden_path):
+    golden = [l.rstrip("\n") for l in open(golden_path)]
+    exact = sum(1 for a, b in zip(mine, golden) if a == b)
+    return exact, len(golden)
+
+
+def test_easy_search_tim_exact(example_dir, golden_dir, tmp_path):
+    params = SearchParams(exhaustive_search=True)
+    lines = easy_search(str(example_dir / "1tim.pdb.gz"),
+                        str(example_dir / "8tim.pdb.gz"),
+                        str(tmp_path / "tim.m8"), str(tmp_path / "tmp"), params)
+    golden = [l.rstrip("\n") for l in open(golden_dir / "tim.m8")]
+    assert lines == golden
+
+
+def test_easy_search_scop_ava_exhaustive(scop_dir, golden_dir, tmp_path):
+    params = SearchParams(exhaustive_search=True)
+    lines = easy_search(str(scop_dir), str(scop_dir),
+                        str(tmp_path / "scop.m8"), str(tmp_path / "tmp"), params)
+    golden = [l.rstrip("\n") for l in open(golden_dir / "scop_ava_exh.m8")]
+    assert len(lines) == len(golden)
+    mismatches = [(a, b) for a, b in zip(sorted(lines), sorted(golden)) if a != b]
+    # Known drift: the structure-bit score int(score*sqrt(lddt*tm)) can differ
+    # by +-1 on float32-vs-float64 TM/LDDT rounding for a handful of pairs.
+    assert len(mismatches) <= 2, mismatches[:5]
+    for a, b in mismatches:
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[:10] == fb[:10], (a, b)  # everything but evalue/bits equal
+        assert abs(int(fa[11]) - int(fb[11])) <= 1

@@ -1,0 +1,72 @@
+"""SW score/backtrace parity vs the reference alignment DB fixture, plus
+JAX-kernel vs scalar-reference equivalence."""
+import json
+
+import numpy as np
+import pytest
+
+from foldseek_tpu.ops.matrices import encode_seq
+from foldseek_tpu.ops.sw import QueryProfile, sw_score_endpos, sw_score_endpos_np
+from foldseek_tpu.ops import backtrace as bt_ops
+from foldseek_tpu.search.results import compress_backtrace
+
+
+@pytest.fixture(scope="module")
+def golden(golden_dir):
+    with open(golden_dir / "example_3di.json") as f:
+        seqs = json.load(f)
+    with open(golden_dir / "aln_sb0.json") as f:
+        alns = json.load(f)
+    return seqs, alns
+
+
+def test_sw_scores_and_backtrace_vs_golden(golden):
+    seqs, alns = golden
+    queries = list(alns)[:5]
+    for q in queries:
+        prof = QueryProfile(encode_seq(seqs[q]["aa"]), encode_seq(seqs[q]["ss"]))
+        rprof = prof.reversed()
+        for row in alns[q][:10]:
+            t = row["target"]
+            taa = encode_seq(seqs[t]["aa"])
+            tss = encode_seq(seqs[t]["ss"])
+            fwd, qe, te = sw_score_endpos_np(prof.prof_aa, prof.prof_ss, taa, tss)
+            rev, _, _ = sw_score_endpos_np(rprof.prof_aa, rprof.prof_ss, taa, tss)
+            assert fwd - rev == row["score"], (q, t)
+            assert qe == row["qEnd"] and te == row["tEnd"], (q, t)
+            tb = bt_ops.recover_alignment(prof, taa, tss, fwd, qe, te)
+            assert tb.q_start == row["qStart"], (q, t)
+            assert tb.t_start == row["tStart"], (q, t)
+            assert compress_backtrace(tb.backtrace) == row["cigar"], (q, t)
+
+
+def test_jax_kernel_matches_scalar(golden):
+    seqs, _ = golden
+    import jax.numpy as jnp
+
+    names = list(seqs)[:6]
+    q = names[0]
+    prof = QueryProfile(encode_seq(seqs[q]["aa"]), encode_seq(seqs[q]["ss"]))
+    lq_pad = 256
+    pa, ps = prof.padded(lq_pad)
+    lt_pad = 256
+    B = len(names)
+    t_aa = np.full((B, lt_pad), 20, dtype=np.int8)
+    t_ss = np.full((B, lt_pad), 20, dtype=np.int8)
+    t_len = np.zeros(B, dtype=np.int32)
+    for i, n in enumerate(names):
+        s_aa = encode_seq(seqs[n]["aa"])[:lt_pad]
+        t_aa[i, : len(s_aa)] = s_aa
+        s_ss = encode_seq(seqs[n]["ss"])[:lt_pad]
+        t_ss[i, : len(s_ss)] = s_ss
+        t_len[i] = len(s_aa)
+    score, qend, tend = sw_score_endpos(
+        jnp.asarray(pa), jnp.asarray(ps), jnp.asarray(t_aa), jnp.asarray(t_ss),
+        jnp.asarray(t_len))
+    for i, n in enumerate(names):
+        s_aa = encode_seq(seqs[n]["aa"])[:lt_pad]
+        s_ss = encode_seq(seqs[n]["ss"])[:lt_pad]
+        s2, q2, t2 = sw_score_endpos_np(prof.prof_aa, prof.prof_ss, s_aa, s_ss)
+        assert int(score[i]) == s2
+        assert int(qend[i]) == q2
+        assert int(tend[i]) == t2
