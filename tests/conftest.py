@@ -1,10 +1,15 @@
 import os
 
-# Force a deterministic 8-device CPU mesh for all tests BEFORE jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a deterministic 8-device CPU mesh for all tests. The axon
+# sitecustomize pins jax_platforms to the TPU backend regardless of the
+# JAX_PLATFORMS env var, so override via jax.config after import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
