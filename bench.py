@@ -55,13 +55,17 @@ def main():
     s = gapless_scores_only(prof2, *batches[-1], t_len, chunk=chunk)
     s.block_until_ready()
 
-    outs = []
-    t0 = time.perf_counter()
-    for taa, tss in batches:
-        outs.append(gapless_scores_only(prof2, taa, tss, t_len, chunk=chunk))
-    for o in outs:
-        o.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    # median of 5 repeats — the remote-tunnel dispatch latency is noisy
+    reps = []
+    for _ in range(5):
+        outs = []
+        t0 = time.perf_counter()
+        for taa, tss in batches:
+            outs.append(gapless_scores_only(prof2, taa, tss, t_len, chunk=chunk))
+        for o in outs:
+            o.block_until_ready()
+        reps.append((time.perf_counter() - t0) / iters)
+    dt = sorted(reps)[len(reps) // 2]
 
     cells = B * Lq * Lt
     gcups = cells / dt / 1e9
