@@ -3,17 +3,23 @@
 
 Measures the gapless diagonal-scoring kernel — the reference's GPU prefilter
 equivalent (libmarv `Marv::scan` reports GCUPS per scan,
-lib/mmseqs/lib/libmarv/src/marv.h:30-35) — on one TPU chip against a synthetic
-length-realistic target batch, counting true (unpadded) DP cells.
+lib/mmseqs/lib/libmarv/src/marv.h:30-35) — on one TPU chip, counting true DP
+cells.
+
+Methodology: the backend here is a remote tunnel with lazy dispatch and
+result caching, so (a) every input is unique and used once, (b) the work for
+N batches runs inside ONE jitted scan, (c) timing requires a result readback,
+and (d) the fixed round-trip cost is removed by differencing two run sizes:
+  gcups = (N2 - N1) * cells_per_batch / (t(N2) - t(N1))
 
 Baseline: the reference's own CPU ungapped prefilter (`foldseek
-ungappedprefilter`, SSE2 byte SIMD) measured on this machine's single core at
-~22 GCUPS (200x2000 entries of length 300, user time). The README's GPU
-claim is 4x a 64-core CPU (~ #cores x single-core), i.e. RTX 4090 ~= 5600
-GCUPS by that yardstick.
+ungappedprefilter`, SSE2 byte SIMD) measured on this machine's single core:
+~22 GCUPS. (README.md:413 claims an RTX 4090 is 4x a 64-core CPU, i.e.
+~5600 GCUPS by the same yardstick.)
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
+import functools
 import json
 import time
 
@@ -26,7 +32,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from foldseek_tpu.ops.gapless import combine_profiles, gapless_scores_only
+    from foldseek_tpu.ops.gapless_pallas import gapless_scores_single, pack_profile
     from foldseek_tpu.ops.sw import QueryProfile
 
     rng = np.random.RandomState(7)
@@ -38,37 +44,38 @@ def main():
     q_aa = rng.randint(0, 20, Lq).astype(np.int8)
     q_ss = rng.randint(0, 20, Lq).astype(np.int8)
     prof = QueryProfile(q_aa, q_ss)
-    pa, ps = prof.padded(Lq)
-    prof2 = jnp.asarray(combine_profiles(pa, ps))
+    pa, _ = prof.padded(Lq)
+    prof_packed = jnp.asarray(pack_profile(pa))
 
-    # unique single-use target batches: rules out any dispatch/result caching
-    # in the backend; pipelined dispatch + sync on ALL outputs
-    iters = 32
-    batches = [
-        (jnp.asarray(rng.randint(0, 20, (B, Lt)).astype(np.int8)),
-         jnp.asarray(rng.randint(0, 20, (B, Lt)).astype(np.int8)))
-        for _ in range(iters)
-    ]
-    t_len = jnp.full((B,), Lt, dtype=jnp.int32)
+    def make_many(n_batches):
+        # targets are generated on-device from a seed so the timed region
+        # contains no host->device payload, only compute (+ fixed RTT)
+        @jax.jit
+        def many(prof_packed, seed):
+            def body(key, _):
+                key, k1 = jax.random.split(key)
+                t_T = jax.random.randint(k1, (Lt, B), 0, 20, dtype=jnp.int32)
+                return key, gapless_scores_single(prof_packed, t_T)
+            _, out = jax.lax.scan(body, jax.random.PRNGKey(seed), None,
+                                  length=n_batches)
+            return out
+        return many
 
-    # warmup / compile
-    s = gapless_scores_only(prof2, *batches[-1], t_len, chunk=chunk)
-    s.block_until_ready()
+    def run(n_batches):
+        many = make_many(n_batches)
+        np.asarray(many(prof_packed, 0))  # compile
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            np.asarray(many(prof_packed, rep + 1))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    # median of 5 repeats — the remote-tunnel dispatch latency is noisy
-    reps = []
-    for _ in range(5):
-        outs = []
-        t0 = time.perf_counter()
-        for taa, tss in batches:
-            outs.append(gapless_scores_only(prof2, taa, tss, t_len, chunk=chunk))
-        for o in outs:
-            o.block_until_ready()
-        reps.append((time.perf_counter() - t0) / iters)
-    dt = sorted(reps)[len(reps) // 2]
-
-    cells = B * Lq * Lt
-    gcups = cells / dt / 1e9
+    n1, n2 = 8, 40
+    t1 = run(n1)
+    t2 = run(n2)
+    cells_per_batch = B * Lq * Lt
+    gcups = (n2 - n1) * cells_per_batch / max(t2 - t1, 1e-9) / 1e9
     print(json.dumps({
         "metric": "prefilter_gcups_per_chip",
         "value": round(gcups, 2),

@@ -1,0 +1,84 @@
+"""Ungapped prefilter stage (PREF_MODE_UNGAPPED).
+
+Reference semantics (lib/mmseqs/src/prefiltering/ungappedprefilter.cpp):
+  * single alphabet: 3Di seed matrix at bit scale 2.0, scoreBias 0 (:533)
+  * query composition bias at scale 0.15 in the foldseek search workflow
+    (src/workflow/StructureSearch.cpp:101)
+  * score = best ungapped diagonal, byte-saturated at 255 (StripedSW
+    ungapped_alignment, StripedSmithWaterman.cpp:1817-1875)
+  * keep score > min_ungapped_score (15), top max_seqs by (score desc, key asc)
+
+TPU path: the Pallas gapless kernel scans length-bucketed transposed target
+panels resident on device; one kernel launch covers every target bucket.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..db.storage import StructDB
+from ..ops.gapless_pallas import (PAD_LETTER, gapless_scores_single,
+                                  pack_profile, prepare_targets_T)
+from ..ops.matrices import mat3di
+from ..ops.sw import calc_comp_bias
+from ..utils.log import logger
+from .params import SearchParams
+
+MIN_DIAG_SCORE = 15
+PREFILTER_BIAS_SCALE = 0.15
+BYTE_CAP = 255
+
+
+class UngappedPrefilter:
+    """Holds the device-resident transposed target panels for repeated queries."""
+
+    def __init__(self, tdb: StructDB, lt_pad_multiple: int = 128):
+        import jax.numpy as jnp
+        self.tdb = tdb
+        self.m3 = mat3di(2.0, 0.0)
+        lens = tdb.lengths()
+        n = tdb.size
+        max_len = int(lens.max()) if n else 1
+        lt_pad = -(-max_len // lt_pad_multiple) * lt_pad_multiple
+        seqs = [tdb.get_ss(i) for i in range(n)]
+        t_T = prepare_targets_T(seqs, lens, lt_pad=lt_pad)
+        self.t_T = jnp.asarray(t_T)
+        self.n_pad = t_T.shape[1]
+        self.keys = np.asarray(tdb.keys, dtype=np.int64)
+
+    def query(self, q_ss: np.ndarray, params: SearchParams,
+              comp_bias: bool = True) -> List[tuple]:
+        """Returns [(target_key, score)] gated + sorted by reference rules."""
+        import jax.numpy as jnp
+        L = len(q_ss)
+        prof = self.m3.scores[:, q_ss].astype(np.float32)  # [21, L]
+        byte_bias = abs(int(self.m3.scores.min()))
+        if comp_bias:
+            bias = calc_comp_bias(np.asarray(q_ss), self.m3.scores, self.m3.back,
+                                  PREFILTER_BIAS_SCALE)
+            prof = prof + bias[None, :].astype(np.float32)
+            byte_bias += abs(min(int(bias.min()), 0))
+        packed = pack_profile(prof)
+        # byte-saturation cap as in the reference's uint8 kernel
+        cap = jnp.float32(BYTE_CAP - byte_bias)
+        scores = np.asarray(
+            gapless_scores_single(jnp.asarray(packed), self.t_T, cap))
+        scores = scores[: self.tdb.size].astype(np.int64)
+        ok = scores > MIN_DIAG_SCORE
+        idx = np.nonzero(ok)[0]
+        order = np.lexsort((self.keys[idx], -scores[idx]))
+        idx = idx[order][: params.max_seqs]
+        return [(int(self.keys[i]), int(scores[i])) for i in idx]
+
+
+def ungapped_prefilter(qdb: StructDB, tdb: StructDB,
+                       params: SearchParams) -> Dict[int, List[int]]:
+    pref = UngappedPrefilter(tdb)
+    out: Dict[int, List[int]] = {}
+    for qi in range(qdb.size):
+        hits = pref.query(np.asarray(qdb.get_ss(qi)), params)
+        out[int(qdb.keys[qi])] = [k for k, _ in hits]
+    logger.info("ungapped prefilter: %d queries, avg %.1f hits",
+                qdb.size, np.mean([len(v) for v in out.values()]) if out else 0)
+    return out

@@ -1,0 +1,49 @@
+"""Ungapped prefilter parity vs reference `ungappedprefilter` fixture, and
+Pallas-vs-scalar kernel equivalence (interpret mode on CPU)."""
+import json
+
+import numpy as np
+import pytest
+
+from foldseek_tpu.ingest.createdb import create_db
+from foldseek_tpu.ops.gapless import gapless_scores_np
+from foldseek_tpu.ops.gapless_pallas import (gapless_scores_single,
+                                             pack_profile, prepare_targets_T)
+from foldseek_tpu.ops.matrices import mat3di
+from foldseek_tpu.search.params import SearchParams
+from foldseek_tpu.search.ungapped import UngappedPrefilter
+
+
+@pytest.fixture(scope="module")
+def exdb(example_dir, tmp_path_factory):
+    return create_db([str(example_dir)], str(tmp_path_factory.mktemp("db") / "exdb"))
+
+
+def test_ungapped_prefilter_parity(exdb, golden_dir):
+    with open(golden_dir / "upref.json") as f:
+        golden = json.load(f)
+    pref = UngappedPrefilter(exdb)
+    params = SearchParams()
+    name_by_key = {int(exdb.keys[i]): exdb.names[i] for i in range(exdb.size)}
+    for qi in range(exdb.size):
+        hits = pref.query(np.asarray(exdb.get_ss(qi)), params)
+        mine = [[name_by_key[k], s] for k, s in hits]
+        gold = [[t, s] for t, s, _ in golden[exdb.names[qi]]]
+        assert mine == gold, exdb.names[qi]
+
+
+def test_pallas_kernel_vs_scalar(exdb):
+    import jax.numpy as jnp
+    m3 = mat3di(2.0, 0.0)
+    q_ss = np.asarray(exdb.get_ss(0))
+    prof = m3.scores[:, q_ss].astype(np.float32)
+    seqs = [np.asarray(exdb.get_ss(i)) for i in range(8)]
+    lens = [len(s) for s in seqs]
+    t_T = prepare_targets_T(seqs, lens)
+    scores = np.asarray(gapless_scores_single(
+        jnp.asarray(pack_profile(prof)), jnp.asarray(t_T)))
+    zeros = np.zeros_like(prof[:, :1]).repeat(prof.shape[1], axis=1)
+    for i, seq in enumerate(seqs):
+        ref = gapless_scores_np(prof.astype(np.int64), zeros.astype(np.int64),
+                                seq, np.zeros_like(seq))
+        assert int(scores[i]) == ref, i
