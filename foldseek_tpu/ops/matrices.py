@@ -88,7 +88,11 @@ class SubstitutionMatrix:
         prob = np.exp(lam * file_scores) * p[:, None] * p[None, :]
         self.prob = prob
 
-        # BaseMatrix::computeBackground: row sums, X row forced to ANY_BACK
+        # the renormalized file-header background — this is what m->pBack holds
+        # and what calcLocalAaBiasCorrection reads (SubstitutionMatrix.cpp:404-409)
+        self.p_back = p
+        # BaseMatrix::computeBackground: row sums, X row forced to ANY_BACK —
+        # used only to regenerate the integer scores
         back = prob.sum(axis=1)
         back[x] = ANY_BACK
         self.back = back

@@ -90,8 +90,8 @@ class QueryProfile:
         self._bias_on = comp_bias_correction
         self._bias_scale = comp_bias_scale
         if comp_bias_correction:
-            self.bias_aa = calc_comp_bias(self.q_aa, mb.scores, mb.back, 1.0)
-            self.bias_ss = calc_comp_bias(self.q_ss, mb.scores, mb.back, comp_bias_scale)
+            self.bias_aa = calc_comp_bias(self.q_aa, mb.scores, mb.p_back, 1.0)
+            self.bias_ss = calc_comp_bias(self.q_ss, mb.scores, mb.p_back, comp_bias_scale)
         else:
             self.bias_aa = np.zeros(self.L, dtype=np.int8)
             self.bias_ss = np.zeros(self.L, dtype=np.int8)
@@ -115,8 +115,8 @@ class QueryProfile:
         mb = blosum62()
         has_bias = bool(self.bias_aa.any() or self.bias_ss.any() or self._bias_on)
         if has_bias:
-            rev.bias_aa = calc_comp_bias(rev.q_aa, mb.scores, mb.back, 1.0)
-            rev.bias_ss = calc_comp_bias(rev.q_ss, mb.scores, mb.back, self._bias_scale)
+            rev.bias_aa = calc_comp_bias(rev.q_aa, mb.scores, mb.p_back, 1.0)
+            rev.bias_ss = calc_comp_bias(rev.q_ss, mb.scores, mb.p_back, self._bias_scale)
         else:
             rev.bias_aa = np.zeros(self.L, dtype=np.int8)
             rev.bias_ss = np.zeros(self.L, dtype=np.int8)

@@ -1,0 +1,405 @@
+"""k-mer double-diagonal prefilter (PREF_MODE_KMER, the reference's default
+CPU path).
+
+Faithful re-derivation of the MMseqs2 prefilter pipeline as used by foldseek
+on 3Di sequences:
+  * spaced k-mers (Sequence.h:24-27 seed patterns; k auto 6/7)
+  * target index: masked (repeat runs > 6 -> X, Masker.cpp:83-115; lowercase
+    -> X), spaced k-mers skipping X, self-score >= threshold on the 8-bit-
+    factor seed matrix (IndexTable.h:133-156, Prefiltering.cpp:68)
+  * query: composition bias on the seed matrix; per-window threshold
+    kmerThr - round(bias sum); similar k-mer generation through cartesian
+    products of score-sorted 3-mer lists (KmerGenerator.cpp:107-218,
+    ExtendedSubstitutionMatrix.cpp:20-69)
+  * double-diagonal candidate detection: a (target, diagonal mod 256) hit
+    whose immediately preceding posting for the same target had the same
+    diagonal byte (CacheFriendlyOperations.cpp:185-277), deduplicated
+  * candidate rescoring: exact integer Kadane along the diagonal with the
+    2-bit-factor matrix + bias/4 profile, capped at 255
+    (UngappedAlignment.cpp:45-57, :388-421)
+  * adaptive score threshold to cap hits at max-seqs, 255-saturation rescue
+    via exact rescoring (QueryMatcher.cpp:130-214, :563-586)
+  * k-mer score thresholds: k=7: 197.0 - 11.22*s (src/FoldseekBase.cpp:444),
+    k=6: 163.2 - 8.917*s (Prefiltering.cpp:1066)
+
+Host-side implementation (the reference's CPU-compat path); the TPU-native
+default is the gapless prefilter in ungapped.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..db.storage import StructDB
+from ..ops.matrices import mat3di
+from ..ops.sw import calc_comp_bias
+from ..utils.log import logger
+from .params import SearchParams
+
+SPACED_PATTERNS = {
+    6: np.array([1, 1, 0, 1, 0, 1, 0, 0, 1, 1], dtype=bool),
+    7: np.array([1, 1, 0, 1, 0, 1, 1, 0, 0, 1, 1], dtype=bool),
+}
+X = 20
+MIN_DIAG_SCORE = 30  # prefilter --min-ungapped-score default
+MASK_N_REPEATS = 6
+
+
+def kmer_threshold(k: int, sensitivity: float) -> int:
+    """k=7 from foldseek's externalThreshold, k=6 from the mmseqs default."""
+    if k == 7:
+        return int(197.0 - 11.22 * sensitivity)
+    if k == 6:
+        return int(163.2 - 8.917 * sensitivity)
+    if k == 5:
+        return int(160.75 - 12.75 * sensitivity)
+    raise ValueError(f"unsupported k-mer size {k}")
+
+
+def mask_repeats(seq: np.ndarray, n: int = MASK_N_REPEATS) -> np.ndarray:
+    """Runs of one letter longer than n -> X (Masker::maskRepeats)."""
+    out = seq.copy()
+    L = len(seq)
+    i = 0
+    while i < L:
+        j = i
+        while j < L and seq[j] == seq[i]:
+            j += 1
+        if j - i > n:
+            out[i:j] = X
+        i = j
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _sorted_submer_lists(k_sub: int):
+    """For every sub-kmer (base-20 little-endian index): candidates sorted by
+    score desc, ties in lexicographic (first-letter-major) tuple order —
+    matching ExtendedSubstitutionMatrix's stable sort over the cartesian
+    product enumeration."""
+    n = 20 ** k_sub
+    # tuples in lexicographic order (a0 major)
+    digits = np.stack(np.meshgrid(*[np.arange(20)] * k_sub, indexing="ij"),
+                      axis=-1).reshape(n, k_sub)
+    # little-endian index of each tuple
+    pows = 20 ** np.arange(k_sub)
+    tuple_index = digits @ pows  # [n]
+    # score[i, j] between sub-kmers i (by tuple order) and j
+    # computed lazily per query sub-kmer instead (memory)
+    return digits, tuple_index
+
+
+class KmerPrefilter:
+    def __init__(self, tdb: StructDB, params: SearchParams, k: int = 0,
+                 bias_scale: float = 1.0):
+        self.tdb = tdb
+        self.bias_scale = bias_scale
+        if k == 0:
+            k = 6  # memory-conservative auto choice (reference picks by RAM)
+        self.k = k
+        self.pattern = SPACED_PATTERNS[k]
+        self.span = len(self.pattern)
+        self.offsets = np.nonzero(self.pattern)[0]
+        self.kmer_thr = kmer_threshold(k, params.sensitivity)
+        # prefilter matrices carry score bias -0.2
+        # (Prefiltering::getSubstitutionMatrix, Prefiltering.cpp:999-1006)
+        self.m8 = mat3di(8.0, -0.2)
+        self.m2 = mat3di(2.0, -0.2)
+        self.mat8 = self.m8.scores.astype(np.int32)
+        self.mat2 = self.m2.scores.astype(np.int32)
+        self._build_index()
+
+    def _build_index(self):
+        k, span = self.k, self.span
+        pows = 20 ** np.arange(k, dtype=np.int64)
+        diag8 = np.diag(self.mat8)
+        postings: Dict[int, List[Tuple[int, int]]] = {}
+        masked_seqs = []
+        masked_total = 0
+        for ti in range(self.tdb.size):
+            seq = np.asarray(self.tdb.get_ss(ti), dtype=np.int64)
+            lc = self.tdb.mask[self.tdb.offsets[ti]:self.tdb.offsets[ti + 1]]
+            seq = np.where(lc > 0, X, seq)
+            before = int((seq == X).sum())
+            seq = mask_repeats(seq)
+            masked_total += int((seq == X).sum()) - before
+            masked_seqs.append(seq.astype(np.int8))
+            L = len(seq)
+            if L < span:
+                continue
+            # all spaced windows
+            starts = np.arange(L - span + 1)
+            wins = seq[starts[:, None] + self.offsets[None, :]]  # [n, k]
+            valid = ~(wins == X).any(axis=1)
+            self_scores = diag8[wins].sum(axis=1)
+            valid &= self_scores >= self.kmer_thr
+            idxs = wins @ pows
+            # only the first occurrence of each unique k-mer per sequence is
+            # indexed (IndexTable::addSequence dedups after sorting by
+            # (kmer, position), IndexTable.h:386-400)
+            seen = {}
+            for p, kidx in zip(starts[valid], idxs[valid]):
+                if int(kidx) not in seen:
+                    seen[int(kidx)] = int(p)
+            for kidx, p in seen.items():
+                postings.setdefault(kidx, []).append((ti, p))
+        self.postings = postings
+        self.masked_seqs = masked_seqs
+        logger.info("kmer index: k=%d thr=%d, %d kmers, %d masked residues",
+                    self.k, self.kmer_thr, len(postings), masked_total)
+
+    # --- similar k-mer generation (KmerGenerator semantics) ---
+
+    def _sub_lists(self, sub: np.ndarray, n_top: int = None):
+        """Candidates for one query sub-kmer: (scores desc, little-endian
+        indices), tie order lexicographic by tuple."""
+        k_sub = len(sub)
+        digits, tuple_index = _sorted_submer_lists(k_sub)
+        # scores[j] = sum_i mat8[sub[i], digits[j, i]]
+        scores = np.zeros(len(digits), dtype=np.int32)
+        for i in range(k_sub):
+            scores += self.mat8[sub[i], digits[:, i]]
+        order = np.argsort(-scores, kind="stable")
+        return scores[order], tuple_index[order]
+
+    def similar_kmers(self, window: np.ndarray, threshold: int) -> np.ndarray:
+        """All k-mers scoring >= threshold vs the query window, in the exact
+        order KmerGenerator emits them (first sub-kmer outer desc, second
+        inner desc). Returns little-endian base-20 indices."""
+        k = self.k
+        if k == 6:
+            splits = [window[:3], window[3:]]
+            mults = [1, 20 ** 3]
+        elif k == 7:
+            splits = [window[:3], window[3:5], window[5:]]
+            mults = [1, 20 ** 3, 20 ** 5]
+        else:
+            raise ValueError(k)
+        lists = [self._sub_lists(s) for s in splits]
+        best_rest = [0] * len(lists)
+        for i in range(len(lists) - 2, -1, -1):
+            best_rest[i] = best_rest[i + 1] + int(lists[i + 1][0][0])
+        # first list: cutoff1
+        cutoff1 = threshold - best_rest[0]
+        s0, i0 = lists[0]
+        n0 = int(np.searchsorted(-s0, -cutoff1, side="right"))
+        cur_scores = s0[:n0].astype(np.int64)
+        cur_idx = i0[:n0].astype(np.int64) * mults[0]
+        for li in range(1, len(lists)):
+            s1, i1 = lists[li]
+            rest = best_rest[li]
+            out_s = []
+            out_i = []
+            s1 = s1.astype(np.int64)
+            i1 = i1.astype(np.int64)
+            for sc, ix in zip(cur_scores, cur_idx):
+                cutoff2 = threshold - int(sc) - rest
+                n1 = int(np.searchsorted(-s1, -cutoff2, side="right"))
+                if n1 == 0:
+                    continue
+                out_s.append(sc + s1[:n1])
+                out_i.append(ix + i1[:n1] * mults[li])
+            if not out_s:
+                return np.zeros(0, dtype=np.int64)
+            cur_scores = np.concatenate(out_s)
+            cur_idx = np.concatenate(out_i)
+        return cur_idx
+
+    # --- per-query matching ---
+
+    def query(self, q_ss: np.ndarray, max_seqs: int,
+              identity_id: int = None) -> List[Tuple[int, int, int]]:
+        """Returns [(target_index, pref_score, diagonal)] in final output
+        order (identity first when given, then score desc / id asc)."""
+        q = np.asarray(q_ss, dtype=np.int64)
+        L = len(q)
+        comp_bias = _calc_bias_float(q, self.mat8, self.m8.p_back, self.bias_scale)
+        arrivals_id: List[int] = []
+        arrivals_diag: List[int] = []
+        span = self.span
+        for p in range(L - span + 1):
+            win = q[p + self.offsets]
+            if (win == X).any():
+                continue
+            bias_f = float(np.float32(comp_bias[p + self.offsets].sum()))
+            bias = int(bias_f - 0.5) if bias_f < 0 else int(bias_f + 0.5)
+            thr = max(self.kmer_thr - bias, 0)
+            for kidx in self.similar_kmers(win, thr):
+                plist = self.postings.get(int(kidx))
+                if plist is None:
+                    continue
+                for tid, j in plist:
+                    arrivals_id.append(tid)
+                    arrivals_diag.append((p - j) & 0xFFFF)
+
+        # double-diagonal detection (diag byte) + dedup, per target id
+        last_diag: Dict[int, int] = {}
+        cand_ids: List[int] = []
+        cand_diags: List[int] = []
+        emitted_last: Dict[int, int] = {}
+        dup_ids: List[int] = []
+        dup_diags: List[int] = []
+        for tid, d16 in zip(arrivals_id, arrivals_diag):
+            d8 = d16 & 0xFF
+            # the reference's duplicateBitArray starts zeroed, so the FIRST
+            # posting of an id on diagonal byte 0 already counts as a duplicate
+            # (CacheFriendlyOperations.cpp:186,200-207)
+            if last_diag.get(tid, 0) == d8:
+                dup_ids.append(tid)
+                dup_diags.append(d16)
+            last_diag[tid] = d8
+        for tid, d16 in zip(dup_ids, dup_diags):
+            d8 = d16 & 0xFF
+            if emitted_last.get(tid) != d8:
+                cand_ids.append(tid)
+                cand_diags.append(d16)
+            emitted_last[tid] = d8
+
+        # diagonal rescoring (exact int, capped 255)
+        prof = self._ungapped_profile(q, comp_bias)
+        best: Dict[int, Tuple[int, int, int]] = {}  # tid -> (count, diag, order)
+        for n, (tid, d16) in enumerate(zip(cand_ids, cand_diags)):
+            score = self._diag_score(prof, self.masked_seqs[tid], d16)
+            count = min(255, score)
+            cur = best.get(tid)
+            if cur is None or count > cur[0]:
+                best[tid] = (count, d16, n)
+        if not best:
+            items = []
+        else:
+            items = [(tid, c, d) for tid, (c, d, _) in best.items()]
+
+        # adaptive threshold
+        hist = np.zeros(256, dtype=np.int64)
+        for _, c, _ in items:
+            hist[c] += 1
+        max_hits = min(max_seqs, self.tdb.size)
+        thr = _compute_score_threshold(hist, max_hits)
+        thr = max(MIN_DIAG_SCORE, thr)
+
+        results: List[Tuple[int, int, int]] = []
+        if identity_id is not None:
+            results.append((identity_id, 65535, 0))
+        if thr >= 255:
+            # saturated: rescore exact, rescale to byte, keep only saturated
+            self_score = self._diag_score(prof, q.astype(np.int8), 0, exact=True)
+            max_self = max(1, min(self_score - 255, 65535))
+            rescored = []
+            for tid, c, d in items:
+                if c < 255:
+                    continue
+                exact = self._diag_score(prof, self.masked_seqs[tid], d, exact=True)
+                new = min(max(exact - 255, 0), 65535)
+                c8 = int(min(new / max_self * 255.0 + 0.5, 255))
+                rescored.append((tid, c8, d))
+            rescored.sort(key=lambda x: (-x[1], x[0]))
+            for tid, c8, d in rescored:
+                if len(results) >= max_hits:
+                    break
+                if identity_id is not None and tid == identity_id:
+                    continue
+                score = 255 + (c8 * max_self) // 255
+                results.append((tid, score, d))
+        else:
+            kept = [(tid, c, d) for tid, c, d in items if c >= thr]
+            kept.sort(key=lambda x: (-x[1], x[0]))
+            for tid, c, d in kept:
+                if len(results) >= max_hits:
+                    break
+                if identity_id is not None and tid == identity_id:
+                    continue
+                score = c
+                if c >= 255:
+                    score = self._diag_score(prof, self.masked_seqs[tid], d, exact=True)
+                results.append((tid, score, d))
+        # final ordering: identity first, rest by (score desc, id asc)
+        head = results[:1] if identity_id is not None else []
+        tail = results[1:] if identity_id is not None else results
+        tail.sort(key=lambda x: (-x[1], x[0]))
+        return head + tail
+
+    def _ungapped_profile(self, q: np.ndarray, comp_bias: np.ndarray) -> np.ndarray:
+        """[L, 21] int profile: mat2[q[pos]][a] + round(bias/4). The /4 and
+        +-0.5 run in float32 like the reference (UngappedAlignment.cpp:396)."""
+        b4 = comp_bias.astype(np.float32) / np.float32(4.0)
+        b4 = np.where(b4 < 0, b4 - np.float32(0.5), b4 + np.float32(0.5)).astype(np.int32)
+        return self.mat2[q] + b4[:, None]
+
+    @staticmethod
+    def _diag_score(prof: np.ndarray, t_seq: np.ndarray, d16: int,
+                    exact: bool = False) -> int:
+        """Exact integer Kadane along one diagonal
+        (UngappedAlignment::computeSingelSequenceScores)."""
+        d = d16 - 65536 if d16 >= 32768 else d16
+        L_q = prof.shape[0]
+        L_t = len(t_seq)
+        if d >= 0:
+            if d >= L_q:
+                return 0
+            n = min(L_t, L_q - d)
+            qs = prof[d: d + n]
+            ts = np.asarray(t_seq[:n], dtype=np.int64)
+        else:
+            md = -d
+            if md >= L_t:
+                return 0
+            n = min(L_t - md, L_q)
+            qs = prof[:n]
+            ts = np.asarray(t_seq[md: md + n], dtype=np.int64)
+        s = qs[np.arange(n), ts]
+        best = 0
+        run = 0
+        for v in s:
+            run = run + int(v)
+            if run < 0:
+                run = 0
+            elif run > best:
+                best = run
+        return best
+
+
+def _calc_bias_float(q: np.ndarray, mat8: np.ndarray, back: np.ndarray,
+                     scale: float = 1.0) -> np.ndarray:
+    """float composition bias without the int8 rounding — QueryMatcher keeps
+    it float (QueryMatcher.cpp:240-246). The search workflow runs the
+    prefilter at scale 0.15 (src/workflow/StructureSearch.cpp:101)."""
+    N = len(q)
+    w = 40
+    rows = mat8[q].astype(np.int64)
+    scores = rows[:, q]
+    idx = np.arange(N)
+    lo = np.maximum(0, idx - w // 2)
+    hi = np.minimum(N, idx + w // 2)
+    csum = np.zeros((N, N + 1), dtype=np.int64)
+    np.cumsum(scores, axis=1, out=csum[:, 1:])
+    win = csum[idx, hi] - csum[idx, lo] - scores[idx, idx]
+    delta = (win.astype(np.float64) / (-1.0 * (hi - lo))).astype(np.float32)
+    for a in range(mat8.shape[0]):
+        delta = (delta.astype(np.float64) + back[a] * rows[:, a].astype(np.float64)).astype(np.float32)
+    return (np.float32(scale) * delta).astype(np.float32)
+
+
+def _compute_score_threshold(hist: np.ndarray, max_hits: int) -> int:
+    found = 0
+    for thr in range(255, 0, -1):
+        found += int(hist[thr])
+        if found >= max_hits:
+            return thr
+    return 0
+
+
+def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
+                   k: int = 0) -> Dict[int, List[int]]:
+    # the search workflow runs the prefilter at bias scale 0.15
+    # (src/workflow/StructureSearch.cpp:101)
+    pref = KmerPrefilter(tdb, params, k=k, bias_scale=0.15)
+    same_db = qdb.path == tdb.path
+    tidx_to_key = {i: int(tdb.keys[i]) for i in range(tdb.size)}
+    out: Dict[int, List[int]] = {}
+    for qi in range(qdb.size):
+        identity = qi if same_db else None
+        hits = pref.query(np.asarray(qdb.get_ss(qi)), params.max_seqs, identity)
+        out[int(qdb.keys[qi])] = [tidx_to_key[t] for t, _, _ in hits]
+    return out

@@ -55,7 +55,7 @@ class UngappedPrefilter:
         prof = self.m3.scores[:, q_ss].astype(np.float32)  # [21, L]
         byte_bias = abs(int(self.m3.scores.min()))
         if comp_bias:
-            bias = calc_comp_bias(np.asarray(q_ss), self.m3.scores, self.m3.back,
+            bias = calc_comp_bias(np.asarray(q_ss), self.m3.scores, self.m3.p_back,
                                   PREFILTER_BIAS_SCALE)
             prof = prof + bias[None, :].astype(np.float32)
             byte_bias += abs(min(int(bias.min()), 0))

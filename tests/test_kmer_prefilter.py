@@ -1,0 +1,28 @@
+"""k-mer prefilter parity vs the reference `prefilter` module fixture."""
+import json
+
+import numpy as np
+import pytest
+
+from foldseek_tpu.ingest.createdb import create_db
+from foldseek_tpu.search.kmer import KmerPrefilter
+from foldseek_tpu.search.params import SearchParams
+
+
+@pytest.fixture(scope="module")
+def exdb(example_dir, tmp_path_factory):
+    return create_db([str(example_dir)], str(tmp_path_factory.mktemp("db") / "exdb"))
+
+
+def test_kmer_prefilter_parity(exdb, golden_dir):
+    """Fixture generated with: prefilter exdb_ss exdb_ss out --threads 1 -s 9.5
+    (standalone defaults: bias scale 1.0, max-res 300, k auto->6)."""
+    with open(golden_dir / "kpref.json") as f:
+        golden = json.load(f)
+    pref = KmerPrefilter(exdb, SearchParams(sensitivity=9.5), bias_scale=1.0)
+    name_by_idx = {i: exdb.names[i] for i in range(exdb.size)}
+    for qi in range(exdb.size):
+        hits = pref.query(np.asarray(exdb.get_ss(qi)), 300, identity_id=qi)
+        mine = [[name_by_idx[t], s, d if d < 32768 else d - 65536]
+                for t, s, d in hits]
+        assert mine == golden[exdb.names[qi]], exdb.names[qi]

@@ -31,6 +31,21 @@ def test_easy_search_tim_exact(example_dir, golden_dir, tmp_path):
     assert lines == golden
 
 
+def test_easy_search_scop_ava_default_kmer(scop_dir, golden_dir, tmp_path):
+    """Default mode: k-mer prefilter -> structurealign -> convertalis."""
+    params = SearchParams()
+    lines = easy_search(str(scop_dir), str(scop_dir),
+                        str(tmp_path / "scop.m8"), str(tmp_path / "tmp"), params)
+    golden = [l.rstrip("\n") for l in open(golden_dir / "scop_ava.m8")]
+    assert len(lines) == len(golden)
+    mismatches = [(a, b) for a, b in zip(sorted(lines), sorted(golden)) if a != b]
+    assert len(mismatches) <= 2, mismatches[:5]
+    for a, b in mismatches:
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[:10] == fb[:10]
+        assert abs(int(fa[11]) - int(fb[11])) <= 1
+
+
 def test_easy_search_scop_ava_exhaustive(scop_dir, golden_dir, tmp_path):
     params = SearchParams(exhaustive_search=True)
     lines = easy_search(str(scop_dir), str(scop_dir),
