@@ -141,6 +141,86 @@ def cmd_convertalis(argv):
     return 0
 
 
+def _add_cluster_params(p):
+    p.add_argument("-c", "--cov", dest="cov_thr", type=float, default=0.8)
+    p.add_argument("--cov-mode", type=int, default=0)
+    p.add_argument("-e", "--evalue", type=float, default=0.01)
+    p.add_argument("--min-seq-id", dest="seq_id_thr", type=float, default=0.0)
+    p.add_argument("-s", "--sensitivity", type=float, default=0.0,
+                   help="0 = auto from --min-seq-id")
+    p.add_argument("--cluster-steps", type=int, default=3)
+    p.add_argument("--cluster-mode", type=int, default=-1,
+                   help="-1 auto, 0 set-cover, 1 connected-component, 2/3 greedy")
+    p.add_argument("--single-step-clustering", action="store_true")
+    p.add_argument("--kmer-per-seq", type=int, default=300)
+    p.add_argument("--alignment-type", type=int, default=2)
+    p.add_argument("--max-seqs", type=int, default=1000)
+    p.add_argument("-k", "--kmer-size", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+
+
+def cluster_params_from_args(args):
+    from .cluster.workflow import ClusterParams
+    return ClusterParams(
+        cov_thr=args.cov_thr, cov_mode=args.cov_mode, evalue_thr=args.evalue,
+        seq_id_thr=args.seq_id_thr, sensitivity=args.sensitivity,
+        cluster_steps=args.cluster_steps, cluster_mode=args.cluster_mode,
+        single_step=args.single_step_clustering,
+        kmers_per_sequence=args.kmer_per_seq,
+        alignment_type=args.alignment_type,
+        max_res_list_len=args.max_seqs, kmer_size=args.kmer_size)
+
+
+def cmd_cluster(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu cluster")
+    p.add_argument("input_db")
+    p.add_argument("output_db")
+    p.add_argument("tmp_dir")
+    _add_cluster_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import json
+
+    from .cluster.workflow import cluster_db
+    from .db.storage import load_db
+    db = load_db(args.input_db)
+    clusters = cluster_db(db, cluster_params_from_args(args))
+    with open(args.output_db, "w") as f:
+        json.dump({str(k): v for k, v in sorted(clusters.items())}, f)
+    logger.info("clustered %d entries into %d clusters", db.size, len(clusters))
+    return 0
+
+
+def cmd_easy_cluster(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu easy-cluster")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output_prefix")
+    p.add_argument("tmp_dir")
+    _add_cluster_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import os
+
+    from .cluster.workflow import (cluster_db, write_all_seqs_fasta,
+                                   write_cluster_tsv, write_rep_fasta)
+    from .db.storage import is_db, load_db
+    from .ingest.createdb import create_db
+    os.makedirs(args.tmp_dir, exist_ok=True)
+    db_path = os.path.join(args.tmp_dir, "input_db")
+    if len(args.inputs) == 1 and is_db(args.inputs[0]):
+        db = load_db(args.inputs[0])
+    else:
+        create_db(args.inputs, db_path)
+        db = load_db(db_path)
+    clusters = cluster_db(db, cluster_params_from_args(args))
+    write_cluster_tsv(db, clusters, args.output_prefix + "_cluster.tsv")
+    write_rep_fasta(db, clusters, args.output_prefix + "_rep_seq.fasta")
+    write_all_seqs_fasta(db, clusters, args.output_prefix + "_all_seqs.fasta")
+    logger.info("easy-cluster: %d clusters -> %s_{cluster.tsv,rep_seq.fasta,all_seqs.fasta}",
+                len(clusters), args.output_prefix)
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -151,6 +231,8 @@ COMMANDS = {
     "easy-search": (cmd_easy_search, "Structure search from files (createdb+search+convertalis)"),
     "search": (cmd_search, "Search a query DB against a target DB"),
     "convertalis": (cmd_convertalis, "Convert alignment DB to BLAST-tab/HTML formats"),
+    "cluster": (cmd_cluster, "Cluster a structure DB (cascaded set-cover)"),
+    "easy-cluster": (cmd_easy_cluster, "Cluster structures from files (createdb+cluster+tsv/fasta)"),
     "version": (cmd_version, "Show version"),
 }
 

@@ -93,9 +93,10 @@ def _sorted_submer_lists(k_sub: int):
 
 class KmerPrefilter:
     def __init__(self, tdb: StructDB, params: SearchParams, k: int = 0,
-                 bias_scale: float = 1.0):
+                 bias_scale: float = 1.0, min_diag_score: int = MIN_DIAG_SCORE):
         self.tdb = tdb
         self.bias_scale = bias_scale
+        self.min_diag_score = min_diag_score
         if k == 0:
             k = 6  # memory-conservative auto choice (reference picks by RAM)
         self.k = k
@@ -277,7 +278,7 @@ class KmerPrefilter:
             hist[c] += 1
         max_hits = min(max_seqs, self.tdb.size)
         thr = _compute_score_threshold(hist, max_hits)
-        thr = max(MIN_DIAG_SCORE, thr)
+        thr = max(self.min_diag_score, thr)
 
         results: List[Tuple[int, int, int]] = []
         if identity_id is not None:
@@ -391,10 +392,12 @@ def _compute_score_threshold(hist: np.ndarray, max_hits: int) -> int:
 
 
 def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
-                   k: int = 0) -> Dict[int, List[int]]:
+                   k: int = 0, bias_scale: float = 0.15,
+                   min_diag_score: int = MIN_DIAG_SCORE) -> Dict[int, List[int]]:
     # the search workflow runs the prefilter at bias scale 0.15
     # (src/workflow/StructureSearch.cpp:101)
-    pref = KmerPrefilter(tdb, params, k=k, bias_scale=0.15)
+    pref = KmerPrefilter(tdb, params, k=k, bias_scale=bias_scale,
+                         min_diag_score=min_diag_score)
     same_db = qdb.path == tdb.path
     tidx_to_key = {i: int(tdb.keys[i]) for i in range(tdb.size)}
     out: Dict[int, List[int]] = {}
