@@ -221,6 +221,21 @@ def cmd_easy_cluster(argv):
     return 0
 
 
+def cmd_easy_multimersearch(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu easy-multimersearch")
+    p.add_argument("query")
+    p.add_argument("target")
+    p.add_argument("output_prefix")
+    p.add_argument("tmp_dir")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .multimer.workflow import easy_multimer_search
+    easy_multimer_search(args.query, args.target, args.output_prefix,
+                         args.tmp_dir, params_from_args(args))
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -233,6 +248,8 @@ COMMANDS = {
     "convertalis": (cmd_convertalis, "Convert alignment DB to BLAST-tab/HTML formats"),
     "cluster": (cmd_cluster, "Cluster a structure DB (cascaded set-cover)"),
     "easy-cluster": (cmd_easy_cluster, "Cluster structures from files (createdb+cluster+tsv/fasta)"),
+    "easy-multimersearch": (cmd_easy_multimersearch, "Complex-vs-complex search from files"),
+    "easy-complexsearch": (cmd_easy_multimersearch, "Alias of easy-multimersearch"),
     "version": (cmd_version, "Show version"),
 }
 

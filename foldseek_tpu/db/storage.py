@@ -44,6 +44,10 @@ class StructDB:
     keys: np.ndarray     # uint32 [n]
     names: List[str]
     headers: List[str]
+    # source-file (complex) id per entry — the reference's .lookup third
+    # column (structcreatedb.cpp lookup stream); chains of one structure
+    # file share an id, which is what groups complexes for multimer search
+    fileids: Optional[np.ndarray] = None  # uint32 [n]
 
     @property
     def size(self) -> int:
@@ -101,12 +105,15 @@ class StructDBWriter:
         self._keys: List[int] = []
         self._names: List[str] = []
         self._headers: List[str] = []
+        self._fileids: List[int] = []
 
     def add_entry(self, key: int, name: str, header: str,
                   aa_num: np.ndarray, ss_num: np.ndarray,
-                  ca: np.ndarray, mask: Optional[np.ndarray] = None):
+                  ca: np.ndarray, mask: Optional[np.ndarray] = None,
+                  file_id: int = 0):
         L = len(aa_num)
         assert len(ss_num) == L and ca.shape == (L, 3)
+        self._fileids.append(file_id)
         self._aa.append(np.asarray(aa_num, dtype=np.int8))
         self._ss.append(np.asarray(ss_num, dtype=np.int8))
         self._mask.append(
@@ -131,6 +138,8 @@ class StructDBWriter:
         np.save(os.path.join(self.path, "ca.npy"), ca)
         np.save(os.path.join(self.path, "offsets.npy"), offsets)
         np.save(os.path.join(self.path, "keys.npy"), np.asarray(self._keys, dtype=np.uint32))
+        np.save(os.path.join(self.path, "fileids.npy"),
+                np.asarray(self._fileids, dtype=np.uint32))
         with open(os.path.join(self.path, "names.txt"), "w") as f:
             f.write("\n".join(self._names) + ("\n" if n else ""))
         with open(os.path.join(self.path, "headers.txt"), "w") as f:
@@ -160,10 +169,14 @@ def load_db(path: str, mmap: bool = True) -> StructDB:
     with open(os.path.join(path, "headers.txt")) as f:
         headers = f.read().splitlines()
     ca_path = os.path.join(path, "ca.npy")
+    fid_path = os.path.join(path, "fileids.npy")
+    keys = arr("keys.npy")
     return StructDB(
         path=path,
         aa=arr("aa.npy"), ss=arr("ss.npy"), mask=arr("mask.npy"),
         ca=np.load(ca_path, mmap_mode=mode) if os.path.exists(ca_path) else None,
-        offsets=arr("offsets.npy"), keys=arr("keys.npy"),
+        offsets=arr("offsets.npy"), keys=keys,
         names=names, headers=headers,
+        fileids=(np.load(fid_path, mmap_mode=mode) if os.path.exists(fid_path)
+                 else np.zeros(len(keys), dtype=np.uint32)),
     )

@@ -51,11 +51,11 @@ def create_db(inputs: List[str], out_path: str,
               chain_name_mode: str = "auto",
               mask_bfactor_threshold: float = 0.0) -> StructDB:
     files = collect_input_files(inputs)
-    entries = []  # (entry_name, header, aa_num, ss_num, ca, mask)
+    entries = []  # (entry_name, header, aa_num, ss_num, ca, mask, file_id)
     too_short = 0
     not_protein = 0
     failed = 0
-    for path in files:
+    for file_id, path in enumerate(files):
         try:
             st = pdb_parser.parse_structure(path)
         except Exception as e:  # noqa: BLE001 - ingest must survive bad files
@@ -92,7 +92,8 @@ def create_db(inputs: List[str], out_path: str,
                 header = f"{name} {st.title}"
             mask = (ch.bfactor < mask_bfactor_threshold).astype(np.uint8)
             ca = np.nan_to_num(ch.ca, nan=0.0).astype(np.float32)
-            entries.append((name, header, encode_seq(ch.aa), states, ca, mask))
+            entries.append((name, header, encode_seq(ch.aa), states, ca, mask,
+                            file_id))
 
     # sort by name (two extra extensions removed) with stable tie order,
     # assign sequential keys (structcreatedb.cpp:1356-1382)
@@ -100,8 +101,9 @@ def create_db(inputs: List[str], out_path: str,
                    key=lambda i: (remove_two_extensions(entries[i][0]), i))
     writer = StructDBWriter(out_path)
     for new_key, idx in enumerate(order):
-        name, header, aa_num, ss_num, ca, mask = entries[idx]
-        writer.add_entry(new_key, name, header, aa_num, ss_num, ca, mask)
+        name, header, aa_num, ss_num, ca, mask, file_id = entries[idx]
+        writer.add_entry(new_key, name, header, aa_num, ss_num, ca, mask,
+                         file_id=file_id)
     db = writer.finish()
     logger.info("createdb: %d entries (%d too short, %d not protein, %d failed files)",
                 db.size, too_short, not_protein, failed)

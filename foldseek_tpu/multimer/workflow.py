@@ -1,0 +1,72 @@
+"""multimersearch / easy-multimersearch workflows
+(reference: src/workflow/MultimerSearch.cpp, data/multimersearch.sh,
+data/easymultimersearch.sh).
+
+Stages: chain-level search (default params, no backtrace) -> expandmultimer
+(all chain pairs of hit complexes) -> structurealign with the relaxed
+expansion e-value (1e4) and backtraces -> scoremultimer -> report/m8.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+from typing import Dict, List
+
+from ..db.storage import StructDB
+from ..search.align import align_all
+from ..search.params import SearchParams
+from ..search.pipeline import ensure_db, search
+from ..utils.log import Timer, logger
+from .expand import expand_multimer
+from .report import create_multimer_report
+from .scoremultimer import score_multimer
+
+EVALUE_THR_EXPAND_MULTIMER = 10000.0  # LocalParameters.cpp:355
+
+
+def multimer_search(qdb: StructDB, tdb: StructDB,
+                    params: SearchParams) -> Dict[int, List[str]]:
+    """Full multimer pipeline; returns scorecomplex result lines per query
+    chain key."""
+    same_db = qdb.path == tdb.path
+    if params.exhaustive_search:
+        # EXHAUSTIVE prefmode skips expansion; search carries backtraces
+        spar = replace(params, add_backtrace=True)
+        with Timer("search"):
+            alns = search(qdb, tdb, spar, same_db=same_db)
+    else:
+        # initial chain-level search without backtrace, 3Di+AA
+        # (MultimerSearch.cpp:104-106 resets addBacktrace/alignmentType)
+        spar = replace(params, add_backtrace=False, alignment_type=2)
+        with Timer("search"):
+            hits_aln = search(qdb, tdb, spar, same_db=same_db)
+        hits = {qk: [r.db_key for r in rs] for qk, rs in hits_aln.items()}
+        with Timer("expandmultimer"):
+            expanded = expand_multimer(qdb, tdb, hits)
+        # re-align every expanded chain pair with the relaxed e-value
+        apar = replace(params, add_backtrace=True,
+                       evalue_thr=EVALUE_THR_EXPAND_MULTIMER)
+        with Timer("structurealign(expand)"):
+            alns = align_all(qdb, tdb, expanded, apar, same_db=same_db)
+    with Timer("scoremultimer"):
+        return score_multimer(qdb, tdb, alns)
+
+
+def easy_multimer_search(query_input: str, target_input: str,
+                         output_prefix: str, tmp_dir: str,
+                         params: SearchParams) -> List[str]:
+    """createdb -> multimersearch -> report. Returns report lines; writes
+    <prefix>_report (data/easymultimersearch.sh:49-55)."""
+    os.makedirs(tmp_dir, exist_ok=True)
+    qdb = ensure_db(query_input, tmp_dir, "query")
+    same_input = os.path.abspath(query_input) == os.path.abspath(target_input)
+    tdb = qdb if same_input else ensure_db(target_input, tmp_dir, "target")
+    score_results = multimer_search(qdb, tdb, params)
+    report = create_multimer_report(qdb, tdb, score_results)
+    report_path = output_prefix + "_report"
+    with open(report_path, "w") as f:
+        for line in report:
+            f.write(line + "\n")
+    logger.info("easy-multimersearch: %d assignments -> %s",
+                len(report), report_path)
+    return report
