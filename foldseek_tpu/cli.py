@@ -221,6 +221,93 @@ def cmd_easy_cluster(argv):
     return 0
 
 
+def cmd_convert2pdb(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu convert2pdb")
+    p.add_argument("db")
+    p.add_argument("output")
+    p.add_argument("--pdb-output-mode", type=int, default=0,
+                   help="0: multi-model file, 1: one file per complex, 2: per chain")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .ingest.convert2pdb import convert2pdb
+    convert2pdb(load_db(args.db), args.output, args.pdb_output_mode)
+    return 0
+
+
+def cmd_aln2tmscore(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu aln2tmscore")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output")
+    p.add_argument("--tmscore-threshold-mode", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .ops import tmscore as tm_ops
+    from .search.resultdb import read_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    results, _ = read_result_db(args.result_db)
+    qidx = qdb.key_to_index()
+    tidx = tdb.key_to_index()
+    # output: per query key, lines "targetKey TM t0 t1 t2 u00..u22"
+    # (reference: src/strucclustutils/aln2tmscore.cpp:104-132)
+    with open(args.output, "w") as f:
+        for qkey in sorted(results):
+            qi = qidx[int(qkey)]
+            for r in results[qkey]:
+                norm = tm_ops.normalization(
+                    args.tmscore_threshold_mode,
+                    min(r.q_end - r.q_start, r.t_end - r.t_start),
+                    r.q_len, r.t_len)
+                res = tm_ops.compute_tm_score(
+                    qdb.get_ca(qi), tdb.get_ca(tidx[r.db_key]),
+                    r.q_start, r.t_start, r.backtrace, norm)
+                u = res.u
+                vals = [str(r.db_key), f"{res.tmscore:.3E}"]
+                vals += [f"{v:.3E}" for v in res.t]
+                vals += [f"{u[i][j]:.3E}" for i in range(3) for j in range(3)]
+                f.write(str(qkey) + "\t" + " ".join(vals) + "\n")
+    return 0
+
+
+def cmd_structureto3didescriptor(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu structureto3didescriptor")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import tempfile
+
+    from .ingest.createdb import create_db
+    with tempfile.TemporaryDirectory() as tmp:
+        db = create_db(args.inputs, tmp + "/db")
+        with open(args.output, "w") as f:
+            for i in range(db.size):
+                f.write(f"{db.names[i]}\t{db.get_aa_str(i)}\t{db.get_ss_str(i)}\n")
+    return 0
+
+
+def cmd_easy_rbh(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu easy-rbh")
+    p.add_argument("query")
+    p.add_argument("target")
+    p.add_argument("output")
+    p.add_argument("tmp_dir")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.rbh import easy_rbh
+    easy_rbh(args.query, args.target, args.output, args.tmp_dir,
+             params_from_args(args))
+    return 0
+
+
 def cmd_easy_multimersearch(argv):
     p = argparse.ArgumentParser(prog="foldseek-tpu easy-multimersearch")
     p.add_argument("query")
@@ -248,6 +335,10 @@ COMMANDS = {
     "convertalis": (cmd_convertalis, "Convert alignment DB to BLAST-tab/HTML formats"),
     "cluster": (cmd_cluster, "Cluster a structure DB (cascaded set-cover)"),
     "easy-cluster": (cmd_easy_cluster, "Cluster structures from files (createdb+cluster+tsv/fasta)"),
+    "easy-rbh": (cmd_easy_rbh, "Reciprocal best hit search from files"),
+    "convert2pdb": (cmd_convert2pdb, "Structure DB to C-alpha PDB file(s)"),
+    "aln2tmscore": (cmd_aln2tmscore, "TM-score for existing alignment results"),
+    "structureto3didescriptor": (cmd_structureto3didescriptor, "Dump AA + 3Di strings per chain"),
     "easy-multimersearch": (cmd_easy_multimersearch, "Complex-vs-complex search from files"),
     "easy-complexsearch": (cmd_easy_multimersearch, "Alias of easy-multimersearch"),
     "version": (cmd_version, "Show version"),

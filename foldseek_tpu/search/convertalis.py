@@ -156,9 +156,11 @@ def format_row(r: AlnResult, qname: str, tname: str,
         elif c == "theader":
             out.append(tdb.headers[ti])
         elif c == "qaln":
-            out.append(_aligned_string(qdb.get_aa_str(qi), r.q_start, r.backtrace, "I"))
+            # query consumes M/I, shows '-' on D (structureconvertalis
+            # structurePrintSeqBasedOnAln)
+            out.append(_aligned_string(qdb.get_aa_str(qi), r.q_start, r.backtrace, "D"))
         elif c == "taln":
-            out.append(_aligned_string(tdb.get_aa_str(ti), r.t_start, r.backtrace, "D"))
+            out.append(_aligned_string(tdb.get_aa_str(ti), r.t_start, r.backtrace, "I"))
         elif c == "qtmscore":
             out.append(_fmt_e(tm_with_norm(r.q_len).tmscore))
         elif c == "ttmscore":
@@ -176,6 +178,16 @@ def format_row(r: AlnResult, qname: str, tname: str,
             lr = lddt_ops.compute_lddt(qdb.get_ca(qi), tdb.get_ca(ti),
                                        r.q_start, r.t_start, r.backtrace)
             out.append(",".join(_fmt_f(v) for v in lr.per_col))
+        elif c == "u":
+            u = tm_with_norm(r.t_len).u
+            out.append(",".join(_fmt_e(u[i][j]) for i in range(3) for j in range(3)))
+        elif c == "t":
+            t = tm_with_norm(r.t_len).t
+            out.append(",".join(_fmt_e(t[i]) for i in range(3)))
+        elif c == "qca":
+            out.append(_ca_to_str(qdb.get_ca(qi)))
+        elif c == "tca":
+            out.append(_ca_to_str(tdb.get_ca(ti)))
         elif c == "prob":
             out.append(_fmt_f(calc_prob_tp(int(r.score))))
         elif c == "empty":
@@ -183,6 +195,12 @@ def format_row(r: AlnResult, qname: str, tname: str,
         else:
             out.append("-")
     return "\t".join(out)
+
+
+def _ca_to_str(ca) -> str:
+    """caToStr (structureconvertalis.cpp:119-131): x,y,z per residue at %.3f,
+    comma-separated, no trailing comma."""
+    return ",".join(f"{float(v):.3f}" for row in np.asarray(ca) for v in row)
 
 
 def _aligned_string(seq: str, start: int, backtrace: str, gap_op: str) -> str:

@@ -40,6 +40,10 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
         same_db = qdb.path == tdb.path
     with Timer("prefilter"):
         pref = run_prefilter(qdb, tdb, params)
+    if params.alignment_type == 1:  # TM-align (StructureSearch.cpp:128-135)
+        from .tmalign_stage import tmalign_all
+        with Timer("tmalign"):
+            return tmalign_all(qdb, tdb, pref, params, same_db=same_db)
     with Timer("structurealign"):
         return align_all(qdb, tdb, pref, params, same_db=same_db)
 

@@ -1,0 +1,48 @@
+"""Extended output columns parity vs the reference golden
+(qlen,tlen,qcov,tcov,qaln,taln,cigar,rmsd,prob,alntmscore,qtmscore,ttmscore,lddt)."""
+import shutil
+
+import pytest
+
+EXT_FMT = ("query,target,fident,alnlen,mismatch,gapopen,qstart,qend,tstart,"
+           "tend,evalue,bits,qlen,tlen,qcov,tcov,qaln,taln,cigar,rmsd,prob,"
+           "alntmscore,qtmscore,ttmscore,lddt")
+
+
+@pytest.fixture(scope="module")
+def scop_dir(example_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("scop_ext")
+    for f in example_dir.iterdir():
+        if "tim" not in f.name:
+            shutil.copy(f, d / f.name)
+    return d
+
+
+def test_ext_columns_golden(scop_dir, golden_dir, tmp_path):
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import easy_search
+    params = SearchParams(format_output=EXT_FMT)
+    lines = easy_search(str(scop_dir), str(scop_dir),
+                        str(tmp_path / "ext.m8"), str(tmp_path / "tmp"), params)
+    golden = [l.rstrip("\n") for l in open(golden_dir / "scop_ava_ext.m8")]
+    assert len(lines) == len(golden)
+    mine = {tuple(l.split("\t")[:2]): l.split("\t") for l in lines}
+    ref = {}
+    for l in golden:
+        f = l.split("\t")
+        # the golden was generated with qstart duplicated after cigar —
+        # drop the extra column (index 19) to align with EXT_FMT
+        assert f[19] == f[6], "golden column layout changed"
+        ref[(f[0], f[1])] = f[:19] + f[20:]
+    assert set(mine) == set(ref)
+    text_exact = 0
+    for k in ref:
+        a, b = mine[k], ref[k]
+        # exact-text columns: identity/counts/positions/cigar/alignments
+        if a[:10] == b[:10] and a[12:19] == b[12:19]:
+            text_exact += 1
+        # float columns within tolerance: rmsd, prob, tm scores, lddt
+        assert abs(float(a[19]) - float(b[19])) < 0.3, (k, "rmsd", a[19], b[19])
+        for idx in (20, 21, 22, 23, 24):
+            assert abs(float(a[idx]) - float(b[idx])) < 2e-2, (k, idx, a[idx], b[idx])
+    assert text_exact >= len(ref) - 3, f"{text_exact}/{len(ref)} rows text-exact"

@@ -1,0 +1,57 @@
+"""Full TM-align (alignment-type 1) golden parity on the SCOP examples."""
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def scop_dir(example_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("scop_tma")
+    for f in example_dir.iterdir():
+        if "tim" not in f.name:
+            shutil.copy(f, d / f.name)
+    return d
+
+
+def test_tmalign_pair_values(example_dir, tmp_path):
+    import numpy as np
+
+    from foldseek_tpu.db.storage import load_db
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.ops.tmalign import tmalign
+    db = create_db([str(example_dir / "d1asha_"), str(example_dir / "d1mbaa_")],
+                   str(tmp_path / "db"))
+    r = tmalign(db.get_ca(0), db.get_ca(1), db.get_aa(0), db.get_aa(1))
+    # reference easy-search --alignment-type 1: avg TM 8.464E-01, qTM 84
+    assert abs((r.tm_query + r.tm_target) / 2.0 - 0.8464) < 2e-3
+    assert int(r.tm_query * 100) == 84
+
+
+@pytest.mark.skipif("RUN_SLOW" not in __import__("os").environ,
+                    reason="~20 min on one core; run with RUN_SLOW=1")
+def test_easy_search_tmalign_scop_golden(scop_dir, golden_dir, tmp_path):
+    """easy-search --alignment-type 1 over the 26 SCOP domains vs the
+    reference golden: same hit set, TM columns within 0.01."""
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import easy_search
+    params = SearchParams(alignment_type=1)
+    lines = easy_search(str(scop_dir), str(scop_dir),
+                        str(tmp_path / "scop_tma.m8"), str(tmp_path / "tmp"),
+                        params)
+    golden = [l.rstrip("\n") for l in open(golden_dir / "scop_tmalign.m8")]
+
+    def parse(ls):
+        out = {}
+        for l in ls:
+            f = l.split("\t")
+            out[(f[0], f[1])] = (float(f[10]), int(f[11]))
+        return out
+
+    mine, ref = parse(lines), parse(golden)
+    shared = set(mine) & set(ref)
+    # hit sets match except at most a few borderline pairs
+    assert len(shared) >= len(ref) - 6, (len(shared), len(ref))
+    close = sum(1 for k in shared
+                if abs(mine[k][0] - ref[k][0]) < 0.01
+                and abs(mine[k][1] - ref[k][1]) <= 1)
+    assert close >= len(shared) * 0.97, f"{close}/{len(shared)} TM values close"
