@@ -72,13 +72,16 @@ def cmd_createdb(argv):
     p.add_argument("--chain-name-mode", type=int, default=0,
                    help="0: auto, 1: always add chain name")
     p.add_argument("--mask-bfactor-threshold", type=float, default=0.0)
+    p.add_argument("--prostt5-model", type=str, default="",
+                   help="GGUF weights: predict 3Di from FASTA input")
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
     from .ingest.createdb import create_db
     create_db(args.inputs, args.output,
               chain_name_mode="add" if args.chain_name_mode == 1 else "auto",
-              mask_bfactor_threshold=args.mask_bfactor_threshold)
+              mask_bfactor_threshold=args.mask_bfactor_threshold,
+              prostt5_model=args.prostt5_model)
     return 0
 
 

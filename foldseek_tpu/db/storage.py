@@ -106,12 +106,20 @@ class StructDBWriter:
         self._names: List[str] = []
         self._headers: List[str] = []
         self._fileids: List[int] = []
+        self._has_ca = True
 
     def add_entry(self, key: int, name: str, header: str,
                   aa_num: np.ndarray, ss_num: np.ndarray,
-                  ca: np.ndarray, mask: Optional[np.ndarray] = None,
+                  ca: Optional[np.ndarray] = None,
+                  mask: Optional[np.ndarray] = None,
                   file_id: int = 0):
+        """ca may be None for sequence-only DBs (ProstT5-predicted 3Di — the
+        reference's FASTA createdb writes no _ca DB either); structure gates
+        are disabled downstream when coordinates are absent."""
         L = len(aa_num)
+        if ca is None:
+            self._has_ca = False
+            ca = np.zeros((L, 3), dtype=np.float32)
         assert len(ss_num) == L and ca.shape == (L, 3)
         self._fileids.append(file_id)
         self._aa.append(np.asarray(aa_num, dtype=np.int8))
@@ -135,7 +143,8 @@ class StructDBWriter:
         np.save(os.path.join(self.path, "aa.npy"), aa)
         np.save(os.path.join(self.path, "ss.npy"), ss)
         np.save(os.path.join(self.path, "mask.npy"), mask)
-        np.save(os.path.join(self.path, "ca.npy"), ca)
+        if self._has_ca:
+            np.save(os.path.join(self.path, "ca.npy"), ca)
         np.save(os.path.join(self.path, "offsets.npy"), offsets)
         np.save(os.path.join(self.path, "keys.npy"), np.asarray(self._keys, dtype=np.uint32))
         np.save(os.path.join(self.path, "fileids.npy"),

@@ -47,9 +47,73 @@ def remove_two_extensions(name: str) -> str:
     return os.path.splitext(name)[0]
 
 
+def parse_fasta(path: str) -> List[tuple]:
+    """[(header, sequence)] from a FASTA file (optionally gzipped)."""
+    import gzip
+    opener = gzip.open if path.endswith(".gz") else open
+    entries = []
+    name, seq = None, []
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(">"):
+                if name is not None:
+                    entries.append((name, "".join(seq)))
+                name = line[1:]
+                seq = []
+            elif line:
+                seq.append(line)
+    if name is not None:
+        entries.append((name, "".join(seq)))
+    return entries
+
+
+def _looks_like_fasta(path: str) -> bool:
+    import gzip
+    opener = gzip.open if path.endswith(".gz") else open
+    try:
+        with opener(path, "rt") as f:
+            for line in f:
+                if line.strip():
+                    return line.startswith(">")
+    except (OSError, UnicodeDecodeError):
+        return False
+    return False
+
+
+def create_db_prostt5(inputs: List[str], out_path: str,
+                      model_file: str) -> StructDB:
+    """FASTA -> AA + ProstT5-predicted 3Di DB (no coordinates)
+    (reference: structcreatedb.cpp:697-872 ProstT5 path)."""
+    from ..nn.prostt5 import ProstT5
+    model = ProstT5(model_file=model_file)
+    entries = []
+    for file_id, path in enumerate(collect_input_files(inputs)):
+        for header, seq in parse_fasta(path):
+            name = header.split()[0] if header.split() else header
+            entries.append((name, header, seq, file_id))
+    seqs = [e[2] for e in entries]
+    logger.info("ProstT5: predicting 3Di for %d sequences", len(seqs))
+    ss_strings = model.predict(seqs)
+    order = sorted(range(len(entries)),
+                   key=lambda i: (remove_two_extensions(entries[i][0]), i))
+    writer = StructDBWriter(out_path)
+    for new_key, idx in enumerate(order):
+        name, header, seq, file_id = entries[idx]
+        writer.add_entry(new_key, name, header,
+                         encode_seq(seq.upper()), encode_seq(ss_strings[idx]),
+                         ca=None, file_id=file_id)
+    db = writer.finish()
+    logger.info("createdb(ProstT5): %d entries", db.size)
+    return db
+
+
 def create_db(inputs: List[str], out_path: str,
               chain_name_mode: str = "auto",
-              mask_bfactor_threshold: float = 0.0) -> StructDB:
+              mask_bfactor_threshold: float = 0.0,
+              prostt5_model: str = "") -> StructDB:
+    if prostt5_model:
+        return create_db_prostt5(inputs, out_path, prostt5_model)
     files = collect_input_files(inputs)
     entries = []  # (entry_name, header, aa_num, ss_num, ca, mask, file_id)
     too_short = 0

@@ -73,6 +73,58 @@ def shard_targets(tdb: StructDB, mesh: Mesh, lt_pad: Optional[int] = None,
         n_total=n, lt_pad=lt_pad)
 
 
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_model_mesh(n_devices: Optional[int] = None, tp: int = 2) -> Mesh:
+    """2-D (dp, tp) mesh for ProstT5 inference: batch over dp, attention
+    heads + FFN over tp."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    while tp > 1 and n % tp:
+        tp -= 1
+    return Mesh(np.array(devs).reshape(n // tp, tp), (DP_AXIS, TP_AXIS))
+
+
+def prostt5_shardings(mesh: Mesh, params):
+    """NamedShardings for the ProstT5 param tree: column-parallel qkv/up,
+    row-parallel o/down (Megatron layout), everything else replicated.
+    XLA inserts the psum over `tp` at the row-parallel matmuls."""
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, TP_AXIS))
+    row = NamedSharding(mesh, P(TP_AXIS, None))
+
+    out = {k: rep for k in params if k != "layers"}
+    out["layers"] = [
+        {"attn_norm": rep, "wq": col, "wk": col, "wv": col, "wo": row,
+         "ffn_norm": rep, "ffn_up": col, "ffn_down": row}
+        for _ in params["layers"]]
+    return out
+
+
+def prostt5_sharded_forward(mesh: Mesh, cfg, params, tokens, mask):
+    """jit the ProstT5 encoder over the (dp, tp) mesh: batch data-parallel,
+    params tensor-parallel per prostt5_shardings."""
+    from ..nn.prostt5 import encoder_forward
+
+    shardings = prostt5_shardings(mesh, params)
+    params = jax.tree.map(lambda x, s: jax.device_put(jnp.asarray(x), s),
+                          params, shardings,
+                          is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray)))
+    batch_shard = NamedSharding(mesh, P(DP_AXIS, None))
+    tokens = jax.device_put(jnp.asarray(tokens), batch_shard)
+    mask = jax.device_put(jnp.asarray(mask), batch_shard)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def f(params, tokens, mask):
+        return encoder_forward(params, cfg, tokens, mask)
+
+    return f(params, tokens, mask)
+
+
 def sharded_gapless_topk(st: ShardedTargets, prof: jax.Array, k: int,
                          chunk: int = 32):
     """Score one query against the full sharded DB; return global top-k.
