@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host library (native/foldseek_host.cpp).
+
+The library is compiled on first use with g++ -O3 -march=native; every entry
+point has a pure-Python fallback in ops/, so the package works without a
+compiler (at reduced host-stage speed).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .utils.log import logger
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+_SRC = os.path.join(_NATIVE_DIR, "foldseek_host.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libfoldseek_host.so")
+
+_lib = None
+_lock = threading.Lock()
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        logger.warning("native build failed (%s); using Python fallbacks", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.isfile(_SRC):
+            return None
+        if (not os.path.isfile(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            logger.warning("native load failed (%s); using Python fallbacks", e)
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.reverse_sw.argtypes = [i32p, i32p, ctypes.c_int, i8p, i8p,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, i64p]
+        lib.reverse_sw.restype = ctypes.c_int
+        lib.banded_sw_bt.argtypes = [i32p, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_char_p]
+        lib.banded_sw_bt.restype = ctypes.c_int
+        lib.tm_score_aligned.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int, dp]
+        lib.tm_score_aligned.restype = ctypes.c_int
+        _lib = lib
+        logger.info("native host library loaded (%s)", _SO)
+        return _lib
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def reverse_sw(prof_aa: np.ndarray, prof_ss: np.ndarray,
+               t_aa: np.ndarray, t_ss: np.ndarray,
+               gap_open: int, gap_extend: int, terminate: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    pa = np.ascontiguousarray(prof_aa, dtype=np.int32)
+    ps = np.ascontiguousarray(prof_ss, dtype=np.int32)
+    ta = np.ascontiguousarray(t_aa, dtype=np.int8)
+    ts = np.ascontiguousarray(t_ss, dtype=np.int8)
+    out = np.zeros(3, dtype=np.int64)
+    lib.reverse_sw(_ptr(pa, ctypes.c_int32), _ptr(ps, ctypes.c_int32),
+                   pa.shape[1], _ptr(ta, ctypes.c_int8), _ptr(ts, ctypes.c_int8),
+                   len(ta), gap_open, gap_extend, terminate,
+                   _ptr(out, ctypes.c_int64))
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def banded_sw_bt(sub: np.ndarray, score: int, gap_open: int, gap_extend: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    sub = np.ascontiguousarray(sub, dtype=np.int32)
+    qL, tL = sub.shape
+    buf = ctypes.create_string_buffer(qL + tL + 2)
+    n = lib.banded_sw_bt(_ptr(sub, ctypes.c_int32), qL, tL, score,
+                         gap_open, gap_extend, buf)
+    if n < 0:
+        raise RuntimeError("banded traceback failed")
+    return buf.raw[:n].decode("ascii")
+
+
+def tm_score_aligned(x: np.ndarray, y: np.ndarray, norm_len: int):
+    """x = matched target coords [n,3], y = matched query coords [n,3].
+    Returns (tm, rmsd, u [3,3], t [3]) or None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    out = np.zeros(14, dtype=np.float64)
+    rc = lib.tm_score_aligned(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                              len(x), norm_len, _ptr(out, ctypes.c_double))
+    if rc != 0:
+        return None
+    return (float(out[0]), float(out[1]),
+            out[2:11].reshape(3, 3).copy(), out[11:14].copy())

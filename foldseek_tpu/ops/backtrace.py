@@ -184,8 +184,42 @@ def recover_alignment(prof, t_aa: np.ndarray, t_ss: np.ndarray,
     """Full start + cigar recovery for one hit from the forward QueryProfile.
     The reverse profile for start recovery is the *flipped* forward profile
     (sequence and bias reverse-copied, StructureSmithWaterman.cpp:1703-1706),
-    not the recomputed-bias reverse profile used for score correction."""
+    not the recomputed-bias reverse profile used for score correction.
+
+    Runs through the native host library when available (native.py; same
+    semantics, ~50x faster per hit), falling back to the numpy paths."""
+    from .. import native
     fprof = prof.flipped()
+    lib = native.get_lib()
+    if lib is not None:
+        offset = prof.L - q_end - 1
+        res = native.reverse_sw(
+            np.ascontiguousarray(fprof.prof_aa[:, offset: offset + q_end + 1]),
+            np.ascontiguousarray(fprof.prof_ss[:, offset: offset + q_end + 1]),
+            t_aa[: t_end + 1], t_ss[: t_end + 1],
+            prof.gap_open, prof.gap_extend, score)
+        best, read, ref = res
+        if best != score:
+            raise RuntimeError(f"forward/backward SW scores differ: {best} != {score}")
+        q_start, t_start = q_end - read, ref
+        sub = (prof.prof_aa[:, q_start:q_end + 1][t_aa[t_start:t_end + 1]]
+               + prof.prof_ss[:, q_start:q_end + 1][t_ss[t_start:t_end + 1]]).T
+        bt = native.banded_sw_bt(sub.astype(np.int32), score,
+                                 prof.gap_open, prof.gap_extend)
+        qi, ti = q_start, t_start
+        ident = 0
+        for op in bt:
+            if op == "M":
+                ident += int(prof.q_aa[qi] == t_aa[ti])
+                qi += 1
+                ti += 1
+            elif op == "I":
+                qi += 1
+            else:
+                ti += 1
+        return Traceback(q_start=q_start, t_start=t_start, backtrace=bt,
+                         identical_aa=ident)
+
     q_start, t_start = find_start_pos(
         fprof.prof_aa, fprof.prof_ss, prof.L, t_aa, t_ss, score, q_end, t_end,
         gap_open=prof.gap_open, gap_extend=prof.gap_extend)

@@ -171,6 +171,12 @@ def compute_tm_score(q_ca: np.ndarray, t_ca: np.ndarray,
     if n_al == 0:
         return TMResult(0.0, 0.0, np.eye(3), np.zeros(3))
 
+    from .. import native
+    res = native.tm_score_aligned(xtm, ytm, normalization_len)
+    if res is not None:
+        tm, rmsd, u, t = res
+        return TMResult(float(tm), float(rmsd), u, t)
+
     d0_min, lnorm, score_d8, d0, d0_search = parameter_set4search(normalization_len)
 
     # standard_TMscore (TMalign.cpp:1366-1426)

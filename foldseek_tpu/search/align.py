@@ -87,6 +87,86 @@ class DeviceScorer:
         return scores, qends, tends
 
 
+class PairScorer:
+    """All-pairs batched SW scoring: every (query, candidate) pair of the
+    whole stage goes to the device in a handful of launches, bucketed by
+    power-of-2 target length. Replaces the per-query launch loop — on a
+    remote-dispatch backend the round-trips dominated the stage."""
+
+    def __init__(self, qdb: StructDB, tdb: StructDB, params: SearchParams,
+                 prefilter: Dict[int, Sequence[int]], qkey_to_idx, tkey_to_idx):
+        import jax.numpy as jnp
+
+        from ..ops.sw import sw_score_endpos_pairs
+
+        self.fwd: Dict[tuple, tuple] = {}
+        self.rev: Dict[tuple, tuple] = {}
+        pairs = []  # (qkey, tkey)
+        for qkey, cands in prefilter.items():
+            for tkey in cands:
+                pairs.append((int(qkey), int(tkey)))
+        if not pairs:
+            return
+        profs: Dict[int, QueryProfile] = {}
+        rprofs: Dict[int, QueryProfile] = {}
+        for qkey in prefilter:
+            qi = qkey_to_idx[int(qkey)]
+            prof = QueryProfile(
+                np.asarray(qdb.get_aa(qi)), np.asarray(qdb.get_ss(qi)),
+                comp_bias_correction=params.comp_bias_correction,
+                comp_bias_scale=params.comp_bias_correction_scale,
+                gap_open=params.gap_open, gap_extend=params.gap_extend)
+            profs[int(qkey)] = prof
+            rprofs[int(qkey)] = prof.reversed()
+        self.profs = profs
+        self.rprofs = rprofs
+
+        lq_pad = max(8, _next_pow2(max(p.L for p in profs.values())))
+        t_lens = {tk: tdb.entry_len(tkey_to_idx[tk]) for _, tk in pairs}
+        # bucket pairs by padded target length
+        buckets: Dict[int, list] = {}
+        for qk, tk in pairs:
+            lt_pad = max(8, _next_pow2(t_lens[tk]))
+            buckets.setdefault(lt_pad, []).append((qk, tk))
+
+        padded = {}
+        for qk, prof in profs.items():
+            padded[qk] = (prof.padded(lq_pad), rprofs[qk].padded(lq_pad))
+
+        for lt_pad, plist in buckets.items():
+            P = len(plist)
+            pa = np.empty((P, 21, lq_pad), dtype=np.int32)
+            ps = np.empty((P, 21, lq_pad), dtype=np.int32)
+            ra = np.empty((P, 21, lq_pad), dtype=np.int32)
+            rs = np.empty((P, 21, lq_pad), dtype=np.int32)
+            t_aa = np.full((P, lt_pad), 20, dtype=np.int8)
+            t_ss = np.full((P, lt_pad), 20, dtype=np.int8)
+            t_len = np.zeros(P, dtype=np.int32)
+            for i, (qk, tk) in enumerate(plist):
+                (fpa, fps), (rpa, rps) = padded[qk]
+                pa[i], ps[i], ra[i], rs[i] = fpa, fps, rpa, rps
+                ti = tkey_to_idx[tk]
+                L = t_lens[tk]
+                t_aa[i, :L] = tdb.get_aa(ti)
+                t_ss[i, :L] = tdb.get_ss(ti)
+                t_len[i] = L
+            fs, fqe, fte = sw_score_endpos_pairs(
+                jnp.asarray(pa), jnp.asarray(ps), jnp.asarray(t_aa),
+                jnp.asarray(t_ss), jnp.asarray(t_len),
+                gap_open=params.gap_open, gap_extend=params.gap_extend)
+            rsc, _, _ = sw_score_endpos_pairs(
+                jnp.asarray(ra), jnp.asarray(rs), jnp.asarray(t_aa),
+                jnp.asarray(t_ss), jnp.asarray(t_len),
+                gap_open=params.gap_open, gap_extend=params.gap_extend)
+            fs = np.asarray(fs)
+            fqe = np.asarray(fqe)
+            fte = np.asarray(fte)
+            rsc = np.asarray(rsc)
+            for i, (qk, tk) in enumerate(plist):
+                self.fwd[(qk, tk)] = (int(fs[i]), int(fqe[i]), int(fte[i]))
+                self.rev[(qk, tk)] = int(rsc[i])
+
+
 def align_all(qdb: StructDB, tdb: StructDB,
               prefilter: Dict[int, Sequence[int]],
               params: SearchParams,
@@ -97,9 +177,9 @@ def align_all(qdb: StructDB, tdb: StructDB,
     Returns query key -> sorted AlnResult list.
     """
     ev = EvalueComputer(tdb.total_residues)
-    scorer = DeviceScorer(tdb)
     tkey_to_idx = tdb.key_to_index()
     qkey_to_idx = qdb.key_to_index()
+    scorer = PairScorer(qdb, tdb, params, prefilter, qkey_to_idx, tkey_to_idx)
 
     need_tm = params.tmscore_threshold > 0 or params.sort_by_structure_bits
     need_lddt = params.lddt_threshold > 0 or params.sort_by_structure_bits
@@ -120,16 +200,13 @@ def align_all(qdb: StructDB, tdb: StructDB,
 
 def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 cand_keys: Sequence[int], params: SearchParams,
-                ev: EvalueComputer, scorer: DeviceScorer, tkey_to_idx,
+                ev: EvalueComputer, scorer: PairScorer, tkey_to_idx,
                 need_tm: bool, need_lddt: bool, same_db: bool) -> List[AlnResult]:
     q_aa = qdb.get_aa(qi)
     q_ss = qdb.get_ss(qi)
     q_len = len(q_aa)
-    prof = QueryProfile(q_aa, q_ss,
-                        comp_bias_correction=params.comp_bias_correction,
-                        comp_bias_scale=params.comp_bias_correction_scale,
-                        gap_open=params.gap_open, gap_extend=params.gap_extend)
-    rprof = prof.reversed()
+    qkey = int(qdb.keys[qi])
+    prof = scorer.profs[qkey]
     lam, mu = ev.predict_lambda_mu(q_ss)
     q_ca = qdb.get_ca(qi) if need_tm or need_lddt else None
 
@@ -137,8 +214,10 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
     if len(tids) == 0:
         return []
 
-    fwd, qend, tend = scorer.score(prof, tids)
-    rev, _, _ = scorer.score(rprof, tids)
+    fwd = np.array([scorer.fwd[(qkey, int(k))][0] for k in cand_keys])
+    qend = np.array([scorer.fwd[(qkey, int(k))][1] for k in cand_keys])
+    tend = np.array([scorer.fwd[(qkey, int(k))][2] for k in cand_keys])
+    rev = np.array([scorer.rev[(qkey, int(k))] for k in cand_keys])
     scores = fwd.astype(np.int64) - rev.astype(np.int64)
     ev_fwd = ev.evalue_corr_batch(fwd, lam, mu)
     ev_corr = ev.evalue_corr_batch(scores, lam, mu)

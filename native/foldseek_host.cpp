@@ -1,0 +1,418 @@
+// foldseek-tpu native host library.
+//
+// The TPU owns the all-pairs scoring kernels; this library owns the
+// host-side per-hit work the reference implements in C++/Rust — alignment
+// start recovery (reverse Smith-Waterman), banded traceback, and the
+// iterative TM-score search — exposed through a plain C ABI for ctypes.
+//
+// Semantics mirror the Python implementations in foldseek_tpu/ops (which in
+// turn mirror the reference: src/commons/StructureSmithWaterman.cpp
+// alignStartPosBacktrace/banded_sw, src/commons/TMaligner.cpp
+// computeAppoximateTMscore, lib/tmalign/TMalign.cpp TMscore8_search_standard).
+// Double precision throughout the TM path matches the numpy float64 math.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// reverse Smith-Waterman with early termination (start-position recovery)
+// prof_*: [21 * lq] combined int32 profiles (row = target letter)
+// returns 0 on success; out = {best_score, q_read_pos, t_ref_pos}
+int reverse_sw(const int32_t* prof_aa, const int32_t* prof_ss, int lq,
+               const int8_t* t_aa, const int8_t* t_ss, int lt,
+               int gap_open, int gap_extend, int terminate,
+               int64_t* out) {
+    std::vector<int64_t> H(lq, 0), E(lq, INT64_MIN / 4), g(lq), F(lq);
+    int64_t best = 0;
+    int best_j = 0, best_qend = lq - 1;
+    for (int j = lt - 1; j >= 0; j--) {
+        const int32_t* pa = prof_aa + (size_t)t_aa[j] * lq;
+        const int32_t* ps = prof_ss + (size_t)t_ss[j] * lq;
+        // h_noF = max(diag + s, E, 0); diag = H shifted
+        int64_t prev_diag = 0;
+        int64_t running = INT64_MIN / 4;  // prefix max of h_noF[k] + k*ge
+        int64_t col_max = 0;
+        int col_arg = 0;
+        for (int i = 0; i < lq; i++) {
+            int64_t diag = prev_diag + pa[i] + ps[i];
+            prev_diag = H[i];
+            int64_t h_noF = std::max(std::max(diag, E[i]), (int64_t)0);
+            // F from prefix of previous h_noF values
+            int64_t f = (i == 0) ? INT64_MIN / 4
+                                 : running - (int64_t)(i - 1) * gap_extend - gap_open;
+            int64_t h = std::max(h_noF, f);
+            E[i] = std::max(E[i] - gap_extend, h_noF - gap_open);
+            int64_t gv = h_noF + (int64_t)i * gap_extend;
+            if (gv > running) running = gv;
+            H[i] = h;
+            if (h > col_max) { col_max = h; col_arg = i; }
+            else if (h == col_max && col_max > 0 && false) {}
+        }
+        // first index reaching col max (argmax of H == col_max)
+        if (col_max > best) {
+            best = col_max;
+            best_j = j;
+            for (int i = 0; i < lq; i++) {
+                if (H[i] == col_max) { best_qend = i; break; }
+            }
+        }
+        if (terminate && col_max == terminate) break;
+    }
+    out[0] = best;
+    out[1] = best_qend;
+    out[2] = best_j;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// banded traceback (StructureSmithWaterman::banded_sw port)
+// sub: [qL * tL] int32 region scores; ops_out must hold qL+tL chars.
+// Returns backtrace length, or -1 on failure.
+int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
+                 int gap_open, int gap_extend, char* ops_out) {
+    int band_width = std::abs(tL - qL) + 1;
+    const int go = gap_open, ge = gap_extend;
+    std::vector<int8_t> direction;
+    int width_d = 0;
+    for (;;) {
+        int w = band_width;
+        int width = w * 2 + 3;
+        width_d = w * 2 + 1;
+        std::vector<int64_t> h_b(width, 0), e_b(width, 0), h_c(width, 0);
+        direction.assign((size_t)qL * width_d * 3, 0);
+        int64_t max_score = 0;
+
+        auto set_u = [w](int i, int j) {
+            int x = i - w;
+            if (x < 0) x = 0;
+            return j - x + 1;
+        };
+
+        for (int i = 0; i < qL; i++) {
+            int beg = std::max(0, i - w);
+            int end = std::min(tL - 1, i + w);
+            int edge = std::min(end + 1, width - 1);
+            int64_t f = 0;
+            h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0;
+            int8_t* dline = direction.data() + (size_t)i * width_d * 3;
+            const int32_t* row_sub = sub + (size_t)i * tL;
+            for (int j = beg; j <= end; j++) {
+                int u = set_u(i, j);
+                int e_coord = set_u(i - 1, j);
+                int b_coord = set_u(i, j - 1);
+                int d_coord = set_u(i - 1, j - 1);
+                int du = (j - std::max(0, i - w)) * 3;
+
+                int64_t temp1, temp2, e_val;
+                if (i == 0) { temp1 = -go; temp2 = -ge; }
+                else { temp1 = h_b[e_coord] - go; temp2 = e_b[e_coord] - ge; }
+                if (temp1 > temp2) { e_val = temp1; dline[du + 0] = 3; }
+                else { e_val = temp2; dline[du + 0] = 2; }
+
+                temp1 = h_c[b_coord] - go;
+                temp2 = f - ge;
+                if (temp1 > temp2) { f = temp1; dline[du + 1] = 5; }
+                else { f = temp2; dline[du + 1] = 4; }
+
+                int64_t e1 = e_val > 0 ? e_val : 0;
+                int64_t f1 = f > 0 ? f : 0;
+                temp1 = e1 > f1 ? e1 : f1;
+                temp2 = h_b[d_coord] + row_sub[j];
+                int64_t h = temp1 > temp2 ? temp1 : temp2;
+                if (h > max_score) max_score = h;
+                if (temp1 <= temp2) dline[du + 2] = 1;
+                else dline[du + 2] = (e1 > f1) ? dline[du + 0] : dline[du + 1];
+                e_b[u] = e_val;
+                h_c[u] = h;
+            }
+            int u = set_u(i, end);
+            for (int k = 1; k <= u; k++) h_b[k] = h_c[k];
+        }
+        if (max_score >= score) break;
+        band_width *= 2;
+        if (band_width > 2 * (qL + tL)) return -1;
+    }
+
+    int i = qL - 1, j = tL - 1;
+    int state = 2;
+    int n = 0;
+    while (i > 0 || j > 0) {
+        int du = (j - std::max(0, i - band_width)) * 3;
+        int8_t d = direction[(size_t)i * width_d * 3 + du +
+                             (state == 0 ? 0 : (state == 1 ? 1 : 2))];
+        switch (d) {
+            case 1: i--; j--; state = 2; ops_out[n++] = 'M'; break;
+            case 2: i--; state = 0; ops_out[n++] = 'I'; break;
+            case 3: i--; state = 2; ops_out[n++] = 'I'; break;
+            case 4: j--; state = 1; ops_out[n++] = 'D'; break;
+            case 5: j--; state = 2; ops_out[n++] = 'D'; break;
+            default: return -1;
+        }
+    }
+    ops_out[n++] = 'M';
+    std::reverse(ops_out, ops_out + n);
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// Kabsch superposition (double precision, matches numpy's svd-based path)
+
+static void jacobi_eigen3(double a[3][3], double v[3][3], double w[3]) {
+    // cyclic Jacobi for a symmetric 3x3; a is destroyed
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++) v[i][j] = (i == j) ? 1.0 : 0.0;
+    for (int sweep = 0; sweep < 64; sweep++) {
+        double off = std::fabs(a[0][1]) + std::fabs(a[0][2]) + std::fabs(a[1][2]);
+        if (off < 1e-15) break;
+        for (int p = 0; p < 2; p++) {
+            for (int q = p + 1; q < 3; q++) {
+                if (std::fabs(a[p][q]) < 1e-300) continue;
+                double theta = (a[q][q] - a[p][p]) / (2.0 * a[p][q]);
+                double t = (theta >= 0 ? 1.0 : -1.0)
+                           / (std::fabs(theta) + std::sqrt(theta * theta + 1.0));
+                double c = 1.0 / std::sqrt(t * t + 1.0);
+                double s = t * c;
+                for (int k = 0; k < 3; k++) {
+                    double akp = a[k][p], akq = a[k][q];
+                    a[k][p] = c * akp - s * akq;
+                    a[k][q] = s * akp + c * akq;
+                }
+                for (int k = 0; k < 3; k++) {
+                    double apk = a[p][k], aqk = a[q][k];
+                    a[p][k] = c * apk - s * aqk;
+                    a[q][k] = s * apk + c * aqk;
+                }
+                for (int k = 0; k < 3; k++) {
+                    double vkp = v[k][p], vkq = v[k][q];
+                    v[k][p] = c * vkp - s * vkq;
+                    v[k][q] = s * vkp + c * vkq;
+                }
+            }
+        }
+    }
+    for (int i = 0; i < 3; i++) w[i] = a[i][i];
+}
+
+static double det3(const double m[3][3]) {
+    return m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+         - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+         + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]);
+}
+
+// superpose x onto y (double precision): y ~ u x + t; returns rmsd
+static double kabsch_d(const double* x, const double* y, const int* idx, int n,
+                       double u[3][3], double t[3]) {
+    double xc[3] = {0, 0, 0}, yc[3] = {0, 0, 0};
+    for (int k = 0; k < n; k++) {
+        const double* xp = x + 3 * (idx ? idx[k] : k);
+        const double* yp = y + 3 * (idx ? idx[k] : k);
+        for (int d = 0; d < 3; d++) { xc[d] += xp[d]; yc[d] += yp[d]; }
+    }
+    for (int d = 0; d < 3; d++) { xc[d] /= n; yc[d] /= n; }
+    // covariance C = sum (x-xc)(y-yc)^T  (3x3), e0 for rmsd
+    double c[3][3] = {{0}}, e0 = 0;
+    for (int k = 0; k < n; k++) {
+        const double* xp = x + 3 * (idx ? idx[k] : k);
+        const double* yp = y + 3 * (idx ? idx[k] : k);
+        double dx[3], dy[3];
+        for (int d = 0; d < 3; d++) {
+            dx[d] = xp[d] - xc[d];
+            dy[d] = yp[d] - yc[d];
+            e0 += dx[d] * dx[d] + dy[d] * dy[d];
+        }
+        for (int a = 0; a < 3; a++)
+            for (int b = 0; b < 3; b++) c[a][b] += dx[a] * dy[b];
+    }
+    // SVD via eigen of C C^T and C^T C
+    double cct[3][3], ctc[3][3];
+    for (int a = 0; a < 3; a++)
+        for (int b = 0; b < 3; b++) {
+            cct[a][b] = ctc[a][b] = 0;
+            for (int k = 0; k < 3; k++) {
+                cct[a][b] += c[a][k] * c[b][k];
+                ctc[a][b] += c[k][a] * c[k][b];
+            }
+        }
+    double vv[3][3], ww[3], tmp[3][3];
+    std::memcpy(tmp, cct, sizeof(tmp));
+    jacobi_eigen3(tmp, vv, ww);
+    // sort eigenpairs descending
+    int order[3] = {0, 1, 2};
+    std::sort(order, order + 3, [&](int a, int b) { return ww[a] > ww[b]; });
+    double V[3][3], S[3];
+    for (int i = 0; i < 3; i++) {
+        S[i] = std::sqrt(std::max(0.0, ww[order[i]]));
+        for (int k = 0; k < 3; k++) V[k][i] = vv[k][order[i]];
+    }
+    // W columns: C^T v_i / s_i (with fallback via cross product)
+    double W[3][3];
+    for (int i = 0; i < 2; i++) {
+        double s = S[i] > 1e-12 ? S[i] : 1.0;
+        for (int k = 0; k < 3; k++) {
+            W[k][i] = (c[0][k] * V[0][i] + c[1][k] * V[1][i] + c[2][k] * V[2][i]) / s;
+        }
+        double norm = std::sqrt(W[0][i]*W[0][i] + W[1][i]*W[1][i] + W[2][i]*W[2][i]);
+        if (norm > 1e-12) for (int k = 0; k < 3; k++) W[k][i] /= norm;
+    }
+    // third column: right-handed completion, det(W) = +1
+    W[0][2] = W[1][0] * W[2][1] - W[2][0] * W[1][1];
+    W[1][2] = W[2][0] * W[0][1] - W[0][0] * W[2][1];
+    W[2][2] = W[0][0] * W[1][1] - W[1][0] * W[0][1];
+    // optimal proper rotation R = V_svd diag(1,1,s) U^T with
+    // s = sign(det C). With det(W) fixed to +1 the same rotation is
+    // W diag(1,1,e) U^T where e = det(U) makes R proper (e*sigma = s).
+    double d = det3(c) >= 0 ? 1.0 : -1.0;       // rmsd reflection sign
+    double e = det3(V) >= 0 ? 1.0 : -1.0;       // rotation handedness fix
+    for (int a = 0; a < 3; a++)
+        for (int b = 0; b < 3; b++) {
+            u[a][b] = 0;
+            for (int k = 0; k < 3; k++)
+                u[a][b] += W[a][k] * (k == 2 ? e : 1.0) * V[b][k];
+        }
+    for (int a = 0; a < 3; a++) {
+        t[a] = yc[a];
+        for (int k = 0; k < 3; k++) t[a] -= u[a][k] * xc[k];
+    }
+    double rms2 = e0 - 2.0 * (S[0] + S[1] + d * S[2]);
+    if (rms2 < 0) rms2 = 0;
+    return std::sqrt(rms2 / n);
+}
+
+// ---------------------------------------------------------------------------
+// TM-score search (tmscore8_search_standard port, double precision)
+
+struct TMSearchResult {
+    double score;
+    double u[3][3];
+    double t[3];
+};
+
+static void score_fun8(const double* xt, const double* y, int n, double d,
+                       double score_d8, double d0, double lnorm,
+                       std::vector<int>& cut, double* score) {
+    double d8sq = score_d8 * score_d8;
+    double d0sq = d0 * d0;
+    double sum = 0;
+    std::vector<double> di(n);
+    for (int k = 0; k < n; k++) {
+        double dx = xt[3 * k] - y[3 * k];
+        double dy = xt[3 * k + 1] - y[3 * k + 1];
+        double dz = xt[3 * k + 2] - y[3 * k + 2];
+        double dd = dx * dx + dy * dy + dz * dz;
+        di[k] = dd;
+        if (dd < d8sq) sum += 1.0 / (1.0 + dd / d0sq);
+    }
+    *score = sum / lnorm;
+    double d2 = d * d;
+    int inc = 0;
+    for (;;) {
+        cut.clear();
+        for (int k = 0; k < n; k++) if (di[k] < d2) cut.push_back(k);
+        if ((int)cut.size() >= 3 || n <= 3) break;
+        inc++;
+        double dinc = d + inc * 0.5;
+        d2 = dinc * dinc;
+    }
+}
+
+static void rotate_all(const double* x, int n, const double u[3][3],
+                       const double t[3], double* xt) {
+    for (int k = 0; k < n; k++) {
+        const double* p = x + 3 * k;
+        for (int a = 0; a < 3; a++)
+            xt[3 * k + a] = u[a][0] * p[0] + u[a][1] * p[1] + u[a][2] * p[2] + t[a];
+    }
+}
+
+static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
+                            int simplify_step, double local_d0_search,
+                            double score_d8, double d0, double lnorm,
+                            int n_it, TMSearchResult* res) {
+    int l_ini_min = std::min(4, l_ali);
+    std::vector<int> l_ini;
+    for (int i = 0; i < 5; i++) {
+        int lf = (int)(l_ali / std::pow(2.0, i));
+        if (lf <= l_ini_min) { l_ini.push_back(l_ini_min); break; }
+        l_ini.push_back(lf);
+    }
+    if ((int)l_ini.size() == 5 && l_ini.back() > l_ini_min) l_ini.push_back(l_ini_min);
+
+    res->score = -1.0;
+    std::vector<double> xt(3 * l_ali);
+    std::vector<int> cut, prev_cut, frag(l_ali);
+    double u[3][3], t[3];
+
+    for (int lf : l_ini) {
+        int il_max = l_ali - lf;
+        int i = 0;
+        for (;;) {
+            for (int k = 0; k < lf; k++) frag[k] = i + k;
+            kabsch_d(xtm, ytm, frag.data(), lf, u, t);
+            rotate_all(xtm, l_ali, u, t, xt.data());
+            double d = local_d0_search - 1.0;
+            double sc;
+            score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc);
+            if (sc > res->score) {
+                res->score = sc;
+                std::memcpy(res->u, u, sizeof(u));
+                std::memcpy(res->t, t, sizeof(t));
+            }
+            d = local_d0_search + 1.0;
+            for (int it = 0; it < n_it; it++) {
+                prev_cut = cut;
+                kabsch_d(xtm, ytm, cut.data(), (int)cut.size(), u, t);
+                rotate_all(xtm, l_ali, u, t, xt.data());
+                score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc);
+                if (sc > res->score) {
+                    res->score = sc;
+                    std::memcpy(res->u, u, sizeof(u));
+                    std::memcpy(res->t, t, sizeof(t));
+                }
+                if (cut == prev_cut) break;
+            }
+            if (i < il_max) i = std::min(i + simplify_step, il_max);
+            else break;
+        }
+    }
+}
+
+// compute_tm_score: approximate TM of a fixed alignment
+// x = target matched coords [n*3], y = query matched [n*3] (pre-gathered)
+// out: [tm, rmsd, u(9), t(3)] = 14 doubles
+int tm_score_aligned(const double* x, const double* y, int n, int norm_len,
+                     double* out) {
+    if (n == 0) return -1;
+    // parameter_set4search(norm, norm)
+    double lnorm = norm_len;
+    double d0 = (lnorm <= 19) ? 0.168 : 1.24 * std::cbrt(lnorm - 15.0) - 1.8;
+    d0 += 0.8;  // d0_min = d0 + 0.8; d0 = d0_min
+    double d0_search = std::min(8.0, std::max(4.5, d0));
+    double score_d8 = 1.5 * std::pow(lnorm, 0.3) + 3.5;
+
+    // standard_TMscore: d0_std
+    double d0_std = (lnorm > 21) ? 1.24 * std::cbrt(lnorm - 15.0) - 1.8 : 0.5;
+    if (d0_std < 0.5) d0_std = 0.5;
+
+    double u0[3][3], t0[3];
+    double rmsd0 = kabsch_d(x, y, nullptr, n, u0, t0);
+
+    TMSearchResult r1, r2;
+    // first pass normalizes by l_ali inside, then rescales by n/lnorm
+    tmscore8_search(x, y, n, 40, d0_std, score_d8, d0_std, n, 20, &r1);
+    double tm1 = r1.score * n / lnorm;
+    tmscore8_search(x, y, n, 40, d0_search, score_d8, d0, n, 20, &r2);
+    double tm2 = r2.score * n / lnorm;
+
+    out[0] = std::max(tm1, tm2);
+    out[1] = rmsd0;
+    std::memcpy(out + 2, r2.u, 9 * sizeof(double));
+    std::memcpy(out + 11, r2.t, 3 * sizeof(double));
+    return 0;
+}
+
+}  // extern "C"
