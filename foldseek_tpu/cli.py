@@ -326,6 +326,31 @@ def cmd_easy_multimersearch(argv):
     return 0
 
 
+def cmd_easy_multimercluster(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu easy-multimercluster")
+    p.add_argument("input")
+    p.add_argument("output_prefix")
+    p.add_argument("tmp_dir")
+    p.add_argument("--multimer-tm-threshold", type=float, default=0.7)
+    p.add_argument("--chain-tm-threshold", type=float, default=0.7)
+    p.add_argument("--interface-lddt-threshold", type=float, default=0.3)
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .multimer.cluster import easy_multimer_cluster
+    from .multimer.filter import MultimerFilterParams
+    fp = MultimerFilterParams(
+        mult_tm_thr=args.multimer_tm_threshold,
+        chain_tm_thr=args.chain_tm_threshold,
+        interface_lddt_thr=args.interface_lddt_threshold,
+        cov_thr=args.cov_thr, cov_mode=args.cov_mode)
+    if fp.mult_tm_thr + fp.chain_tm_thr + fp.interface_lddt_thr == 0:
+        fp.mult_tm_thr = 0.0001  # mustsetMultimerCluster (MultimerCluster.cpp:19-21)
+    easy_multimer_cluster(args.input, args.output_prefix, args.tmp_dir,
+                          params_from_args(args), fp)
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -344,6 +369,7 @@ COMMANDS = {
     "structureto3didescriptor": (cmd_structureto3didescriptor, "Dump AA + 3Di strings per chain"),
     "easy-multimersearch": (cmd_easy_multimersearch, "Complex-vs-complex search from files"),
     "easy-complexsearch": (cmd_easy_multimersearch, "Alias of easy-multimersearch"),
+    "easy-multimercluster": (cmd_easy_multimercluster, "Cluster complexes from files"),
     "version": (cmd_version, "Show version"),
 }
 

@@ -48,6 +48,8 @@ class StructDB:
     # column (structcreatedb.cpp lookup stream); chains of one structure
     # file share an id, which is what groups complexes for multimer search
     fileids: Optional[np.ndarray] = None  # uint32 [n]
+    # source file names by file id (the reference's .source file)
+    sources: Optional[List[str]] = None
 
     @property
     def size(self) -> int:
@@ -107,6 +109,7 @@ class StructDBWriter:
         self._headers: List[str] = []
         self._fileids: List[int] = []
         self._has_ca = True
+        self.sources: List[str] = []
 
     def add_entry(self, key: int, name: str, header: str,
                   aa_num: np.ndarray, ss_num: np.ndarray,
@@ -151,6 +154,8 @@ class StructDBWriter:
                 np.asarray(self._fileids, dtype=np.uint32))
         with open(os.path.join(self.path, "names.txt"), "w") as f:
             f.write("\n".join(self._names) + ("\n" if n else ""))
+        with open(os.path.join(self.path, "sources.txt"), "w") as f:
+            f.write("\n".join(self.sources) + ("\n" if self.sources else ""))
         with open(os.path.join(self.path, "headers.txt"), "w") as f:
             f.write("\n".join(self._headers) + ("\n" if n else ""))
         with open(os.path.join(self.path, "manifest.json"), "w") as f:
@@ -175,6 +180,11 @@ def load_db(path: str, mmap: bool = True) -> StructDB:
 
     with open(os.path.join(path, "names.txt")) as f:
         names = f.read().splitlines()
+    src_path = os.path.join(path, "sources.txt")
+    sources = None
+    if os.path.exists(src_path):
+        with open(src_path) as f:
+            sources = f.read().splitlines()
     with open(os.path.join(path, "headers.txt")) as f:
         headers = f.read().splitlines()
     ca_path = os.path.join(path, "ca.npy")
@@ -188,4 +198,5 @@ def load_db(path: str, mmap: bool = True) -> StructDB:
         names=names, headers=headers,
         fileids=(np.load(fid_path, mmap_mode=mode) if os.path.exists(fid_path)
                  else np.zeros(len(keys), dtype=np.uint32)),
+        sources=sources,
     )

@@ -164,6 +164,7 @@ def create_db(inputs: List[str], out_path: str,
     order = sorted(range(len(entries)),
                    key=lambda i: (remove_two_extensions(entries[i][0]), i))
     writer = StructDBWriter(out_path)
+    writer.sources = [remove_two_extensions(os.path.basename(p)) for p in files]
     for new_key, idx in enumerate(order):
         name, header, aa_num, ss_num, ca, mask, file_id = entries[idx]
         writer.add_entry(new_key, name, header, aa_num, ss_num, ca, mask,

@@ -327,9 +327,12 @@ def build_chain_aln(q_key: int, t_key: int, res: AlnResult,
 def score_multimer(qdb: StructDB, tdb: StructDB,
                    alignments: Dict[int, List[AlnResult]],
                    min_assigned_chains_ratio: float = 0.0,
-                   monomer_include_mode: int = 0) -> Dict[int, List[str]]:
+                   monomer_include_mode: int = 0,
+                   filter_params=None) -> Dict[int, List[str]]:
     """Returns scorecomplex result lines per query chain key:
-    '<alnLine>\\t<qTm>\\t<tTm>\\t<u>\\t<t>\\t<assId>'."""
+    '<alnLine>\\t<qTm>\\t<tTm>\\t<u>\\t<t>[\\t<filterCols>]\\t<assId>'.
+    With active filter_params (multimercluster), per target complex only the
+    best surviving assignment is emitted (scoremultimer.cpp:1290-1310)."""
     q_c2c, q_complex_chains, q_complex_order = complex_maps(qdb)
     t_c2c, t_complex_chains, t_complex_order = complex_maps(tdb)
     q_key_to_idx = qdb.key_to_index()
@@ -391,8 +394,23 @@ def score_multimer(qdb: StructDB, tdb: StructDB,
         assignments.sort(key=lambda a: (-a.q_tm, -a.t_tm))
         for aid, a in enumerate(assignments):
             a.assignment_id = aid
-        for qk in q_chains:
+        if filter_params is not None and filter_params.active:
+            from .filter import compute_interface_regions, filter_assignment
+            interface = compute_interface_regions(qdb, q_chains, q_key_to_idx)
+            best: Dict[int, Tuple[Assignment, int]] = {}
             for a in assignments:
+                res = filter_assignment(a, q_chains, interface,
+                                        t_c2c, t_complex_chains, filter_params)
+                if res is None:
+                    continue
+                t_cid, adjust = res
+                if t_cid not in best or adjust > best[t_cid][1]:
+                    best[t_cid] = (a, adjust)
+            kept = [best[c][0] for c in sorted(best)]  # std::map order
+        else:
+            kept = assignments
+        for qk in q_chains:
+            for a in kept:
                 for chain_key, line in a.chain_results:
                     if chain_key != qk:
                         continue

@@ -25,7 +25,8 @@ EVALUE_THR_EXPAND_MULTIMER = 10000.0  # LocalParameters.cpp:355
 
 
 def multimer_search(qdb: StructDB, tdb: StructDB,
-                    params: SearchParams) -> Dict[int, List[str]]:
+                    params: SearchParams,
+                    filter_params=None) -> Dict[int, List[str]]:
     """Full multimer pipeline; returns scorecomplex result lines per query
     chain key."""
     same_db = qdb.path == tdb.path
@@ -49,7 +50,7 @@ def multimer_search(qdb: StructDB, tdb: StructDB,
         with Timer("structurealign(expand)"):
             alns = align_all(qdb, tdb, expanded, apar, same_db=same_db)
     with Timer("scoremultimer"):
-        return score_multimer(qdb, tdb, alns)
+        return score_multimer(qdb, tdb, alns, filter_params=filter_params)
 
 
 def easy_multimer_search(query_input: str, target_input: str,
