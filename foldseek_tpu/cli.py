@@ -351,6 +351,35 @@ def cmd_easy_multimercluster(argv):
     return 0
 
 
+def cmd_createindex(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu createindex")
+    p.add_argument("db")
+    p.add_argument("tmp_dir", nargs="?")
+    p.add_argument("-k", "--kmer-size", type=int, default=0)
+    p.add_argument("-s", "--sensitivity", type=float, default=9.5)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.index import create_index
+    from .db.storage import load_db
+    create_index(load_db(args.db), k=args.kmer_size,
+                 sensitivity=args.sensitivity)
+    return 0
+
+
+def cmd_indexserver(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu indexserver")
+    p.add_argument("db")
+    p.add_argument("socket")
+    p.add_argument("--max-seqs", type=int, default=1000)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .server import serve
+    serve(args.db, args.socket, args.max_seqs)
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -370,6 +399,10 @@ COMMANDS = {
     "easy-multimersearch": (cmd_easy_multimersearch, "Complex-vs-complex search from files"),
     "easy-complexsearch": (cmd_easy_multimersearch, "Alias of easy-multimersearch"),
     "easy-multimercluster": (cmd_easy_multimercluster, "Cluster complexes from files"),
+    "createindex": (cmd_createindex, "Precompute the device panel + k-mer index"),
+    "makepaddeddb": (cmd_createindex, "Alias of createindex (padded device layout)"),
+    "indexserver": (cmd_indexserver, "Serve a resident target index over a unix socket"),
+    "gpuserver": (cmd_indexserver, "Alias of indexserver"),
     "version": (cmd_version, "Show version"),
 }
 

@@ -113,6 +113,18 @@ class KmerPrefilter:
         self._build_index()
 
     def _build_index(self):
+        from ..db.index import load_index
+        idx = load_index(self.tdb)
+        if (idx is not None
+                and idx["manifest"].get("k") == self.k
+                and idx["manifest"].get("kmer_thr") == self.kmer_thr):
+            self.postings = idx["postings"]
+            masked = np.asarray(idx["masked_ss"])
+            offs = self.tdb.offsets
+            self.masked_seqs = [masked[offs[i]:offs[i + 1]]
+                                for i in range(self.tdb.size)]
+            logger.info("kmer prefilter: using precomputed posting index")
+            return
         k, span = self.k, self.span
         pows = 20 ** np.arange(k, dtype=np.int64)
         diag8 = np.diag(self.mat8)

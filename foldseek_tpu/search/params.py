@@ -56,6 +56,9 @@ class SearchParams:
     format_mode: int = 0
 
     threads: int = 1
+    # unix socket of a running index server (gpuserver analogue); when set,
+    # the prefilter stage queries the resident device panels there
+    index_server: str = ""
 
 
 def has_coverage(cov_thr: float, cov_mode: int, q_cov: float, t_cov: float) -> bool:

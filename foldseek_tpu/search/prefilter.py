@@ -29,6 +29,9 @@ def run_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams) -> Dict[in
     mode = params.prefilter_mode
     if params.exhaustive_search:
         mode = PREF_MODE_EXHAUSTIVE
+    if params.index_server:
+        from ..server import server_prefilter
+        return server_prefilter(qdb, params.index_server, params.max_seqs)
     if mode == PREF_MODE_EXHAUSTIVE:
         return exhaustive_prefilter(qdb, tdb)
     if mode == PREF_MODE_UNGAPPED:

@@ -37,12 +37,19 @@ class UngappedPrefilter:
         import jax.numpy as jnp
         self.tdb = tdb
         self.m3 = mat3di(2.0, 0.0)
-        lens = tdb.lengths()
-        n = tdb.size
-        max_len = int(lens.max()) if n else 1
-        lt_pad = -(-max_len // lt_pad_multiple) * lt_pad_multiple
-        seqs = [tdb.get_ss(i) for i in range(n)]
-        t_T = prepare_targets_T(seqs, lens, lt_pad=lt_pad)
+        from ..db.index import load_index
+        idx = load_index(tdb)
+        if idx is not None:
+            t_T = idx["panel_ss_T"]
+            logger.info("ungapped prefilter: using precomputed index panel %s",
+                        t_T.shape)
+        else:
+            lens = tdb.lengths()
+            n = tdb.size
+            max_len = int(lens.max()) if n else 1
+            lt_pad = -(-max_len // lt_pad_multiple) * lt_pad_multiple
+            seqs = [tdb.get_ss(i) for i in range(n)]
+            t_T = prepare_targets_T(seqs, lens, lt_pad=lt_pad)
         self.t_T = jnp.asarray(t_T)
         self.n_pad = t_T.shape[1]
         self.keys = np.asarray(tdb.keys, dtype=np.int64)
