@@ -40,6 +40,8 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("-a", dest="add_backtrace", action="store_true")
     p.add_argument("--max-accept", type=int, default=2**31 - 1)
     p.add_argument("--max-rejected", type=int, default=2**31 - 1)
+    p.add_argument("--num-iterations", type=int, default=1)
+    p.add_argument("--index-server", type=str, default="")
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("-v", "--verbosity", type=int, default=3)
 
@@ -61,6 +63,7 @@ def params_from_args(args) -> SearchParams:
         format_output=args.format_output, format_mode=args.format_mode,
         add_backtrace=args.add_backtrace,
         max_accept=args.max_accept, max_rejected=args.max_rejected,
+        num_iterations=args.num_iterations, index_server=args.index_server,
         threads=args.threads,
     )
 

@@ -94,7 +94,8 @@ class PairScorer:
     remote-dispatch backend the round-trips dominated the stage."""
 
     def __init__(self, qdb: StructDB, tdb: StructDB, params: SearchParams,
-                 prefilter: Dict[int, Sequence[int]], qkey_to_idx, tkey_to_idx):
+                 prefilter: Dict[int, Sequence[int]], qkey_to_idx, tkey_to_idx,
+                 query_profiles: Dict[int, object] = None):
         import jax.numpy as jnp
 
         from ..ops.sw import sw_score_endpos_pairs
@@ -110,12 +111,15 @@ class PairScorer:
         profs: Dict[int, QueryProfile] = {}
         rprofs: Dict[int, QueryProfile] = {}
         for qkey in prefilter:
-            qi = qkey_to_idx[int(qkey)]
-            prof = QueryProfile(
-                np.asarray(qdb.get_aa(qi)), np.asarray(qdb.get_ss(qi)),
-                comp_bias_correction=params.comp_bias_correction,
-                comp_bias_scale=params.comp_bias_correction_scale,
-                gap_open=params.gap_open, gap_extend=params.gap_extend)
+            if query_profiles is not None:
+                prof = query_profiles[int(qkey)]
+            else:
+                qi = qkey_to_idx[int(qkey)]
+                prof = QueryProfile(
+                    np.asarray(qdb.get_aa(qi)), np.asarray(qdb.get_ss(qi)),
+                    comp_bias_correction=params.comp_bias_correction,
+                    comp_bias_scale=params.comp_bias_correction_scale,
+                    gap_open=params.gap_open, gap_extend=params.gap_extend)
             profs[int(qkey)] = prof
             rprofs[int(qkey)] = prof.reversed()
         self.profs = profs
@@ -170,16 +174,19 @@ class PairScorer:
 def align_all(qdb: StructDB, tdb: StructDB,
               prefilter: Dict[int, Sequence[int]],
               params: SearchParams,
-              same_db: bool = False) -> Dict[int, List[AlnResult]]:
+              same_db: bool = False,
+              query_profiles: Dict[int, object] = None) -> Dict[int, List[AlnResult]]:
     """Run the alignment stage for every query.
 
     prefilter: query key -> ordered candidate target keys.
+    query_profiles: optional prebuilt PSSM profiles (iterative search).
     Returns query key -> sorted AlnResult list.
     """
     ev = EvalueComputer(tdb.total_residues)
     tkey_to_idx = tdb.key_to_index()
     qkey_to_idx = qdb.key_to_index()
-    scorer = PairScorer(qdb, tdb, params, prefilter, qkey_to_idx, tkey_to_idx)
+    scorer = PairScorer(qdb, tdb, params, prefilter, qkey_to_idx, tkey_to_idx,
+                        query_profiles=query_profiles)
 
     need_tm = params.tmscore_threshold > 0 or params.sort_by_structure_bits
     need_lddt = params.lddt_threshold > 0 or params.sort_by_structure_bits

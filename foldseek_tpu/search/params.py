@@ -43,6 +43,9 @@ class SearchParams:
     lddt_threshold: float = 0.0
     exact_tmscore: bool = False
 
+    # iterative profile search (--num-iterations)
+    num_iterations: int = 1
+
     # prefilter
     prefilter_mode: int = PREF_MODE_KMER
     exhaustive_search: bool = False

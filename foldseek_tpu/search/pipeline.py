@@ -48,6 +48,36 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
         return align_all(qdb, tdb, pref, params, same_db=same_db)
 
 
+def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
+                     num_iterations: int,
+                     same_db: Optional[bool] = None) -> Dict[int, List[AlnResult]]:
+    """Profile-boosted iterative search (the reference's --num-iterations
+    path, StructureSearch.cpp:158-208): plain search, then re-search with
+    AA+3Di PSSMs built from the previous round's alignments."""
+    from .align import align_all
+    from .profile import profile_query, result2profile
+    if same_db is None:
+        same_db = qdb.path == tdb.path
+    results = search(qdb, tdb, params, same_db=same_db)
+    for it in range(1, num_iterations):
+        with Timer(f"result2profile(iter {it})"):
+            profiles = result2profile(qdb, tdb, results)
+            qprofiles = {k: profile_query(p, params.gap_open, params.gap_extend)
+                         for k, p in profiles.items()}
+        # profile prefilter: gapless scan with the 3Di PSSM on device
+        from .ungapped import UngappedPrefilter
+        with Timer(f"profile prefilter(iter {it})"):
+            upref = UngappedPrefilter(tdb)
+            pref = {}
+            for qkey, qp in qprofiles.items():
+                hits = upref.query_profile(qp.prof_ss, params)
+                pref[qkey] = [k for k, _ in hits]
+        with Timer(f"structurealign(iter {it})"):
+            results = align_all(qdb, tdb, pref, params, same_db=same_db,
+                                query_profiles=qprofiles)
+    return results
+
+
 def easy_search(query_input: str, target_input: str, out_path: str,
                 tmp_dir: str, params: SearchParams) -> List[str]:
     os.makedirs(tmp_dir, exist_ok=True)
@@ -55,7 +85,11 @@ def easy_search(query_input: str, target_input: str, out_path: str,
     same_input = os.path.abspath(query_input) == os.path.abspath(target_input)
     tdb = qdb if same_input else ensure_db(target_input, tmp_dir, "target")
     params.add_backtrace = params.add_backtrace or needs_backtrace(params.format_output)
-    results = search(qdb, tdb, params, same_db=same_input)
+    if params.num_iterations > 1:
+        results = iterative_search(qdb, tdb, params, params.num_iterations,
+                                   same_db=same_input)
+    else:
+        results = search(qdb, tdb, params, same_db=same_input)
     lines = format_results(qdb, tdb, results, params.format_output,
                            with_backtrace=params.add_backtrace)
     with open(out_path, "w") as f:

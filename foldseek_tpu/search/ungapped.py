@@ -57,7 +57,6 @@ class UngappedPrefilter:
     def query(self, q_ss: np.ndarray, params: SearchParams,
               comp_bias: bool = True) -> List[tuple]:
         """Returns [(target_key, score)] gated + sorted by reference rules."""
-        import jax.numpy as jnp
         L = len(q_ss)
         prof = self.m3.scores[:, q_ss].astype(np.float32)  # [21, L]
         byte_bias = abs(int(self.m3.scores.min()))
@@ -66,6 +65,19 @@ class UngappedPrefilter:
                                   PREFILTER_BIAS_SCALE)
             prof = prof + bias[None, :].astype(np.float32)
             byte_bias += abs(min(int(bias.min()), 0))
+        return self._run(prof, byte_bias, params)
+
+    def query_profile(self, prof_ss: np.ndarray, params: SearchParams) -> List[tuple]:
+        """Prefilter with a prebuilt [21, L] 3Di profile (profile searches;
+        the reference's GPU path feeds the PSSM to Marv the same way,
+        ungappedprefilter.cpp:135-199)."""
+        prof = np.asarray(prof_ss, dtype=np.float32)
+        byte_bias = abs(min(int(prof.min()), 0))
+        return self._run(prof, byte_bias, params)
+
+    def _run(self, prof: np.ndarray, byte_bias: int,
+             params: SearchParams) -> List[tuple]:
+        import jax.numpy as jnp
         packed = pack_profile(prof)
         # byte-saturation cap as in the reference's uint8 kernel
         cap = jnp.float32(BYTE_CAP - byte_bias)
