@@ -383,6 +383,117 @@ def cmd_indexserver(argv):
     return 0
 
 
+def cmd_compressca(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu compressca")
+    p.add_argument("db")
+    p.add_argument("output", nargs="?", help="default: <db>/ca16.bin")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import os
+
+    import numpy as np
+
+    from .db.coords16 import encode_ca
+    from .db.storage import load_db
+    db = load_db(args.db)
+    out = args.output or os.path.join(args.db, "ca16.bin")
+    offsets = [0]
+    with open(out, "wb") as f:
+        for i in range(db.size):
+            payload, _ = encode_ca(np.asarray(db.get_ca(i)))
+            f.write(payload)
+            offsets.append(offsets[-1] + len(payload))
+    np.save(out + ".offsets.npy", np.asarray(offsets, dtype=np.int64))
+    raw = db.total_residues * 12
+    logger.info("compressca: %d -> %d bytes (%.1fx)", raw, offsets[-1],
+                raw / max(offsets[-1], 1))
+    return 0
+
+
+def cmd_createsubdb(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu createsubdb")
+    p.add_argument("id_list", help="file with one key or entry name per line")
+    p.add_argument("db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import numpy as np
+
+    from .db.storage import StructDBWriter, load_db
+    db = load_db(args.db)
+    wanted = set()
+    for line in open(args.id_list):
+        line = line.strip()
+        if line:
+            wanted.add(line)
+    writer = StructDBWriter(args.output_db)
+    writer.sources = db.sources or []
+    kept = 0
+    for i in range(db.size):
+        if str(int(db.keys[i])) in wanted or db.names[i] in wanted:
+            writer.add_entry(int(db.keys[i]), db.names[i], db.headers[i],
+                             np.asarray(db.get_aa(i)), np.asarray(db.get_ss(i)),
+                             np.asarray(db.get_ca(i)) if db.ca is not None else None,
+                             db.mask[db.offsets[i]:db.offsets[i + 1]],
+                             file_id=int(db.fileids[i]) if db.fileids is not None else 0)
+            kept += 1
+    writer.finish()
+    logger.info("createsubdb: kept %d/%d entries", kept, db.size)
+    return 0
+
+
+DATABASES = {
+    # name: (description, URL) — the reference's 13 predownloadable DBs
+    # (src/FoldseekBase.cpp:446-551, data/structdatabases.sh)
+    "Alphafold/UniProt": ("AlphaFold UniProt", "https://foldseek.steineggerlab.workers.dev/afdb"),
+    "Alphafold/UniProt50": ("AlphaFold UniProt 50% clustered", "https://foldseek.steineggerlab.workers.dev/afdb50"),
+    "Alphafold/Proteome": ("AlphaFold Proteomes", "https://foldseek.steineggerlab.workers.dev/afdb_proteome"),
+    "Alphafold/Swiss-Prot": ("AlphaFold Swiss-Prot", "https://foldseek.steineggerlab.workers.dev/afdb_swissprot"),
+    "ESMAtlas30": ("ESM Metagenomic Atlas 30% clustered", "https://foldseek.steineggerlab.workers.dev/highquality_clust30"),
+    "PDB": ("RCSB PDB", "https://foldseek.steineggerlab.workers.dev/pdb100"),
+    "CATH50": ("CATH 50% clustered", "https://foldseek.steineggerlab.workers.dev/cath50"),
+    "BFMD": ("Big Fantastic Multimer Database", "https://foldseek.steineggerlab.workers.dev/bfmd"),
+    "BFVD": ("Big Fantastic Virus Database", "https://foldseek.steineggerlab.workers.dev/bfvd"),
+    "ProstT5": ("ProstT5 GGUF weights", "https://foldseek.steineggerlab.workers.dev/prostt5"),
+    "TED": ("TED domains", "https://foldseek.steineggerlab.workers.dev/ted"),
+}
+
+
+def cmd_databases(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu databases")
+    p.add_argument("name", nargs="?")
+    p.add_argument("output", nargs="?")
+    p.add_argument("tmp_dir", nargs="?")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    if not args.name:
+        print("Available databases:")
+        for name, (desc, _) in DATABASES.items():
+            print(f"  {name:26s} {desc}")
+        return 0
+    if args.name not in DATABASES:
+        logger.error("unknown database %s", args.name)
+        return 1
+    if not args.output:
+        logger.error("usage: databases <name> <output> <tmp>")
+        return 1
+    desc, url = DATABASES[args.name]
+    import urllib.error
+    import urllib.request
+    try:
+        logger.info("downloading %s from %s", args.name, url)
+        urllib.request.urlretrieve(url, args.output + ".tar.gz")
+    except (urllib.error.URLError, OSError) as e:
+        logger.error("download failed (%s). This environment has no "
+                     "network egress; download the archive elsewhere, then "
+                     "run `createdb` on the extracted structures.", e)
+        return 1
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -406,6 +517,9 @@ COMMANDS = {
     "makepaddeddb": (cmd_createindex, "Alias of createindex (padded device layout)"),
     "indexserver": (cmd_indexserver, "Serve a resident target index over a unix socket"),
     "gpuserver": (cmd_indexserver, "Alias of indexserver"),
+    "compressca": (cmd_compressca, "Re-encode C-alpha coords as int16 diffs (6 B/residue)"),
+    "createsubdb": (cmd_createsubdb, "Subset a structure DB by key/name list"),
+    "databases": (cmd_databases, "List/download prebuilt structure databases"),
     "version": (cmd_version, "Show version"),
 }
 

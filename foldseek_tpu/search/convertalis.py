@@ -221,6 +221,185 @@ def _aligned_string(seq: str, start: int, backtrace: str, gap_op: str) -> str:
     return "".join(out)
 
 
+FORMAT_BLAST_TAB = 0
+FORMAT_SAM = 1
+FORMAT_BLAST_TAB_WITH_HEADERS = 2
+FORMAT_HTML = 3
+FORMAT_PDB_SUPERPOSED = 5
+
+
+def write_output(qdb: StructDB, tdb: StructDB,
+                 results: Dict[int, List[AlnResult]], out_path: str,
+                 fmt: str = DEFAULT_COLUMNS, format_mode: int = FORMAT_BLAST_TAB,
+                 with_backtrace: bool = False) -> None:
+    """Render results in the requested output format
+    (reference: structureconvertalis.cpp format switch; modes per
+    Parameters::FORMAT_ALIGNMENT_* + LocalParameters PDB_SUPERPOSED=5)."""
+    if format_mode == FORMAT_SAM:
+        _write_sam(qdb, tdb, results, out_path)
+    elif format_mode == FORMAT_HTML:
+        _write_html(qdb, tdb, results, out_path, with_backtrace)
+    elif format_mode == FORMAT_PDB_SUPERPOSED:
+        _write_superposed_pdb(qdb, tdb, results, out_path)
+    else:
+        lines = format_results(qdb, tdb, results, fmt, with_backtrace)
+        with open(out_path, "w") as f:
+            if format_mode == FORMAT_BLAST_TAB_WITH_HEADERS:
+                f.write("#" + fmt.replace(",", "\t") + "\n")
+            for line in lines:
+                f.write(line + "\n")
+
+
+def _names(db: StructDB, i: int) -> str:
+    return db.headers[i].split()[0] if db.headers[i] else db.names[i]
+
+
+def _write_sam(qdb, tdb, results, out_path):
+    """SAM with @SQ headers per hit target (structureconvertalis.cpp:470-505,
+    :1172-1207)."""
+    import math
+    qidx = qdb.key_to_index()
+    tidx = tdb.key_to_index()
+    with open(out_path, "w") as f:
+        f.write("@HD\tVN:1.4\tSO:queryname\n")
+        written = set()
+        for qkey in sorted(results):
+            for r in results[qkey]:
+                if r.db_key not in written:
+                    written.add(r.db_key)
+                    ti = tidx[r.db_key]
+                    f.write(f"@SQ\tSN:{_names(tdb, ti)}\tLN:{tdb.entry_len(ti)}\n")
+        for qkey in sorted(results):
+            qi = qidx[int(qkey)]
+            qname = _names(qdb, qi)
+            qseq = qdb.get_aa_str(qi).upper()
+            for r in results[qkey]:
+                ti = tidx[r.db_key]
+                strand = 16 if r.q_end > r.q_start else 0
+                raw = max(int(r.score), 0)
+                mapq = min(254, int(4.343 * raw + 4.99))
+                cigar = compress_backtrace(r.backtrace) if r.backtrace else "*"
+                start = min(r.q_start, r.q_end)
+                end = max(r.q_start, r.q_end)
+                seq = qseq[start:end + 1]
+                mismatch = r.backtrace.count("M") - r.identical if r.backtrace else 0
+                f.write(f"{qname}\t{strand}\t{_names(tdb, ti)}\t{r.t_start + 1}"
+                        f"\t{mapq}\t{cigar}\t*\t0\t0\t{seq}\t*"
+                        f"\tAS:i:{raw}\tNM:i:{mismatch}\n")
+
+
+def _write_superposed_pdb(qdb, tdb, results, out_path):
+    """Per hit: '<out><query>_<target>.pdb' with the target C-alpha trace
+    superposed onto the query (structureconvertalis.cpp PDB_SUPERPOSED)."""
+    from ..ingest.convert2pdb import THREE
+    qidx = qdb.key_to_index()
+    tidx = tdb.key_to_index()
+    for qkey in sorted(results):
+        qi = qidx[int(qkey)]
+        qname = _names(qdb, qi)
+        for r in results[qkey]:
+            ti = tidx[r.db_key]
+            tname = _names(tdb, ti)
+            tmres = tm_ops.compute_tm_score(
+                qdb.get_ca(qi), tdb.get_ca(ti), r.q_start, r.t_start,
+                r.backtrace, r.t_len)
+            u = np.asarray(tmres.u, dtype=np.float64)
+            t = np.asarray(tmres.t, dtype=np.float64)
+            ca = np.asarray(tdb.get_ca(ti), dtype=np.float64) @ u.T + t
+            taa = tdb.get_aa_str(ti).upper()
+            with open(f"{out_path}{qname}_{tname}.pdb", "w") as f:
+                f.write("MODEL\n")
+                f.write(f"REMARK {qname} {tname}\n")
+                for p in range(len(ca)):
+                    aa3 = THREE.get(taa[p], "UNK")
+                    f.write(f"ATOM  {p + 1:5d}   CA {aa3} A{p + 1:4d}    "
+                            f"{ca[p][0]:8.3f}{ca[p][1]:8.3f}{ca[p][2]:8.3f}"
+                            f"{1.0:6.2f}{0.0:6.2f}\n")
+                f.write("ENDMDL\n")
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>foldseek-tpu results</title>
+<style>
+body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a2e; }}
+h1 {{ font-size: 1.3rem; }}
+table {{ border-collapse: collapse; width: 100%; font-size: 0.85rem; }}
+th, td {{ padding: 4px 8px; border-bottom: 1px solid #ddd; text-align: left; }}
+th {{ cursor: pointer; background: #f0f0f5; position: sticky; top: 0; }}
+tr:hover {{ background: #f6f6ff; }}
+.aln {{ font-family: monospace; white-space: pre; font-size: 0.75rem;
+       display: none; background: #fafafa; padding: 6px; }}
+</style></head><body>
+<h1>foldseek-tpu search results</h1>
+<p>{n_hits} hits, {n_queries} queries. Click a row to toggle the alignment.</p>
+<table id="t"><thead><tr>
+<th>query</th><th>target</th><th>fident</th><th>alnlen</th>
+<th>qstart-qend</th><th>tstart-tend</th><th>evalue</th><th>bits</th>
+</tr></thead><tbody>
+{rows}
+</tbody></table>
+<script>
+document.querySelectorAll("tr[data-aln]").forEach(function(tr) {{
+  tr.addEventListener("click", function() {{
+    var d = tr.nextElementSibling.firstElementChild.firstElementChild;
+    d.style.display = d.style.display === "block" ? "none" : "block";
+  }});
+}});
+document.querySelectorAll("th").forEach(function(th, i) {{
+  th.addEventListener("click", function() {{
+    var tb = th.closest("table").querySelector("tbody");
+    var rows = [];
+    var all = Array.from(tb.querySelectorAll("tr"));
+    for (var k = 0; k < all.length; k += 2) rows.push([all[k], all[k+1]]);
+    rows.sort(function(a, b) {{
+      var x = a[0].children[i].innerText, y = b[0].children[i].innerText;
+      var nx = parseFloat(x), ny = parseFloat(y);
+      return isNaN(nx) || isNaN(ny) ? x.localeCompare(y) : nx - ny;
+    }});
+    rows.forEach(function(p) {{ tb.appendChild(p[0]); tb.appendChild(p[1]); }});
+  }});
+}});
+</script></body></html>
+"""
+
+
+def _write_html(qdb, tdb, results, out_path, with_backtrace):
+    """Self-contained interactive HTML report (the reference embeds its web
+    app, structureconvertalis.cpp:505-537; this is an original viewer with
+    a sortable hit table + expandable alignments)."""
+    import html as html_mod
+    qidx = qdb.key_to_index()
+    tidx = tdb.key_to_index()
+    rows = []
+    n = 0
+    for qkey in sorted(results):
+        qi = qidx[int(qkey)]
+        qname = _names(qdb, qi)
+        for r in results[qkey]:
+            ti = tidx[r.db_key]
+            aln_len = len(r.backtrace) if r.backtrace else compute_aln_length(
+                r.q_start, r.q_end, r.t_start, r.t_end)
+            if with_backtrace and r.backtrace:
+                qa = _aligned_string(qdb.get_aa_str(qi), r.q_start, r.backtrace, "D")
+                ta = _aligned_string(tdb.get_aa_str(ti), r.t_start, r.backtrace, "I")
+                aln = html_mod.escape(f"Q {r.q_start + 1:>5} {qa}\n"
+                                      f"T {r.t_start + 1:>5} {ta}")
+            else:
+                aln = "(run with -a for alignments)"
+            rows.append(
+                f'<tr data-aln="1"><td>{html_mod.escape(qname)}</td>'
+                f"<td>{html_mod.escape(_names(tdb, ti))}</td>"
+                f"<td>{_fmt_f(r.seq_id)}</td><td>{aln_len}</td>"
+                f"<td>{r.q_start + 1}-{r.q_end + 1}</td>"
+                f"<td>{r.t_start + 1}-{r.t_end + 1}</td>"
+                f"<td>{_fmt_e(r.evalue)}</td><td>{int(r.score)}</td></tr>"
+                f'<tr><td colspan="8"><div class="aln">{aln}</div></td></tr>')
+            n += 1
+    with open(out_path, "w") as f:
+        f.write(_HTML_TEMPLATE.format(n_hits=n, n_queries=len(results),
+                                      rows="\n".join(rows)))
+
+
 def calc_prob_tp(score: float) -> float:
     """P(TP | structure bit score): fitted TP/FP gamma mixtures
     (reference: src/commons/CalcProbTP.h)."""

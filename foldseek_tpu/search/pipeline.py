@@ -84,12 +84,22 @@ def easy_search(query_input: str, target_input: str, out_path: str,
     qdb = ensure_db(query_input, tmp_dir, "query")
     same_input = os.path.abspath(query_input) == os.path.abspath(target_input)
     tdb = qdb if same_input else ensure_db(target_input, tmp_dir, "target")
-    params.add_backtrace = params.add_backtrace or needs_backtrace(params.format_output)
+    params.add_backtrace = (params.add_backtrace
+                            or needs_backtrace(params.format_output)
+                            or params.format_mode in (1, 3, 5))
     if params.num_iterations > 1:
         results = iterative_search(qdb, tdb, params, params.num_iterations,
                                    same_db=same_input)
     else:
         results = search(qdb, tdb, params, same_db=same_input)
+    if params.format_mode not in (0, 4):
+        from .convertalis import write_output
+        write_output(qdb, tdb, results, out_path, params.format_output,
+                     params.format_mode, with_backtrace=params.add_backtrace)
+        n = sum(len(v) for v in results.values())
+        logger.info("easy-search: %d hits -> %s (format mode %d)",
+                    n, out_path, params.format_mode)
+        return []
     lines = format_results(qdb, tdb, results, params.format_output,
                            with_backtrace=params.add_backtrace)
     with open(out_path, "w") as f:

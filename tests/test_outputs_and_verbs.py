@@ -1,0 +1,72 @@
+"""Output modes (SAM/HTML/superposed PDB) + utility verbs + coords codec."""
+import os
+
+import numpy as np
+import pytest
+
+
+def test_coords16_roundtrip():
+    from foldseek_tpu.db.coords16 import decode_ca, encode_ca
+    rng = np.random.RandomState(0)
+    ca = np.cumsum(rng.randn(200, 3).astype(np.float32) * 2.0, axis=0)
+    payload, compressed = encode_ca(ca)
+    assert compressed and len(payload) == 3 * (4 + 2 * 199)
+    out = decode_ca(payload, 200)
+    assert np.abs(out - np.round(ca * 1000) / 1000.0).max() < 2e-3
+    # overflow fallback keeps exact floats
+    ca[100] += 1e5
+    payload, compressed = encode_ca(ca)
+    assert not compressed
+    assert np.array_equal(decode_ca(payload, 200), ca)
+
+
+@pytest.fixture(scope="module")
+def tim_db(example_dir, tmp_path_factory):
+    from foldseek_tpu.ingest.createdb import create_db
+    d = tmp_path_factory.mktemp("verbs")
+    return create_db([str(example_dir / "1tim.pdb.gz")], str(d / "db"))
+
+
+def test_output_modes(tim_db, example_dir, tmp_path):
+    from foldseek_tpu.search.convertalis import write_output
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import search
+    params = SearchParams(exhaustive_search=True, add_backtrace=True)
+    results = search(tim_db, tim_db, params, same_db=True)
+    write_output(tim_db, tim_db, results, str(tmp_path / "out.sam"),
+                 format_mode=1, with_backtrace=True)
+    sam = open(tmp_path / "out.sam").read()
+    assert sam.startswith("@HD") and "@SQ\tSN:1tim_A" in sam
+    write_output(tim_db, tim_db, results, str(tmp_path / "out.html"),
+                 format_mode=3, with_backtrace=True)
+    html = open(tmp_path / "out.html").read()
+    assert "<table" in html and "1tim_A" in html
+    write_output(tim_db, tim_db, results, str(tmp_path / "sup_"),
+                 format_mode=5, with_backtrace=True)
+    pdbs = [f for f in os.listdir(tmp_path) if f.startswith("sup_")]
+    assert len(pdbs) == 4  # 2x2 chain pairs
+    body = open(tmp_path / pdbs[0]).read()
+    assert body.startswith("MODEL") and "ATOM" in body
+
+
+def test_createsubdb_and_compressca(tim_db, tmp_path):
+    from foldseek_tpu.cli import main
+    lst = tmp_path / "keep.txt"
+    lst.write_text("1tim_A\n")
+    rc = main(["createsubdb", str(lst), tim_db.path, str(tmp_path / "sub"),
+               "-v", "1"])
+    assert rc == 0
+    from foldseek_tpu.db.storage import load_db
+    sub = load_db(str(tmp_path / "sub"))
+    assert sub.size == 1 and sub.names == ["1tim_A"]
+    rc = main(["compressca", tim_db.path, str(tmp_path / "ca16.bin"), "-v", "1"])
+    assert rc == 0
+    offs = np.load(str(tmp_path / "ca16.bin.offsets.npy"))
+    assert offs[-1] < tim_db.total_residues * 12 * 0.55
+
+
+def test_databases_listing(capsys):
+    from foldseek_tpu.cli import main
+    assert main(["databases"]) == 0
+    out = capsys.readouterr().out
+    assert "ProstT5" in out and "PDB" in out
