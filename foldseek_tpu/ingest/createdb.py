@@ -140,12 +140,15 @@ def create_db(inputs: List[str], out_path: str,
                 and np.isnan(ch.n[:4, 0]).all()
                 and np.isnan(ch.c[:4, 0]).all()
             )
+            n_arr, c_arr = ch.n, ch.c
             if ca_only:
-                # TODO(pulchra): backbone rebuild for C-alpha-only traces;
-                # until then every residue is masked invalid -> all-coil 3Di.
-                logger.warning("%s chain %s is C-alpha only; 3Di will be coil",
-                               st.name, ch.name)
-            states = encode_chain(ch.ca, ch.n, ch.c, ch.cb)
+                # backbone rebuild for C-alpha-only traces (PULCHRA
+                # equivalent; structcreatedb.cpp:504-518)
+                from .backbone import rebuild_backbone
+                n_arr, c_arr = rebuild_backbone(ch.ca)
+                logger.info("%s chain %s is C-alpha only; backbone rebuilt",
+                            st.name, ch.name)
+            states = encode_chain(ch.ca, n_arr, c_arr, ch.cb)
             name = st.name
             if st.model_count > 1:
                 name = f"{name}_MODEL_{ch.model}"
