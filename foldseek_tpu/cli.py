@@ -77,14 +77,19 @@ def cmd_createdb(argv):
     p.add_argument("--mask-bfactor-threshold", type=float, default=0.0)
     p.add_argument("--prostt5-model", type=str, default="",
                    help="GGUF weights: predict 3Di from FASTA input")
+    p.add_argument("--tax-mapping-file", type=str, default="",
+                   help="TSV of entry name -> NCBI taxid")
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
     from .ingest.createdb import create_db
-    create_db(args.inputs, args.output,
-              chain_name_mode="add" if args.chain_name_mode == 1 else "auto",
-              mask_bfactor_threshold=args.mask_bfactor_threshold,
-              prostt5_model=args.prostt5_model)
+    db = create_db(args.inputs, args.output,
+                   chain_name_mode="add" if args.chain_name_mode == 1 else "auto",
+                   mask_bfactor_threshold=args.mask_bfactor_threshold,
+                   prostt5_model=args.prostt5_model)
+    if args.tax_mapping_file:
+        from .db.taxonomy import load_tax_mapping, save_db_mapping
+        save_db_mapping(db, load_tax_mapping(args.tax_mapping_file))
     return 0
 
 
@@ -494,6 +499,27 @@ def cmd_databases(argv):
     return 0
 
 
+def cmd_samplemulambda(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu samplemulambda")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("output")
+    p.add_argument("--n-samples", type=int, default=100)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.samplemulambda import sample_mu_lambda
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    fits = sample_mu_lambda(qdb, tdb, n_samples=args.n_samples)
+    with open(args.output, "w") as f:
+        for key in sorted(fits):
+            mu, lam = fits[key]
+            f.write(f"{key}\t{mu:.6f}\t{lam:.6f}\n")
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -520,6 +546,7 @@ COMMANDS = {
     "compressca": (cmd_compressca, "Re-encode C-alpha coords as int16 diffs (6 B/residue)"),
     "createsubdb": (cmd_createsubdb, "Subset a structure DB by key/name list"),
     "databases": (cmd_databases, "List/download prebuilt structure databases"),
+    "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
     "version": (cmd_version, "Show version"),
 }
 

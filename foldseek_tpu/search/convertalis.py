@@ -42,6 +42,9 @@ def _fmt_e(x) -> str:
     return f"{float(x):.3E}"
 
 
+TAX_COLUMNS = {"taxid", "taxname", "taxlineage"}
+
+
 def format_results(qdb: StructDB, tdb: StructDB,
                    results: Dict[int, List[AlnResult]],
                    fmt: str = DEFAULT_COLUMNS,
@@ -50,6 +53,15 @@ def format_results(qdb: StructDB, tdb: StructDB,
     cols = fmt.split(",")
     qkey_to_idx = qdb.key_to_index()
     tkey_to_idx = tdb.key_to_index()
+    tax = None
+    if TAX_COLUMNS & set(cols):
+        import os
+
+        from ..db.taxonomy import NcbiTaxonomy, load_db_mapping
+        mapping = load_db_mapping(tdb.path) or {}
+        taxdump = os.environ.get("FOLDSEEK_TPU_TAXDUMP", "")
+        ncbi = NcbiTaxonomy(taxdump) if taxdump and os.path.isdir(taxdump) else None
+        tax = (mapping, ncbi)
     lines: List[str] = []
     for qkey in sorted(results):
         qi = qkey_to_idx[int(qkey)]
@@ -59,13 +71,13 @@ def format_results(qdb: StructDB, tdb: StructDB,
             ti = tkey_to_idx[r.db_key]
             tname = tdb.headers[ti].split()[0] if tdb.headers[ti] else tdb.names[ti]
             lines.append(format_row(r, qname, tname, qdb, tdb, qi, ti, cols,
-                                    with_backtrace))
+                                    with_backtrace, tax=tax))
     return lines
 
 
 def format_row(r: AlnResult, qname: str, tname: str,
                qdb: StructDB, tdb: StructDB, qi: int, ti: int,
-               cols: Sequence[str], with_backtrace: bool) -> str:
+               cols: Sequence[str], with_backtrace: bool, tax=None) -> str:
     # stored-record view: seq_id round-trips through the milli-truncated text
     # (resultToBuffer fastSeqIdToBuffer -> parseAlignmentRecord strtod); the
     # truncation multiply runs in float32
@@ -190,6 +202,15 @@ def format_row(r: AlnResult, qname: str, tname: str,
             out.append(_ca_to_str(tdb.get_ca(ti)))
         elif c == "prob":
             out.append(_fmt_f(calc_prob_tp(int(r.score))))
+        elif c in TAX_COLUMNS:
+            mapping, ncbi = tax if tax else ({}, None)
+            tid = mapping.get(r.db_key, 0)
+            if c == "taxid":
+                out.append(str(tid))
+            elif c == "taxname":
+                out.append(ncbi.name.get(tid, "unclassified") if ncbi else "unclassified")
+            else:
+                out.append(ncbi.lineage_str(tid) if ncbi and tid else "-")
         elif c == "empty":
             out.append("-")
         else:

@@ -108,6 +108,7 @@ class KmerPrefilter:
         # (Prefiltering::getSubstitutionMatrix, Prefiltering.cpp:999-1006)
         self.m8 = mat3di(8.0, -0.2)
         self.m2 = mat3di(2.0, -0.2)
+        self._sub_cache = {}
         self.mat8 = self.m8.scores.astype(np.int32)
         self.mat2 = self.m2.scores.astype(np.int32)
         self._build_index()
@@ -167,7 +168,13 @@ class KmerPrefilter:
 
     def _sub_lists(self, sub: np.ndarray, n_top: int = None):
         """Candidates for one query sub-kmer: (scores desc, little-endian
-        indices), tie order lexicographic by tuple."""
+        indices), tie order lexicographic by tuple. Cached per sub-kmer —
+        the sorted list depends only on its content (the reference
+        precomputes these as ExtendedSubstitutionMatrix score lists)."""
+        key = bytes(np.asarray(sub, dtype=np.int8))
+        cached = self._sub_cache.get(key)
+        if cached is not None:
+            return cached
         k_sub = len(sub)
         digits, tuple_index = _sorted_submer_lists(k_sub)
         # scores[j] = sum_i mat8[sub[i], digits[j, i]]
@@ -175,7 +182,9 @@ class KmerPrefilter:
         for i in range(k_sub):
             scores += self.mat8[sub[i], digits[:, i]]
         order = np.argsort(-scores, kind="stable")
-        return scores[order], tuple_index[order]
+        out = (scores[order], tuple_index[order])
+        self._sub_cache[key] = out
+        return out
 
     def similar_kmers(self, window: np.ndarray, threshold: int) -> np.ndarray:
         """All k-mers scoring >= threshold vs the query window, in the exact
