@@ -44,6 +44,10 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
         from .tmalign_stage import tmalign_all
         with Timer("tmalign"):
             return tmalign_all(qdb, tdb, pref, params, same_db=same_db)
+    if params.alignment_type == 3:  # LoLalign
+        from .lolalign_stage import lolalign_all
+        with Timer("lolalign"):
+            return lolalign_all(qdb, tdb, pref, params, same_db=same_db)
     with Timer("structurealign"):
         return align_all(qdb, tdb, pref, params, same_db=same_db)
 
