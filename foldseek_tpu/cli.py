@@ -40,6 +40,7 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("-a", dest="add_backtrace", action="store_true")
     p.add_argument("--max-accept", type=int, default=2**31 - 1)
     p.add_argument("--max-rejected", type=int, default=2**31 - 1)
+    p.add_argument("--alt-ali", dest="alt_alignment", type=int, default=0)
     p.add_argument("--num-iterations", type=int, default=1)
     p.add_argument("--index-server", type=str, default="")
     p.add_argument("--threads", type=int, default=1)
@@ -63,6 +64,7 @@ def params_from_args(args) -> SearchParams:
         format_output=args.format_output, format_mode=args.format_mode,
         add_backtrace=args.add_backtrace,
         max_accept=args.max_accept, max_rejected=args.max_rejected,
+        alt_alignment=args.alt_alignment,
         num_iterations=args.num_iterations, index_server=args.index_server,
         threads=args.threads,
     )

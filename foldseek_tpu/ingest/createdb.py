@@ -24,17 +24,44 @@ STRUCTURE_EXTS = (".pdb", ".cif", ".mmcif", ".ent", ".pdb.gz", ".cif.gz",
 
 
 def collect_input_files(inputs: List[str]) -> List[str]:
+    """Files, directories (recursive) and tar archives (.tar/.tar.gz; members
+    are referenced as 'archive.tar::member' — structcreatedb.cpp's tar
+    loop equivalent)."""
     files = []
     for inp in inputs:
         if os.path.isdir(inp):
             for root, _, fnames in os.walk(inp):
                 for fn in sorted(fnames):
                     files.append(os.path.join(root, fn))
+        elif inp.endswith((".tar", ".tar.gz", ".tgz")) and os.path.isfile(inp):
+            import tarfile
+            with tarfile.open(inp) as tf:
+                for m in sorted(tf.getnames()):
+                    if tf.getmember(m).isfile():
+                        files.append(f"{inp}::{m}")
         elif os.path.isfile(inp):
             files.append(inp)
         else:
             raise FileNotFoundError(inp)
     return files
+
+
+def _parse_any(path: str):
+    """parse_structure with tar-member support."""
+    if "::" in path and not os.path.exists(path):
+        import gzip as gz
+        import io
+        import tarfile
+        archive, member = path.split("::", 1)
+        with tarfile.open(archive) as tf:
+            data = tf.extractfile(member).read()
+        if member.endswith(".gz"):
+            data = gz.decompress(data)
+            member = member[:-3]
+        text = data.decode("utf-8", errors="replace")
+        st = pdb_parser.parse_structure_text(text, os.path.basename(member))
+        return st
+    return pdb_parser.parse_structure(path)
 
 
 def remove_two_extensions(name: str) -> str:
@@ -121,7 +148,7 @@ def create_db(inputs: List[str], out_path: str,
     failed = 0
     for file_id, path in enumerate(files):
         try:
-            st = pdb_parser.parse_structure(path)
+            st = _parse_any(path)
         except Exception as e:  # noqa: BLE001 - ingest must survive bad files
             logger.warning("failed to parse %s: %s", path, e)
             failed += 1

@@ -314,6 +314,54 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
         passed += 1
         rejected = 0
 
+        # alternative alignments: X-mask the aligned target region and
+        # re-align (structurealign.cpp:115-138, computeAlternativeAlignment)
+        if params.alt_alignment > 0:
+            from ..ops.sw import sw_score_endpos_np
+            t_aa_m = np.asarray(t_aa).copy()
+            t_ss_m = np.asarray(t_ss).copy()
+            prev = res
+            rprof = scorer.rprofs[qkey]
+            for _ in range(params.alt_alignment):
+                t_aa_m[prev.t_start:prev.t_end] = 20
+                t_ss_m[prev.t_start:prev.t_end] = 20
+                a_fwd, a_qe, a_te = sw_score_endpos_np(
+                    *prof.padded(prof.L), t_aa_m, t_ss_m,
+                    gap_open=prof.gap_open, gap_extend=prof.gap_extend)
+                a_rev, _, _ = sw_score_endpos_np(
+                    *rprof.padded(prof.L), t_aa_m, t_ss_m,
+                    gap_open=prof.gap_open, gap_extend=prof.gap_extend)
+                a_score = int(a_fwd) - int(a_rev)
+                a_ev = ev.evalue_corr(a_score, lam, mu)
+                if (ev.evalue_corr(a_fwd, lam, mu) > params.evalue_thr
+                        or a_ev > params.evalue_thr):
+                    break
+                try:
+                    a_tb = bt_ops.recover_alignment(prof, t_aa_m, t_ss_m,
+                                                    int(a_fwd), a_qe, a_te)
+                except RuntimeError:
+                    break
+                a_len = len(a_tb.backtrace)
+                a_seqid = a_tb.identical_aa / a_len if a_len else 0.0
+                a_qcov = (a_qe - a_tb.q_start + 1) / q_len
+                a_tcov = (a_te - a_tb.t_start + 1) / t_len
+                alt = AlnResult(
+                    db_key=tkey, score=a_score,
+                    seq_id=float(np.float32(a_seqid)), evalue=float(a_ev),
+                    q_start=a_tb.q_start, q_end=a_qe, q_len=q_len,
+                    t_start=a_tb.t_start, t_end=a_te, t_len=t_len,
+                    backtrace=a_tb.backtrace, qcov=a_qcov, tcov=a_tcov,
+                    aln_length=a_len, identical=a_tb.identical_aa)
+                ok_alt = (alt.evalue <= params.evalue_thr
+                          and alt.seq_id >= params.seq_id_thr
+                          and alt.aln_length >= params.aln_len_thr
+                          and has_coverage(params.cov_thr, params.cov_mode,
+                                           a_qcov, a_tcov))
+                if not ok_alt:
+                    break
+                results.append(alt)
+                prev = alt
+
     if params.sort_by_structure_bits:
         results.sort(key=compare_hits_by_structure_bits)
     else:

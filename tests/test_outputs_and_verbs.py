@@ -70,3 +70,16 @@ def test_databases_listing(capsys):
     assert main(["databases"]) == 0
     out = capsys.readouterr().out
     assert "ProstT5" in out and "PDB" in out
+
+
+def test_createdb_tar_input(example_dir, tmp_path):
+    import tarfile
+
+    from foldseek_tpu.ingest.createdb import create_db
+    tar_path = tmp_path / "structs.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        tf.add(example_dir / "d1asha_", arcname="d1asha_")
+        tf.add(example_dir / "1tim.pdb.gz", arcname="1tim.pdb.gz")
+    db = create_db([str(tar_path)], str(tmp_path / "db"))
+    assert db.size == 3  # d1asha_ + 1tim chains A/B
+    assert "d1asha_" in db.names and "1tim_A" in db.names

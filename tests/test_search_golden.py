@@ -60,3 +60,13 @@ def test_easy_search_scop_ava_exhaustive(scop_dir, golden_dir, tmp_path):
         fa, fb = a.split("\t"), b.split("\t")
         assert fa[:10] == fb[:10], (a, b)  # everything but evalue/bits equal
         assert abs(int(fa[11]) - int(fb[11])) <= 1
+
+
+def test_easy_search_alt_alignments(example_dir, golden_dir, tmp_path):
+    """--alt-ali 2: X-masked re-alignments match the reference exactly."""
+    params = SearchParams(alt_alignment=2)
+    lines = easy_search(str(example_dir / "1tim.pdb.gz"),
+                        str(example_dir / "8tim.pdb.gz"),
+                        str(tmp_path / "alt.m8"), str(tmp_path / "tmp"), params)
+    golden = [l.rstrip("\n") for l in open(golden_dir / "tim_altali.m8")]
+    assert lines == golden
