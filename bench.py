@@ -65,13 +65,13 @@ def main():
         many = make_many(n_batches)
         np.asarray(many(prof_packed, 0))  # compile
         best = float("inf")
-        for rep in range(3):
+        for rep in range(5):
             t0 = time.perf_counter()
             np.asarray(many(prof_packed, rep + 1))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n1, n2 = 8, 40
+    n1, n2 = 8, 72
     t1 = run(n1)
     t2 = run(n2)
     cells_per_batch = B * Lq * Lt

@@ -38,27 +38,36 @@ NEG = -3e8  # pad-letter score; finite to keep adds well-defined
 PAD_LETTER = 21
 
 
-def _kernel_single(prof_ref, t_ref, cap_ref, out_ref):
-    Lt = t_ref.shape[0]
-    Lq = prof_ref.shape[0]
-    B = 128
-    # byte-saturation emulation: the reference's uint8 kernel clamps the
-    # running score at 255 - bias (StripedSmithWaterman.cpp:1862-1866 with
-    # bias from ssw_init :1397-1406)
-    cap = jnp.broadcast_to(cap_ref[pl.ds(0, 1), :], (Lq, B))
+def _make_kernel_single(use_cap: bool, unroll: int = 4):
+    def kernel(prof_ref, t_ref, cap_ref, out_ref):
+        Lt = t_ref.shape[0]
+        Lq = prof_ref.shape[0]
+        B = 128
+        # byte-saturation emulation: the reference's uint8 kernel clamps the
+        # running score at 255 - bias (StripedSmithWaterman.cpp:1862-1866
+        # with bias from ssw_init :1397-1406)
+        cap = jnp.broadcast_to(cap_ref[pl.ds(0, 1), :], (Lq, B)) if use_cap else None
 
-    def col_body(j, carry):
-        h, best = carry
-        idx = jnp.broadcast_to(t_ref[pl.ds(j, 1), :], (Lq, B))
-        s = jnp.take_along_axis(prof_ref[:], idx, axis=1)
-        diag = jnp.concatenate([jnp.zeros((1, B), jnp.float32), h[:-1, :]], axis=0)
-        h = jnp.minimum(jnp.maximum(diag + s, 0.0), cap)
-        best = jnp.maximum(best, h)
-        return h, best
+        def one_col(j, h, best):
+            idx = jnp.broadcast_to(t_ref[pl.ds(j, 1), :], (Lq, B))
+            s = jnp.take_along_axis(prof_ref[:], idx, axis=1)
+            diag = jnp.concatenate([jnp.zeros((1, B), jnp.float32), h[:-1, :]], axis=0)
+            h = jnp.maximum(diag + s, 0.0)
+            if use_cap:
+                h = jnp.minimum(h, cap)
+            return h, jnp.maximum(best, h)
 
-    h0 = jnp.zeros((Lq, B), dtype=jnp.float32)
-    _, best = jax.lax.fori_loop(0, Lt, col_body, (h0, h0))
-    out_ref[:] = jnp.max(best, axis=0, keepdims=True)
+        def col_body(k, carry):
+            h, best = carry
+            for u in range(unroll):
+                h, best = one_col(k * unroll + u, h, best)
+            return h, best
+
+        h0 = jnp.zeros((Lq, B), dtype=jnp.float32)
+        assert Lt % unroll == 0
+        _, best = jax.lax.fori_loop(0, Lt // unroll, col_body, (h0, h0))
+        out_ref[:] = jnp.max(best, axis=0, keepdims=True)
+    return kernel
 
 
 def _kernel_dual(paa_ref, pss_ref, taa_ref, tss_ref, out_ref):
@@ -92,22 +101,24 @@ def pack_profile(prof: np.ndarray, pad_score: float = NEG) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("use_cap",))
 def gapless_scores_single(prof: jax.Array, t_T: jax.Array,
-                          cap: jax.Array = None) -> jax.Array:
+                          cap: jax.Array = None, use_cap: bool = True) -> jax.Array:
     """Single-alphabet gapless scores (reference prefilter semantics).
 
     prof: f32 [Lq, 128] packed lane table; t_T: int32 [Lt, B] transposed
     targets with pad letter 21; cap: f32 scalar-ish [1, 1] running-score clamp
-    (255 - byte bias; pass a huge value to disable). Returns f32 [B]."""
+    (255 - byte bias; use_cap=False statically elides it). Returns f32 [B]."""
     Lt, B = t_T.shape
     Lq = prof.shape[0]
     assert B % 128 == 0
     if cap is None:
         cap = jnp.float32(3e8)
+        use_cap = False
     cap_arr = jnp.broadcast_to(jnp.asarray(cap, jnp.float32), (1, 128))
+    unroll = 4 if Lt % 4 == 0 else (2 if Lt % 2 == 0 else 1)
     out = pl.pallas_call(
-        _kernel_single,
+        _make_kernel_single(use_cap, unroll),
         interpret=_interpret(),
         grid=(B // 128,),
         in_specs=[
