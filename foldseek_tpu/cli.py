@@ -522,6 +522,89 @@ def cmd_samplemulambda(argv):
     return 0
 
 
+def cmd_result2profile(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu result2profile")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.profile import result2profile, save_profile_db
+    from .search.resultdb import read_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    results, _ = read_result_db(args.result_db)
+    profiles = result2profile(qdb, tdb, results)
+    save_profile_db(profiles, args.output_db)
+    logger.info("result2profile: %d profiles -> %s", len(profiles),
+                args.output_db)
+    return 0
+
+
+def cmd_taxonomyreport(argv):
+    """Kraken-style clade report over result taxids
+    (reference: lib/mmseqs/src/taxonomy/taxonomyreport.cpp taxReport)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu taxonomyreport")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output")
+    p.add_argument("--taxdump", default="", help="NCBI taxdump dir (nodes.dmp/names.dmp)")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import os
+    from collections import Counter
+
+    from .db.storage import load_db
+    from .db.taxonomy import NcbiTaxonomy, load_db_mapping
+    from .search.resultdb import read_result_db
+    tdb = load_db(args.target_db)
+    mapping = load_db_mapping(tdb.path) or {}
+    results, _ = read_result_db(args.result_db)
+    taxdump = args.taxdump or os.environ.get("FOLDSEEK_TPU_TAXDUMP", "")
+    ncbi = NcbiTaxonomy(taxdump) if taxdump and os.path.isdir(taxdump) else None
+    # one taxon per query: best hit's taxid (LCA when taxonomy available)
+    counts = Counter()
+    total = 0
+    for qkey, rs in results.items():
+        tids = [mapping.get(r.db_key, 0) for r in rs]
+        tids = [t for t in tids if t]
+        total += 1
+        if not tids:
+            counts[0] += 1
+        elif ncbi is not None:
+            counts[ncbi.lca(tids)] += 1
+        else:
+            counts[tids[0]] += 1
+    # clade counts: propagate up lineages
+    clade = Counter()
+    if ncbi is not None:
+        for tid, n in counts.items():
+            if tid == 0:
+                continue
+            for anc in ncbi.lineage(tid):
+                clade[anc] += n
+    with open(args.output, "w") as f:
+        if 0 in counts:
+            f.write(f"{100.0 * counts[0] / max(total, 1):.4f}\t{counts[0]}\t"
+                    f"{counts[0]}\tno rank\t0\tunclassified\n")
+        if ncbi is not None:
+            for tid in sorted(clade, key=lambda t: -clade[t]):
+                depth = max(len(ncbi.lineage(tid)) - 1, 0)
+                f.write(f"{100.0 * clade[tid] / max(total, 1):.4f}\t{clade[tid]}"
+                        f"\t{counts.get(tid, 0)}\t{ncbi.rank.get(tid, 'no rank')}"
+                        f"\t{tid}\t{'  ' * depth}{ncbi.name.get(tid, str(tid))}\n")
+        else:
+            for tid, n in counts.most_common():
+                if tid:
+                    f.write(f"{100.0 * n / max(total, 1):.4f}\t{n}\t{n}\t"
+                            f"no rank\t{tid}\t{tid}\n")
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -549,6 +632,8 @@ COMMANDS = {
     "createsubdb": (cmd_createsubdb, "Subset a structure DB by key/name list"),
     "databases": (cmd_databases, "List/download prebuilt structure databases"),
     "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
+    "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),
+    "taxonomyreport": (cmd_taxonomyreport, "Kraken-style taxonomic clade report"),
     "version": (cmd_version, "Show version"),
 }
 

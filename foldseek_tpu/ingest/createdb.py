@@ -47,10 +47,10 @@ def collect_input_files(inputs: List[str]) -> List[str]:
 
 
 def _parse_any(path: str):
-    """parse_structure with tar-member support."""
+    """parse_structure with tar-member and foldcomp (.fcz) support."""
+    from . import foldcomp as fc
     if "::" in path and not os.path.exists(path):
         import gzip as gz
-        import io
         import tarfile
         archive, member = path.split("::", 1)
         with tarfile.open(archive) as tf:
@@ -58,10 +58,32 @@ def _parse_any(path: str):
         if member.endswith(".gz"):
             data = gz.decompress(data)
             member = member[:-3]
+        base = os.path.basename(member)
+        if fc.is_fcz(data):
+            return fc.to_structure(fc.decode_fcz(data),
+                                   remove_two_extensions(base))
         text = data.decode("utf-8", errors="replace")
-        st = pdb_parser.parse_structure_text(text, os.path.basename(member))
-        return st
+        return pdb_parser.parse_structure_text(text, base)
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head == fc.MAGIC:
+        return fc.to_structure(fc.read_fcz(path),
+                               remove_two_extensions(os.path.basename(path)))
     return pdb_parser.parse_structure(path)
+
+
+def _parse_structures(path: str):
+    """All structures from one input path: a foldcomp DB (data file with an
+    .index sidecar whose entries start with FCMP) yields one per entry;
+    everything else yields one."""
+    from . import foldcomp as fc
+    if (os.path.isfile(path) and os.path.exists(path + ".index")
+            and not path.endswith((".index", ".lookup", ".dbtype"))):
+        with open(path, "rb") as f:
+            if f.read(4) == fc.MAGIC:
+                return [fc.to_structure(st, name)
+                        for name, st in fc.iter_foldcomp_db(path)]
+    return [_parse_any(path)]
 
 
 def remove_two_extensions(name: str) -> str:
@@ -148,46 +170,48 @@ def create_db(inputs: List[str], out_path: str,
     failed = 0
     for file_id, path in enumerate(files):
         try:
-            st = _parse_any(path)
+            sts = _parse_structures(path)
         except Exception as e:  # noqa: BLE001 - ingest must survive bad files
             logger.warning("failed to parse %s: %s", path, e)
             failed += 1
             continue
-        multi_chain = len(st.chains) > 1
-        for ch in st.chains:
-            L = len(ch.aa)
-            if L <= 3:
-                too_short += 1
-                continue
-            if all(c in "Xx" for c in ch.aa):
-                not_protein += 1
-                continue
-            ca_only = (
-                L >= 4
-                and np.isnan(ch.n[:4, 0]).all()
-                and np.isnan(ch.c[:4, 0]).all()
-            )
-            n_arr, c_arr = ch.n, ch.c
-            if ca_only:
-                # backbone rebuild for C-alpha-only traces (PULCHRA
-                # equivalent; structcreatedb.cpp:504-518)
-                from .backbone import rebuild_backbone
-                n_arr, c_arr = rebuild_backbone(ch.ca)
-                logger.info("%s chain %s is C-alpha only; backbone rebuilt",
-                            st.name, ch.name)
-            states = encode_chain(ch.ca, n_arr, c_arr, ch.cb)
-            name = st.name
-            if st.model_count > 1:
-                name = f"{name}_MODEL_{ch.model}"
-            if chain_name_mode == "add" or (chain_name_mode == "auto" and multi_chain):
-                name = f"{name}_{ch.name}"
-            header = name
-            if st.title:
-                header = f"{name} {st.title}"
-            mask = (ch.bfactor < mask_bfactor_threshold).astype(np.uint8)
-            ca = np.nan_to_num(ch.ca, nan=0.0).astype(np.float32)
-            entries.append((name, header, encode_seq(ch.aa), states, ca, mask,
-                            file_id))
+
+        for st in sts:
+            multi_chain = len(st.chains) > 1
+            for ch in st.chains:
+                L = len(ch.aa)
+                if L <= 3:
+                    too_short += 1
+                    continue
+                if all(c in "Xx" for c in ch.aa):
+                    not_protein += 1
+                    continue
+                ca_only = (
+                    L >= 4
+                    and np.isnan(ch.n[:4, 0]).all()
+                    and np.isnan(ch.c[:4, 0]).all()
+                )
+                n_arr, c_arr = ch.n, ch.c
+                if ca_only:
+                    # backbone rebuild for C-alpha-only traces (PULCHRA
+                    # equivalent; structcreatedb.cpp:504-518)
+                    from .backbone import rebuild_backbone
+                    n_arr, c_arr = rebuild_backbone(ch.ca)
+                    logger.info("%s chain %s is C-alpha only; backbone rebuilt",
+                                st.name, ch.name)
+                states = encode_chain(ch.ca, n_arr, c_arr, ch.cb)
+                name = st.name
+                if st.model_count > 1:
+                    name = f"{name}_MODEL_{ch.model}"
+                if chain_name_mode == "add" or (chain_name_mode == "auto" and multi_chain):
+                    name = f"{name}_{ch.name}"
+                header = name
+                if st.title:
+                    header = f"{name} {st.title}"
+                mask = (ch.bfactor < mask_bfactor_threshold).astype(np.uint8)
+                ca = np.nan_to_num(ch.ca, nan=0.0).astype(np.float32)
+                entries.append((name, header, encode_seq(ch.aa), states, ca, mask,
+                                file_id))
 
     # sort by name (two extra extensions removed) with stable tie order,
     # assign sequential keys (structcreatedb.cpp:1356-1382)

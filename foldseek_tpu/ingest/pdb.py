@@ -94,17 +94,21 @@ def strip_structure_ext(filename: str) -> str:
 def parse_structure(path: str) -> Structure:
     with _open_maybe_gz(path) as f:
         text = f.read()
-    name = strip_structure_ext(path)
+    return parse_structure_text(text, strip_structure_ext(path), _strip=False)
+
+
+def parse_structure_text(text: str, filename: str, _strip: bool = True) -> Structure:
+    name = strip_structure_ext(filename) if _strip else filename
+    if _looks_like_mmjson(text):
+        return parse_mmjson_text(text, name)
     if _looks_like_cif(text):
         return parse_mmcif_text(text, name)
     return parse_pdb_text(text, name)
 
 
-def parse_structure_text(text: str, filename: str) -> Structure:
-    name = strip_structure_ext(filename)
-    if _looks_like_cif(text):
-        return parse_mmcif_text(text, name)
-    return parse_pdb_text(text, name)
+def _looks_like_mmjson(text: str) -> bool:
+    head = text[:4096].lstrip()
+    return head.startswith("{") and '"atom_site"' in text[:65536]
 
 
 def _looks_like_cif(text: str) -> bool:
@@ -246,6 +250,113 @@ def parse_pdb_text(text: str, name: str) -> Structure:
 
     st.title = " ".join(p for p in title_parts if p).strip()
     st.model_count = max(model_count, 1) if seen_model_record else 1
+    st.chains = chains
+    return st
+
+
+def parse_mmjson_text(text: str, name: str) -> Structure:
+    """mmJSON (PDBj's JSON rendering of mmCIF: {"data_XXXX": {category:
+    {tag: [column...]}}}) — same source format gemmi::cif::read_mmjson
+    handles (reference: src/strucclustutils/GemmiWrapper.cpp:504-517)."""
+    import json
+    doc = json.loads(text)
+    st = Structure(name=name)
+    block = None
+    for k, v in doc.items():
+        if isinstance(v, dict) and "atom_site" in v:
+            block = v
+            break
+    if block is None:
+        return st
+    struct = block.get("struct") or {}
+    titles = struct.get("title") or []
+    if titles and titles[0]:
+        st.title = str(titles[0])
+    site = block["atom_site"]
+
+    def column(*keys):
+        for k in keys:
+            if k in site and site[k] is not None:
+                return site[k]
+        return None
+
+    xs, ys, zs = site.get("Cartn_x"), site.get("Cartn_y"), site.get("Cartn_z")
+    if not xs:
+        return st
+    n_rows = len(xs)
+
+    def cell(colv, i, default=""):
+        if colv is None or i >= len(colv):
+            return default
+        v = colv[i]
+        return default if v is None else str(v)
+
+    atom_id = column("label_atom_id", "auth_atom_id")
+    alt_id = column("label_alt_id")
+    comp_id = column("label_comp_id", "auth_comp_id")
+    asym_id = column("auth_asym_id", "label_asym_id")
+    seq_id = column("auth_seq_id", "label_seq_id")
+    icode = column("pdbx_PDB_ins_code")
+    model_no = column("pdbx_PDB_model_num")
+    group = column("group_PDB")
+    biso = column("B_iso_or_equiv")
+
+    chains = []
+    cur_chain_key = None
+    cur_residues = []
+    cur_res = None
+    cur_res_key = None
+    model_ids = set()
+
+    def flush_res():
+        nonlocal cur_res, cur_res_key
+        if cur_res is not None:
+            cur_residues.append(cur_res)
+        cur_res = None
+        cur_res_key = None
+
+    def flush_chain():
+        nonlocal cur_residues, cur_chain_key
+        flush_res()
+        if cur_chain_key is not None and cur_residues:
+            ch = _finish_chain(cur_chain_key[0], cur_chain_key[1], cur_residues)
+            if ch is not None:
+                chains.append(ch)
+        cur_residues = []
+        cur_chain_key = None
+
+    for i in range(n_rows):
+        resname = cell(comp_id, i)
+        if resname in WATER_NAMES:
+            continue
+        if cell(group, i, "ATOM") not in ("ATOM", "HETATM"):
+            continue
+        model = int(cell(model_no, i, "1") or 1)
+        model_ids.add(model)
+        key = (cell(asym_id, i), model)
+        if key != cur_chain_key:
+            flush_chain()
+            cur_chain_key = key
+        res_key = (cell(seq_id, i) + cell(icode, i), resname)
+        if (cur_res_key is not None and res_key[0] == cur_res_key[0]
+                and res_key[1] != cur_res_key[1]):
+            continue
+        if res_key != cur_res_key:
+            flush_res()
+            cur_res = _ResidueAccum(resname)
+            cur_res_key = res_key
+        try:
+            x, y, z = float(xs[i]), float(ys[i]), float(zs[i])
+        except (TypeError, ValueError):
+            continue
+        try:
+            bf = float(cell(biso, i, "0") or 0.0)
+        except ValueError:
+            bf = 0.0
+        cur_res.add(cell(atom_id, i), cell(alt_id, i), x, y, z, bf)
+    flush_chain()
+
+    st.model_count = max(len(model_ids), 1)
     st.chains = chains
     return st
 

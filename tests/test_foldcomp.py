@@ -1,0 +1,63 @@
+"""Foldcomp (.fcz) decoder: backbone accuracy + exact 3Di/AA parity.
+
+Golden: tests/golden/d1asha_fcz_3di.tsv is the reference binary's
+`structureto3didescriptor` output for tests/golden/d1asha.fcz (itself
+written by the reference from example/d1asha_)."""
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+FCZ = os.path.join(GOLDEN, "d1asha.fcz")
+
+
+def _golden_cols():
+    line = open(os.path.join(GOLDEN, "d1asha_fcz_3di.tsv")).read().rstrip("\n")
+    return line.split("\t")
+
+
+def test_decode_backbone(example_dir):
+    from foldseek_tpu.ingest.foldcomp import read_fcz
+    from foldseek_tpu.ingest.pdb import parse_structure
+    st = read_fcz(FCZ)
+    ch = parse_structure(str(example_dir / "d1asha_")).chains[0]
+    assert st.residues == ch.aa
+    for mine, true in ((st.ca, ch.ca), (st.n, ch.n), (st.c, ch.c)):
+        rmsd = float(np.sqrt(np.mean(np.sum((mine - true) ** 2, axis=1))))
+        assert rmsd < 0.15  # foldcomp's documented ~0.1A lossy error
+
+
+def test_createdb_fcz_3di_parity(tmp_path):
+    from foldseek_tpu.ingest.createdb import create_db
+    db = create_db([FCZ], str(tmp_path / "db"))
+    cols = _golden_cols()
+    assert db.size == 1
+    assert db.get_aa_str(0) == cols[1]
+    assert db.get_ss_str(0) == cols[2]
+
+
+def test_foldcomp_db_container(tmp_path):
+    # DB-style container: data file of concatenated FCMP entries + .index
+    from foldseek_tpu.ingest.createdb import create_db
+    raw = open(FCZ, "rb").read()
+    data = tmp_path / "fcdb"
+    data.write_bytes(raw + raw)
+    (tmp_path / "fcdb.index").write_text(
+        f"0\t0\t{len(raw)}\n1\t{len(raw)}\t{len(raw)}\n")
+    (tmp_path / "fcdb.lookup").write_text("0\tentryA\t0\n1\tentryB\t0\n")
+    db = create_db([str(data)], str(tmp_path / "db"))
+    cols = _golden_cols()
+    assert db.size == 2
+    assert sorted(db.names) == ["entryA", "entryB"]
+    assert db.get_ss_str(0) == db.get_ss_str(1) == cols[2]
+
+
+def test_fcz_in_tar(tmp_path):
+    import tarfile
+    from foldseek_tpu.ingest.createdb import create_db
+    tar = tmp_path / "in.tar"
+    with tarfile.open(tar, "w") as tf:
+        tf.add(FCZ, arcname="d1asha.fcz")
+    db = create_db([str(tar)], str(tmp_path / "db"))
+    assert db.size == 1 and db.get_ss_str(0) == _golden_cols()[2]
