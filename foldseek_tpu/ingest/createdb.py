@@ -58,6 +58,10 @@ def _parse_any(path: str):
         if member.endswith(".gz"):
             data = gz.decompress(data)
             member = member[:-3]
+        elif member.endswith((".zst", ".zstd")):
+            from ..utils import zstd
+            data = zstd.decompress(data)
+            member = member.rsplit(".", 1)[0]
         base = os.path.basename(member)
         if fc.is_fcz(data):
             return fc.to_structure(fc.decode_fcz(data),

@@ -79,6 +79,10 @@ def three_to_one(resname: str) -> str:
 def _open_maybe_gz(path: str):
     if path.endswith(".gz"):
         return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8", errors="replace")
+    if path.endswith((".zst", ".zstd")):
+        from ..utils import zstd
+        data = zstd.decompress(open(path, "rb").read())
+        return io.StringIO(data.decode("utf-8", errors="replace"))
     return open(path, encoding="utf-8", errors="replace")
 
 

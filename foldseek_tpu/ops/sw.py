@@ -79,7 +79,11 @@ class QueryProfile:
     def __init__(self, q_aa: np.ndarray, q_ss: np.ndarray,
                  comp_bias_correction: bool = True,
                  comp_bias_scale: float = 0.5,
-                 gap_open: int = 10, gap_extend: int = 1):
+                 gap_open: int = 10, gap_extend: int = 1,
+                 with_aa: bool = True):
+        # with_aa=False is 3Di-only alignment (--alignment-type 0): the
+        # reference builds the AA matrix at bit factor 0.0 so every AA score
+        # and its composition bias are zero (structurealign.cpp:264-265)
         m3 = mat3di()
         mb = blosum62()
         self.q_aa = np.asarray(q_aa, dtype=np.int8)
@@ -89,14 +93,19 @@ class QueryProfile:
         self.gap_extend = gap_extend
         self._bias_on = comp_bias_correction
         self._bias_scale = comp_bias_scale
-        if comp_bias_correction:
+        self._with_aa = with_aa
+        if comp_bias_correction and with_aa:
+            # both biases come from the AA matrix (ssw_init's `m` arg,
+            # structurealign.cpp:344); at aa bit factor 0.0 that matrix is
+            # all-zero, so 3Di-only mode has zero bias on both alphabets
             self.bias_aa = calc_comp_bias(self.q_aa, mb.scores, mb.p_back, 1.0)
             self.bias_ss = calc_comp_bias(self.q_ss, mb.scores, mb.p_back, comp_bias_scale)
         else:
             self.bias_aa = np.zeros(self.L, dtype=np.int8)
             self.bias_ss = np.zeros(self.L, dtype=np.int8)
         # [21, Lq] tables: row = target letter, col = query position
-        self.prof_aa = (mb.scores[:, self.q_aa].astype(np.int32)
+        aa_scores = mb.scores if with_aa else np.zeros_like(mb.scores)
+        self.prof_aa = (aa_scores[:, self.q_aa].astype(np.int32)
                         + self.bias_aa[None, :].astype(np.int32))
         self.prof_ss = (m3.scores[:, self.q_ss].astype(np.int32)
                         + self.bias_ss[None, :].astype(np.int32))
@@ -113,7 +122,8 @@ class QueryProfile:
         rev.gap_open = self.gap_open
         rev.gap_extend = self.gap_extend
         mb = blosum62()
-        has_bias = bool(self.bias_aa.any() or self.bias_ss.any() or self._bias_on)
+        has_bias = bool((self.bias_aa.any() or self.bias_ss.any() or self._bias_on)
+                        and self._with_aa)
         if has_bias:
             rev.bias_aa = calc_comp_bias(rev.q_aa, mb.scores, mb.p_back, 1.0)
             rev.bias_ss = calc_comp_bias(rev.q_ss, mb.scores, mb.p_back, self._bias_scale)
@@ -122,8 +132,10 @@ class QueryProfile:
             rev.bias_ss = np.zeros(self.L, dtype=np.int8)
         rev._bias_on = self._bias_on
         rev._bias_scale = self._bias_scale
+        rev._with_aa = self._with_aa
         m3 = mat3di()
-        rev.prof_aa = (mb.scores[:, rev.q_aa].astype(np.int32)
+        aa_scores = mb.scores if self._with_aa else np.zeros_like(mb.scores)
+        rev.prof_aa = (aa_scores[:, rev.q_aa].astype(np.int32)
                        + rev.bias_aa[None, :].astype(np.int32))
         rev.prof_ss = (m3.scores[:, rev.q_ss].astype(np.int32)
                        + rev.bias_ss[None, :].astype(np.int32))
@@ -144,6 +156,7 @@ class QueryProfile:
         rev.bias_ss = self.bias_ss[::-1].copy()
         rev._bias_on = self._bias_on
         rev._bias_scale = self._bias_scale
+        rev._with_aa = getattr(self, "_with_aa", True)
         rev.prof_aa = self.prof_aa[:, ::-1].copy()
         rev.prof_ss = self.prof_ss[:, ::-1].copy()
         return rev

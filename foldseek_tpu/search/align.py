@@ -119,7 +119,8 @@ class PairScorer:
                     np.asarray(qdb.get_aa(qi)), np.asarray(qdb.get_ss(qi)),
                     comp_bias_correction=params.comp_bias_correction,
                     comp_bias_scale=params.comp_bias_correction_scale,
-                    gap_open=params.gap_open, gap_extend=params.gap_extend)
+                    gap_open=params.gap_open, gap_extend=params.gap_extend,
+                    with_aa=params.alignment_type != 0)
             profs[int(qkey)] = prof
             rprofs[int(qkey)] = prof.reversed()
         self.profs = profs

@@ -50,3 +50,25 @@ def test_mmjson_matches_pdb(example_dir, tmp_path):
     dbp = create_db([str(example_dir / "1tim.pdb.gz")], str(tmp_path / "dbp"))
     assert [dbj.get_ss_str(i) for i in range(dbj.size)] == \
            [dbp.get_ss_str(i) for i in range(dbp.size)]
+
+
+def test_zstd_ingest(example_dir, tmp_path):
+    """.pdb.zst input decompressed via system libzstd (reference ingests
+    zstd through its vendored lib, GemmiWrapper.cpp load)."""
+    import gzip
+
+    import pytest
+
+    from foldseek_tpu.utils import zstd
+    if not zstd.available():
+        pytest.skip("libzstd not on this system")
+    raw = gzip.open(example_dir / "1tim.pdb.gz", "rb").read()
+    assert zstd.decompress(zstd.compress(raw)) == raw
+    p = tmp_path / "1tim.pdb.zst"
+    p.write_bytes(zstd.compress(raw))
+    from foldseek_tpu.ingest.createdb import create_db
+    db = create_db([str(p)], str(tmp_path / "db"))
+    dbg = create_db([str(example_dir / "1tim.pdb.gz")], str(tmp_path / "dbg"))
+    assert db.size == dbg.size == 2
+    assert [db.get_ss_str(i) for i in range(2)] == [dbg.get_ss_str(i) for i in range(2)]
+    assert db.names == dbg.names

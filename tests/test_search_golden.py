@@ -70,3 +70,16 @@ def test_easy_search_alt_alignments(example_dir, golden_dir, tmp_path):
                         str(tmp_path / "alt.m8"), str(tmp_path / "tmp"), params)
     golden = [l.rstrip("\n") for l in open(golden_dir / "tim_altali.m8")]
     assert lines == golden
+
+
+def test_alignment_type_3di_only(example_dir, golden_dir, tmp_path):
+    """--alignment-type 0: 3Di-only scoring (zero AA matrix AND zero biases,
+    structurealign.cpp:264-265 + StructureSmithWaterman.cpp:1564-1574).
+    Golden from the reference binary."""
+    from foldseek_tpu.cli import main
+    out = tmp_path / "at0.m8"
+    rc = main(["easy-search", str(example_dir / "1tim.pdb.gz"),
+               str(example_dir / "8tim.pdb.gz"), str(out), str(tmp_path / "tmp"),
+               "--alignment-type", "0", "--exhaustive-search", "1", "-v", "1"])
+    assert rc == 0
+    assert out.read_text() == (golden_dir / "tim_at0.m8").read_text()
