@@ -42,6 +42,8 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("--max-rejected", type=int, default=2**31 - 1)
     p.add_argument("--alt-ali", dest="alt_alignment", type=int, default=0)
     p.add_argument("--num-iterations", type=int, default=1)
+    p.add_argument("--cluster-search", type=int, default=0,
+                   help="1: search cluster reps, expand hits to members")
     p.add_argument("--index-server", type=str, default="")
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("-v", "--verbosity", type=int, default=3)
@@ -57,6 +59,7 @@ def params_from_args(args) -> SearchParams:
         lddt_threshold=args.lddt_threshold,
         sort_by_structure_bits=bool(args.sort_by_structure_bits),
         exhaustive_search=bool(args.exhaustive_search),
+        cluster_search=getattr(args, "cluster_search", 0),
         prefilter_mode=args.prefilter_mode,
         comp_bias_correction=bool(args.comp_bias_corr),
         exact_tmscore=bool(args.exact_tmscore),
@@ -125,9 +128,10 @@ def cmd_search(argv):
     qdb = load_db(args.query_db)
     tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
     params = params_from_args(args)
-    params.add_backtrace = True
+    # backtrace only with -a, like the reference search (its convertalis
+    # derives alnlen/mismatch from spans when no backtrace is stored)
     results = search(qdb, tdb, params)
-    write_result_db(results, args.result, add_backtrace=True)
+    write_result_db(results, args.result, add_backtrace=params.add_backtrace)
     return 0
 
 
@@ -144,7 +148,15 @@ def cmd_convertalis(argv):
     from .search.convertalis import format_results, needs_backtrace
     from .search.resultdb import read_result_db
     qdb = load_db(args.query_db)
-    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    if args.target_db == args.query_db:
+        tdb = qdb
+    else:
+        from .db.storage import is_db
+        # clustered search DB: display against the full _seq DB, which holds
+        # the member entries expanded results point at (the reference resolves
+        # this via the extended dbtype + combined _seq index)
+        seq_path = args.target_db + "_seq"
+        tdb = load_db(seq_path if is_db(seq_path) else args.target_db)
     results, has_bt = read_result_db(args.result_db)
     lines = format_results(qdb, tdb, results, args.format_output,
                            with_backtrace=has_bt and needs_backtrace(args.format_output) or has_bt)
@@ -418,6 +430,35 @@ def cmd_compressca(argv):
     return 0
 
 
+def cmd_createclusearchdb(argv):
+    """Representatives + _seq + _clu triple for --cluster-search
+    (reference: lib/mmseqs/src/util/createclusterdb.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu createclusearchdb")
+    p.add_argument("sequence_db")
+    p.add_argument("cluster_tsv", help="cluster result: rep\\tmember lines "
+                   "(names or keys), e.g. easy-cluster's _cluster.tsv")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.clusearch import create_clusearch_db
+    db = load_db(args.sequence_db)
+    name_to_key = {db.names[i]: int(db.keys[i]) for i in range(db.size)}
+
+    def resolve(tok: str) -> int:
+        if tok in name_to_key:
+            return name_to_key[tok]
+        return int(tok)
+
+    clusters = {}
+    for line in open(args.cluster_tsv):
+        r, m = line.rstrip("\n").split("\t")[:2]
+        clusters.setdefault(resolve(r), []).append(resolve(m))
+    create_clusearch_db(db, clusters, args.output_db)
+    return 0
+
+
 def cmd_createsubdb(argv):
     p = argparse.ArgumentParser(prog="foldseek-tpu createsubdb")
     p.add_argument("id_list", help="file with one key or entry name per line")
@@ -630,6 +671,7 @@ COMMANDS = {
     "gpuserver": (cmd_indexserver, "Alias of indexserver"),
     "compressca": (cmd_compressca, "Re-encode C-alpha coords as int16 diffs (6 B/residue)"),
     "createsubdb": (cmd_createsubdb, "Subset a structure DB by key/name list"),
+    "createclusearchdb": (cmd_createclusearchdb, "Build a clustered search DB for --cluster-search"),
     "databases": (cmd_databases, "List/download prebuilt structure databases"),
     "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
     "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),

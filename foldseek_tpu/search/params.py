@@ -45,6 +45,9 @@ class SearchParams:
 
     # iterative profile search (--num-iterations)
     num_iterations: int = 1
+    # search cluster representatives then expand hits through members
+    # (--cluster-search, StructureSearch.cpp:193-247)
+    cluster_search: int = 0
 
     # prefilter
     prefilter_mode: int = PREF_MODE_KMER

@@ -38,8 +38,30 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
            same_db: Optional[bool] = None) -> Dict[int, List[AlnResult]]:
     if same_db is None:
         same_db = qdb.path == tdb.path
+    if params.cluster_search:
+        # search representatives, expand hits to cluster members, re-align
+        # against the full _seq DB (data/structuresearch.sh:125-140)
+        from .clusearch import expand_hits, load_clusearch
+        loaded = load_clusearch(tdb.path)
+        if loaded is None:
+            raise ValueError(
+                f"--cluster-search requires {tdb.path}_seq and "
+                f"{tdb.path}_clu.tsv (run createclusearchdb)")
+        rep_db, seq_db, clu_map = loaded
+        from dataclasses import replace
+        first = search(qdb, rep_db, replace(params, cluster_search=0),
+                       same_db=False)
+        with Timer("expand(cluster-search)"):
+            expanded = expand_hits(first, clu_map)
+        return _align_stage(qdb, seq_db, expanded, params, same_db=False)
     with Timer("prefilter"):
         pref = run_prefilter(qdb, tdb, params)
+    return _align_stage(qdb, tdb, pref, params, same_db=same_db)
+
+
+def _align_stage(qdb: StructDB, tdb: StructDB, pref: Dict[int, List[int]],
+                 params: SearchParams,
+                 same_db: bool) -> Dict[int, List[AlnResult]]:
     if params.alignment_type == 1:  # TM-align (StructureSearch.cpp:128-135)
         from .tmalign_stage import tmalign_all
         with Timer("tmalign"):
