@@ -7,16 +7,21 @@ alphabet (the 3Di seed matrix at bit scale 2.0 + query composition bias,
 ungappedprefilter.cpp:533,185-193); a dual-alphabet (3Di+AA) variant is also
 provided as a more sensitive TPU-only mode.
 
-Layout (chosen around Mosaic's lane-gather support: take_along_axis along
-lanes works within one 128-lane vreg):
-  * targets on LANES: one kernel instance scans 128 targets
-  * query positions on SUBLANES: DP state h/best [Lq, 128] f32 lives in VMEM
-    for the whole scan (the XLA version round-trips it through HBM and is
-    HBM-bound at ~56 GCUPS; this kernel measures ~134-180 GCUPS/chip)
-  * profile as [Lq, 128] lane table (lanes 0..20 = letter scores, lane 21 =
-    very negative pad letter), so a column's scores are one lane-gather
+Layout (MXU-scored):
+  * targets on LANES: one kernel instance scans a block of 256 targets
+  * per column, letter scores come from the MXU: the target column is
+    expanded to a one-hot [32, blk] bf16 mask via an iota compare and
+    multiplied against the [Lq, 32] profile (dot_general, f32 accumulate).
+    This moved scoring off the VPU — the lane-gather version saturated the
+    VPU at ~290 GCUPS/chip; with the MXU doing scores and the VPU only the
+    DP update (shift, add, max), the same chip measures ~467 GCUPS.
+  * DP state h/best [Lq, blk] f32 lives in VMEM for the whole scan (an
+    XLA-level scan round-trips it through HBM and is HBM-bound ~56-119)
   * targets arrive transposed [Lt, B] int32, padded positions = letter 21
+    (profile lanes 21..31 hold a very negative pad score)
   * diagonal shift = sublane shift (concat)
+  * the column loop is unrolled 32x inside fori_loop — Mosaic loses ~15%
+    to loop overhead below 16 and regresses past 48
 """
 from __future__ import annotations
 
@@ -36,22 +41,33 @@ def _interpret() -> bool:
 
 NEG = -3e8  # pad-letter score; finite to keep adds well-defined
 PAD_LETTER = 21
+PROF_LANES = 32  # letter axis padded to one MXU-friendly tile
 
 
-def _make_kernel_single(use_cap: bool, unroll: int = 4):
+def _pick_unroll(lt: int) -> int:
+    for u in (32, 16, 8, 4, 2):
+        if lt % u == 0:
+            return u
+    return 1
+
+
+def _make_kernel_single(use_cap: bool, blk: int, unroll: int):
     def kernel(prof_ref, t_ref, cap_ref, out_ref):
         Lt = t_ref.shape[0]
         Lq = prof_ref.shape[0]
-        B = 128
+        prof = prof_ref[:].astype(jnp.bfloat16)
         # byte-saturation emulation: the reference's uint8 kernel clamps the
         # running score at 255 - bias (StripedSmithWaterman.cpp:1862-1866
         # with bias from ssw_init :1397-1406)
-        cap = jnp.broadcast_to(cap_ref[pl.ds(0, 1), :], (Lq, B)) if use_cap else None
+        cap = jnp.broadcast_to(cap_ref[pl.ds(0, 1), :], (Lq, blk)) if use_cap else None
 
         def one_col(j, h, best):
-            idx = jnp.broadcast_to(t_ref[pl.ds(j, 1), :], (Lq, B))
-            s = jnp.take_along_axis(prof_ref[:], idx, axis=1)
-            diag = jnp.concatenate([jnp.zeros((1, B), jnp.float32), h[:-1, :]], axis=0)
+            tcol = t_ref[pl.ds(j, 1), :]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (PROF_LANES, blk), 0)
+            oh = (iota == jnp.broadcast_to(tcol, (PROF_LANES, blk))).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(prof, oh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            diag = jnp.concatenate([jnp.zeros((1, blk), jnp.float32), h[:-1, :]], axis=0)
             h = jnp.maximum(diag + s, 0.0)
             if use_cap:
                 h = jnp.minimum(h, cap)
@@ -63,42 +79,57 @@ def _make_kernel_single(use_cap: bool, unroll: int = 4):
                 h, best = one_col(k * unroll + u, h, best)
             return h, best
 
-        h0 = jnp.zeros((Lq, B), dtype=jnp.float32)
+        h0 = jnp.zeros((Lq, blk), dtype=jnp.float32)
         assert Lt % unroll == 0
         _, best = jax.lax.fori_loop(0, Lt // unroll, col_body, (h0, h0))
         out_ref[:] = jnp.max(best, axis=0, keepdims=True)
     return kernel
 
 
-def _kernel_dual(paa_ref, pss_ref, taa_ref, tss_ref, out_ref):
-    Lt = taa_ref.shape[0]
-    Lq = paa_ref.shape[0]
-    B = 128
+def _make_kernel_dual(blk: int, unroll: int):
+    def kernel(paa_ref, pss_ref, taa_ref, tss_ref, out_ref):
+        Lt = taa_ref.shape[0]
+        Lq = paa_ref.shape[0]
+        paa = paa_ref[:].astype(jnp.bfloat16)
+        pss = pss_ref[:].astype(jnp.bfloat16)
 
-    def col_body(j, carry):
-        h, best = carry
-        idx_aa = jnp.broadcast_to(taa_ref[pl.ds(j, 1), :], (Lq, B))
-        idx_ss = jnp.broadcast_to(tss_ref[pl.ds(j, 1), :], (Lq, B))
-        s = (jnp.take_along_axis(paa_ref[:], idx_aa, axis=1)
-             + jnp.take_along_axis(pss_ref[:], idx_ss, axis=1))
-        diag = jnp.concatenate([jnp.zeros((1, B), jnp.float32), h[:-1, :]], axis=0)
-        h = jnp.maximum(diag + s, 0.0)
-        best = jnp.maximum(best, h)
-        return h, best
+        def one_col(j, h, best):
+            iota = jax.lax.broadcasted_iota(jnp.int32, (PROF_LANES, blk), 0)
+            oh_aa = (iota == jnp.broadcast_to(taa_ref[pl.ds(j, 1), :],
+                                              (PROF_LANES, blk))).astype(jnp.bfloat16)
+            oh_ss = (iota == jnp.broadcast_to(tss_ref[pl.ds(j, 1), :],
+                                              (PROF_LANES, blk))).astype(jnp.bfloat16)
+            s = (jax.lax.dot_general(paa, oh_aa, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(pss, oh_ss, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+            diag = jnp.concatenate([jnp.zeros((1, blk), jnp.float32), h[:-1, :]], axis=0)
+            h = jnp.maximum(diag + s, 0.0)
+            return h, jnp.maximum(best, h)
 
-    h0 = jnp.zeros((Lq, B), dtype=jnp.float32)
-    _, best = jax.lax.fori_loop(0, Lt, col_body, (h0, h0))
-    out_ref[:] = jnp.max(best, axis=0, keepdims=True)
+        def col_body(k, carry):
+            h, best = carry
+            for u in range(unroll):
+                h, best = one_col(k * unroll + u, h, best)
+            return h, best
+
+        h0 = jnp.zeros((Lq, blk), dtype=jnp.float32)
+        _, best = jax.lax.fori_loop(0, Lt // unroll, col_body, (h0, h0))
+        out_ref[:] = jnp.max(best, axis=0, keepdims=True)
+    return kernel
 
 
 def pack_profile(prof: np.ndarray, pad_score: float = NEG) -> np.ndarray:
-    """[21, Lq] int profile -> [Lq, 128] f32 lane table; lane 21 = pad letter.
+    """[21, Lq] int profile -> [Lq, 32] f32 lane table; lanes 21..31 = pad.
     Padded query rows should already be very negative in `prof`."""
     Lq = prof.shape[1]
-    out = np.zeros((Lq, 128), dtype=np.float32)
+    out = np.full((Lq, PROF_LANES), pad_score, dtype=np.float32)
     out[:, :21] = prof.T.astype(np.float32)
-    out[:, PAD_LETTER] = pad_score
     return out
+
+
+def _pick_blk(b: int) -> int:
+    return 256 if b % 256 == 0 else 128
 
 
 @functools.partial(jax.jit, static_argnames=("use_cap",))
@@ -106,7 +137,7 @@ def gapless_scores_single(prof: jax.Array, t_T: jax.Array,
                           cap: jax.Array = None, use_cap: bool = True) -> jax.Array:
     """Single-alphabet gapless scores (reference prefilter semantics).
 
-    prof: f32 [Lq, 128] packed lane table; t_T: int32 [Lt, B] transposed
+    prof: f32 [Lq, 32] packed lane table; t_T: int32 [Lt, B] transposed
     targets with pad letter 21; cap: f32 scalar-ish [1, 1] running-score clamp
     (255 - byte bias; use_cap=False statically elides it). Returns f32 [B]."""
     Lt, B = t_T.shape
@@ -115,18 +146,19 @@ def gapless_scores_single(prof: jax.Array, t_T: jax.Array,
     if cap is None:
         cap = jnp.float32(3e8)
         use_cap = False
-    cap_arr = jnp.broadcast_to(jnp.asarray(cap, jnp.float32), (1, 128))
-    unroll = 4 if Lt % 4 == 0 else (2 if Lt % 2 == 0 else 1)
+    blk = _pick_blk(B)
+    cap_arr = jnp.broadcast_to(jnp.asarray(cap, jnp.float32), (1, blk))
+    unroll = _pick_unroll(Lt)
     out = pl.pallas_call(
-        _make_kernel_single(use_cap, unroll),
+        _make_kernel_single(use_cap, blk, unroll),
         interpret=_interpret(),
-        grid=(B // 128,),
+        grid=(B // blk,),
         in_specs=[
-            pl.BlockSpec((Lq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lt, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, PROF_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
     )(prof, t_T.astype(jnp.int32), cap_arr)
     return out[0]
@@ -137,19 +169,20 @@ def gapless_scores_dual(paa: jax.Array, pss: jax.Array,
                         t_aa_T: jax.Array, t_ss_T: jax.Array) -> jax.Array:
     """Dual-alphabet (3Di + AA) gapless scores — more sensitive TPU-only mode."""
     Lt, B = t_aa_T.shape
-    Lq = paa.shape[0]
     assert B % 128 == 0
+    blk = _pick_blk(B)
+    unroll = _pick_unroll(Lt)
     out = pl.pallas_call(
-        _kernel_dual,
+        _make_kernel_dual(blk, unroll),
         interpret=_interpret(),
-        grid=(B // 128,),
+        grid=(B // blk,),
         in_specs=[
-            pl.BlockSpec((Lq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lt, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lt, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((paa.shape[0], PROF_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pss.shape[0], PROF_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
     )(paa, pss, t_aa_T.astype(jnp.int32), t_ss_T.astype(jnp.int32))
     return out[0]

@@ -26,9 +26,13 @@ def lolalign_all(qdb: StructDB, tdb: StructDB,
                  params: SearchParams, same_db: bool) -> Dict[int, List[AlnResult]]:
     tkey_to_idx = tdb.key_to_index()
     qkey_to_idx = qdb.key_to_index()
-    # aaFactor 0 unless 3Di+AA mode (tmalign.cpp:51); alignment-type 3 -> 0
-    sub_aa = (blosum62(1.4).scores if params.alignment_type == 2
-              else np.zeros((21, 21), dtype=np.float32))
+    # The workflow invokes the lolalign module WITHOUT forwarding
+    # --alignment-type (createParameterString(par.lolalign),
+    # StructureSearch.cpp:143), so the module's own alignmentType stays at
+    # its default 2 and aaFactor is always 1.4 (tmalign.cpp:51) — the AA
+    # matrix is blosum at bit factor 1.4, then computeDiScore multiplies by
+    # 1.4 again (LoLAlign.cpp:723).
+    sub_aa = blosum62(1.4).scores.astype(np.float32)
     multi_domain = True  # --lolalign-multidomain default 1 (LocalParameters.cpp:365)
     out: Dict[int, List[AlnResult]] = {}
     n_q = len(prefilter)
