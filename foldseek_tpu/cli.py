@@ -430,6 +430,140 @@ def cmd_compressca(argv):
     return 0
 
 
+def _cmd_module_align(argv, prog: str, forced_type=None):
+    """Module-level aligner verbs (structurealign/tmalign/lolalign/
+    rescorediagonal): re-align an existing result DB's candidate pairs
+    (reference: src/strucclustutils/{structurealign,tmalign}.cpp drivers)."""
+    p = argparse.ArgumentParser(prog=f"foldseek-tpu {prog}")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("aln_db")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.pipeline import _align_stage
+    from .search.resultdb import read_result_db, write_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    results_in, _ = read_result_db(args.result_db)
+    pref = {qk: [r.db_key for r in rs] for qk, rs in results_in.items()}
+    params = params_from_args(args)
+    if forced_type is not None:
+        params.alignment_type = forced_type
+    out = _align_stage(qdb, tdb, pref, params,
+                       same_db=args.target_db == args.query_db)
+    write_result_db(out, args.aln_db, add_backtrace=params.add_backtrace)
+    return 0
+
+
+def cmd_structurealign(argv):
+    return _cmd_module_align(argv, "structurealign")
+
+
+def cmd_tmalign(argv):
+    return _cmd_module_align(argv, "tmalign", forced_type=1)
+
+
+def cmd_lolalign(argv):
+    return _cmd_module_align(argv, "lolalign", forced_type=3)
+
+
+def cmd_rescorediagonal(argv):
+    """Ungapped diagonal rescore of a result DB
+    (reference: src/strucclustutils/structurerescorediagonal.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu structurerescorediagonal")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("aln_db")
+    p.add_argument("--min-diag-score", type=int, default=30)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .cluster.rescorediagonal import rescore_all
+    from .db.storage import load_db
+    from .search.params import SearchParams
+    from .search.resultdb import read_result_db, write_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    results_in, _ = read_result_db(args.result_db)
+    # diagonal recovered from the stored start positions (prefilter entries
+    # carry it directly in the reference)
+    pref = {qk: [(r.db_key, r.q_start - r.t_start) for r in rs]
+            for qk, rs in results_in.items()}
+    out = rescore_all(qdb, tdb, pref, SearchParams(),
+                      same_db=args.target_db == args.query_db)
+    write_result_db(out, args.aln_db, add_backtrace=False)
+    return 0
+
+
+def cmd_clust(argv):
+    """Cluster an alignment result DB (set-cover/CC/greedy)
+    (reference: lib/mmseqs/src/clustering)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu clust")
+    p.add_argument("sequence_db")
+    p.add_argument("result_db")
+    p.add_argument("cluster_tsv")
+    p.add_argument("--cluster-mode", type=int, default=0,
+                   help="0 set-cover, 1 connected-component, 2 greedy")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .cluster.workflow import (_edges_from_alignments, pairs_to_clusters,
+                                   run_clust, write_cluster_tsv)
+    from .db.storage import load_db
+    from .search.resultdb import read_result_db
+    db = load_db(args.sequence_db)
+    results, _ = read_result_db(args.result_db)
+    pairs = run_clust([int(k) for k in db.keys], db.lengths(),
+                      _edges_from_alignments(results), args.cluster_mode)
+    write_cluster_tsv(db, pairs_to_clusters(pairs), args.cluster_tsv)
+    return 0
+
+
+def cmd_rbh(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu rbh")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("aln_db")
+    p.add_argument("tmp_dir")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.rbh import rbh
+    from .search.resultdb import write_result_db
+    qdb = load_db(args.query_db)
+    tdb = load_db(args.target_db)
+    results = rbh(qdb, tdb, params_from_args(args))
+    write_result_db(results, args.aln_db, add_backtrace=False)
+    return 0
+
+
+def cmd_multimersearch(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu multimersearch")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("tmp_dir")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .multimer.workflow import multimer_search
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    lines = multimer_search(qdb, tdb, params_from_args(args))
+    with open(args.result_db, "w") as f:
+        f.write("#foldseek-tpu complexres v1\n")
+        for qkey in sorted(lines):
+            for line in lines[qkey]:
+                f.write(f"{qkey}\t{line}\n")
+    return 0
+
+
 def cmd_createclusearchdb(argv):
     """Representatives + _seq + _clu triple for --cluster-search
     (reference: lib/mmseqs/src/util/createclusterdb.cpp)."""
@@ -672,6 +806,14 @@ COMMANDS = {
     "compressca": (cmd_compressca, "Re-encode C-alpha coords as int16 diffs (6 B/residue)"),
     "createsubdb": (cmd_createsubdb, "Subset a structure DB by key/name list"),
     "createclusearchdb": (cmd_createclusearchdb, "Build a clustered search DB for --cluster-search"),
+    "structurealign": (cmd_structurealign, "Re-align a result DB with the dual-alphabet SW aligner"),
+    "tmalign": (cmd_tmalign, "Re-align a result DB with TM-align"),
+    "lolalign": (cmd_lolalign, "Re-align a result DB with LoLalign"),
+    "structurerescorediagonal": (cmd_rescorediagonal, "Ungapped diagonal rescore of a result DB"),
+    "clust": (cmd_clust, "Cluster an alignment result DB (set-cover/CC/greedy)"),
+    "rbh": (cmd_rbh, "Reciprocal best hit on prebuilt DBs"),
+    "multimersearch": (cmd_multimersearch, "Complex search on prebuilt DBs"),
+    "complexsearch": (cmd_multimersearch, "Alias of multimersearch"),
     "databases": (cmd_databases, "List/download prebuilt structure databases"),
     "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
     "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),

@@ -119,10 +119,13 @@ class DiagonalRescorer:
                                                   t_ss[dist:dist + n], t_aa[dist:dist + n]))
                 # reference quirk (:96-100): the "3Di" track of the second
                 # sequence is the reversed-query AA numbering, the AA track
-                # pairs the forward query against the target.
-                rev = _ungapped(
-                    self.sub3di[qr_ss[:n], qr_aa[dist:dist + n]]
-                    + self.subaa[q_aa[:n], t_aa[dist:dist + n]])
+                # pairs the forward query against the target. When
+                # dist+n > q_len the reference reads past the reversed query
+                # buffer (UB); clamp to the in-bounds prefix instead.
+                n2 = min(n, q_len - dist) if dist < q_len else 0
+                rev_sc = (self.sub3di[qr_ss[:n2], qr_aa[dist:dist + n2]]
+                          + self.subaa[q_aa[:n2], t_aa[dist:dist + n2]])
+                rev = _ungapped(rev_sc) if n2 > 0 else _Local(0, 0, 0)
                 res = fwd
                 score = fwd.score - rev.score
             # else: out-of-range diagonal keeps the zero-initialized result
