@@ -9,8 +9,13 @@ Port of the MMseqs2 PSSM pipeline with position-based sequence weighting
 per-position probabilities; integer scores are regenerated at the search
 bit scales exactly like substitution matrices (structurealign.cpp:252-265).
 
-Uses the simple sequence-weight path (the reference's --wg 1); the
-context-specific HH-suite weighting is a TODO.
+Both weighting paths are implemented: the default position-specific
+(context-specific HH-suite) weighting (--wg 0,
+PSSMCalculator::computeContextSpecificWeights :412-588) and the simple
+global-weight path (--wg 1). The MSA redundancy filter
+(lib/mmseqs/src/alignment/MsaFilter.cpp:85-556: coverage / qsc /
+qid / position-dependent max-pairwise-identity) runs before profile
+construction like the reference's --filter-msa 1 default.
 """
 from __future__ import annotations
 
@@ -55,29 +60,315 @@ def _build_msa(q_seq: np.ndarray, results: List[AlnResult],
     return np.stack(rows)
 
 
-def compute_pssm_probs(msa: np.ndarray, p_back: np.ndarray,
-                       pseudo_counts: np.ndarray,
-                       pca: float = PCA, pcb: float = PCB) -> np.ndarray:
-    """MSA [K, L] -> per-position probabilities [L, 20]."""
+def _henikoff_weights(msa: np.ndarray) -> np.ndarray:
+    """Global position-based sequence weights, normalized to 1
+    (PSSMCalculator::computeSequenceWeights :311-373)."""
     K, L = msa.shape
     valid = msa != GAP
     counted = valid & (msa < N_AA)
-
-    # Henikoff position-based weights (computeSequenceWeights)
     n_res = valid.sum(axis=1).astype(np.float64)
     w = np.full(K, 1e-6)
     for pos in range(L):
         col = msa[:, pos]
-        aa_col = col[counted[:, pos]]
+        sel = counted[:, pos]
+        aa_col = col[sel]
         if len(aa_col) == 0:
             continue
         nl = np.bincount(aa_col, minlength=N_AA)
         distinct = int((nl > 0).sum())
         if distinct == 0:
             continue
-        sel = counted[:, pos]
         w[sel] += 1.0 / (nl[col[sel]] * distinct * (n_res[sel] + 30.0))
-    w /= w.sum()
+    return w / w.sum()
+
+
+_ANY = 20      # X
+_GAP_I = 21    # internal gap code (MultipleAlignment::GAP)
+_ENDGAP = 22
+
+
+def _context_specific_weights(msa: np.ndarray, w_global: np.ndarray,
+                              p_back: np.ndarray):
+    """Position-specific sequence weights + per-column Neff
+    (PSSMCalculator::computeContextSpecificWeights :412-588).
+
+    Per column i, a subalignment of the sequences with a residue at i is
+    weighted 1/(#distinct aa * count) summed over its well-covered columns;
+    Neff[i] is the exponentiated mean column entropy of that subalignment.
+    Returns (match [L,20] row-normalized with p_back fallback, neff [L])."""
+    MAXENDGAPFRAC = 0.1
+    NCOLMIN = 20
+    K, L = msa.shape
+    X = np.where(msa == GAP, _GAP_I, np.minimum(msa, _ANY)).astype(np.int64)
+    # leading/trailing gaps become ENDGAP
+    for k in range(K):
+        j = 0
+        while j < L and X[k, j] == _GAP_I:
+            X[k, j] = _ENDGAP
+            j += 1
+        j = L - 1
+        while j >= 0 and X[k, j] == _GAP_I:
+            X[k, j] = _ENDGAP
+            j -= 1
+    included = X < _ANY            # [K, L]
+    cols = np.arange(L)
+
+    n = np.zeros((L, 23), dtype=np.int64)   # residue counts per column over the subalignment
+    wi = np.zeros(K, dtype=np.float64)
+    prev_in = np.zeros(K, dtype=bool)
+    nseqi = 0
+    match = np.zeros((L, N_AA), dtype=np.float64)
+    neff = np.zeros(L, dtype=np.float64)
+
+    for i in range(L):
+        inc = included[:, i]
+        enter = inc & ~prev_in
+        leave = prev_in & ~inc
+        change = bool(enter.any() or leave.any())
+        for k in np.nonzero(enter)[0]:
+            np.add.at(n, (cols, X[k]), 1)
+        for k in np.nonzero(leave)[0]:
+            np.add.at(n, (cols, X[k]), -1)
+        nseqi += int(enter.sum()) - int(leave.sum())
+        prev_in = inc
+
+        if change:
+            endgap_ok = n[:, _ENDGAP] <= MAXENDGAPFRAC * nseqi
+            jmin = 0
+            while jmin < L and not endgap_ok[jmin]:
+                jmin += 1
+            jmax = L - 1
+            while jmax >= 0 and not endgap_ok[jmax]:
+                jmax -= 1
+            ncol = jmax - jmin + 1
+            if ncol < NCOLMIN:
+                wi = np.where(inc, w_global, 0.0)
+            else:
+                sub = slice(jmin, jmax + 1)
+                naa = (n[sub, :N_AA] > 0).sum(axis=1)            # [ncol]
+                with np.errstate(divide="ignore"):
+                    contrib = np.where(
+                        n[sub, :N_AA] > 0,
+                        1.0 / (naa[:, None] * n[sub, :N_AA]), 0.0)
+                contrib_ext = np.zeros((ncol, 23))
+                contrib_ext[:, :N_AA] = contrib
+                wi = np.full(K, 1e-8)
+                sel = np.nonzero(inc)[0]
+                if len(sel):
+                    wi[sel] += contrib_ext[
+                        np.arange(ncol)[None, :], X[sel, sub]].sum(axis=1)
+            # Neff[i] from weighted column frequencies of the subalignment
+            sub = slice(jmin, jmax + 1) if ncol > 0 else slice(0, 0)
+            f = np.zeros((max(ncol, 0), N_AA), dtype=np.float64)
+            sel = np.nonzero(inc)[0]
+            for k in sel:
+                xs = X[k, sub]
+                ok = xs < N_AA
+                np.add.at(f, (np.nonzero(ok)[0], xs[ok]), wi[k])
+            s = f.sum(axis=1, keepdims=True)
+            f = np.divide(f, s, out=np.zeros_like(f), where=s > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = -np.where(f > 1e-10, f * np.log2(f, where=f > 0), 0.0).sum()
+            neff[i] = np.exp2(ent / ncol) if ncol > 0 else 1.0
+        else:
+            neff[i] = neff[i - 1] if i > 0 else 0.0
+
+        # column frequencies from the current wi (persisting across columns)
+        col = X[:, i]
+        ok = col < N_AA
+        np.add.at(match[i], col[ok], wi[ok])
+        s = match[i].sum()
+        if s > 0:
+            match[i] /= s
+        else:
+            match[i] = p_back[:N_AA] / p_back[:N_AA].sum()
+    return match, neff
+
+
+def msa_filter(msa: np.ndarray, sub_scores: np.ndarray,
+               coverage: int = 0, qid: int = 0, qsc: float = -20.0,
+               max_seqid: int = 90, ndiff: int = 1000,
+               filter_min_enable: int = 0, block: int = 32) -> np.ndarray:
+    """MSA redundancy filter -> kept mask [K]; row 0 (query) is always kept
+    (MsaFilter::filter, lib/mmseqs/src/alignment/MsaFilter.cpp:85-556).
+
+    block=32 matches the AVX2 build's 32-byte SIMD stride, which widens the
+    pairwise-identity window to block boundaries (:446-489)."""
+    PLTY_GAPOPEN, PLTY_GAPEXTD = 6.0, 1.0
+    WFIL = 25
+    K, L = msa.shape
+    X = np.where(msa == GAP, _GAP_I, np.minimum(msa, _ANY)).astype(np.int64)
+    keep = np.ones(K, dtype=np.int8)
+    keep[0] = 2
+    if K < filter_min_enable:
+        return keep > 0
+
+    aa = X < N_AA
+    first = np.argmax(aa, axis=1)
+    last = L - 1 - np.argmax(aa[:, ::-1], axis=1)
+    first = np.where(aa.any(axis=1), first, 0)
+    last = np.where(aa.any(axis=1), last, 0)
+    nres = aa.sum(axis=1)
+    keep[nres == 0] = 0
+
+    # coverage / qsc / qid gates vs the query (:256-318)
+    q = X[0]
+    for k in range(1, K):
+        if keep[k] == 0:
+            continue
+        if 100 * nres[k] < coverage * L:
+            keep[k] = 0
+            continue
+        if qsc > -10:
+            qsc_sum = 0.0
+            gapq = gapk = 0
+            for i in range(first[k], last[k] + 1):
+                if X[k, i] < N_AA:
+                    gapk = 0
+                    if q[i] < N_AA:
+                        gapq = 0
+                        qsc_sum += float(sub_scores[q[i], X[k, i]])
+                    elif q[i] == _ANY:
+                        continue
+                    else:
+                        qsc_sum -= PLTY_GAPEXTD if gapq else PLTY_GAPOPEN
+                        gapq += 1
+                elif X[k, i] == _ANY:
+                    continue
+                elif q[i] < N_AA:
+                    gapq = 0
+                    qsc_sum -= PLTY_GAPEXTD if gapk else PLTY_GAPOPEN
+                    gapk += 1
+            if qsc_sum < qsc * nres[k]:
+                keep[k] = 0
+                continue
+        qdiff_max_frac = 0.9999 - 0.01 * qid
+        if qdiff_max_frac < 0.999:
+            qdiff_max = int(qdiff_max_frac * nres[k] + 0.9999)
+            span = slice(first[k], last[k] + 1)
+            diff = int(((X[k, span] < N_AA) & (X[k, span] != q[span])).sum())
+            if diff >= qdiff_max:
+                keep[k] = 0
+                continue
+
+    if not (keep > 0).any():
+        keep[0] = 1
+
+    # position-dependent max-pairwise-identity pass (:352-520). With the
+    # default Ndiff >= K this collapses to a single sweep at max_seqid.
+    if ndiff <= 0 or ndiff >= K:
+        seqid1 = max_seqid
+        ndiff = K
+    else:
+        seqid1 = 20
+    if seqid1 > max_seqid:
+        return keep > 0
+
+    order = np.concatenate([[0], 1 + np.argsort(-nres[1:], kind="stable")])
+    in_k = (keep == 2).astype(np.int8)
+    N = np.zeros(L, dtype=np.int64)
+    N[first[0]:last[0] + 1] = 1
+    Nmax = np.zeros(L, dtype=np.int64)
+    idmaxwin = np.full(L, -1, dtype=np.int64)
+    seqid_prev = np.full(K, -1, dtype=np.int64)
+    inkk = in_k[order].copy()
+    seqid = seqid1
+    seqid_step = 0
+    diffNmax = ndiff
+    while seqid <= max_seqid:
+        stop = True
+        diffNmax_prev = diffNmax
+        diffNmax = 0
+        for i in range(L):
+            lo = max(0, min(L - 2 * WFIL + 1, i - WFIL))
+            hi = min(L, max(2 * WFIL, i + WFIL))
+            m = int(N[lo:hi].max()) if hi > lo else 0
+            if Nmax[i] < m:
+                Nmax[i] = m
+            if Nmax[i] < ndiff:
+                stop = False
+                idmaxwin[i] = seqid
+                diffNmax = max(diffNmax, ndiff - Nmax[i])
+        if stop:
+            break
+        for kk in range(K):
+            if inkk[kk]:
+                continue
+            k = order[kk]
+            if keep[k] == 0:
+                continue
+            if keep[k] == 2:
+                inkk[kk] = 2
+                continue
+            if seqid >= 100:
+                in_k[k] = inkk[kk] = 1
+                continue
+            seqidk = max(seqid1, int(idmaxwin[first[k]:last[k] + 1].max())
+                         if last[k] >= first[k] else seqid1)
+            if seqid == seqid_prev[k]:
+                continue
+            seqid_prev[k] = seqid
+            diff_min_frac = 0.9999 - 0.01 * seqidk
+            accepted = True
+            for jj in range(kk):
+                if not inkk[jj]:
+                    continue
+                j = order[jj]
+                first_kj = max(first[k], first[j])
+                last_kj = min(last[k], last[j])
+                cov_kj = last_kj - first_kj + 1
+                diff_suff = int(diff_min_frac * min(nres[k], cov_kj) + 0.999)
+                # SIMD-block-extended scan (AVX2: 32-byte blocks)
+                b0 = (first_kj // block) * block
+                b1 = (last_kj // block + 1) * block
+                cov_kj += (first_kj - b0) + (b1 - (last_kj + 1))
+                xk = X[k, b0:min(b1, L)]
+                xj = X[j, b0:min(b1, L)]
+                if b1 > L:  # past-the-end bytes are GAP in the reference buffers
+                    pad = np.full(b1 - L, _GAP_I, dtype=np.int64)
+                    xk = np.concatenate([xk, pad])
+                    xj = np.concatenate([xj, pad])
+                no_aa = (xk >= N_AA) | (xj >= N_AA)
+                neq = (~no_aa) & (xk != xj)
+                # per-block early exit like the reference's `diff < diff_suff`
+                nblocks = (b1 - b0) // block
+                diff = 0
+                covs = cov_kj
+                for bi in range(nblocks):
+                    if diff >= diff_suff:
+                        break
+                    s = slice(bi * block, (bi + 1) * block)
+                    covs -= int(no_aa[s].sum())
+                    diff += int(neq[s].sum())
+                if diff < diff_suff and diff <= diff_min_frac * covs and covs > 0:
+                    accepted = False
+                    break
+            if accepted:
+                in_k[k] = inkk[kk] = 1
+                N[first[k]:last[k] + 1] += 1
+        seqid_step = max(1, min(5, diffNmax // max(diffNmax_prev - diffNmax + 1, 1)
+                                * seqid_step // 2))
+        seqid += seqid_step
+    keep_out = in_k.copy()
+    keep_out[0] = 1
+    return keep_out > 0
+
+
+def compute_pssm_probs(msa: np.ndarray, p_back: np.ndarray,
+                       pseudo_counts: np.ndarray,
+                       pca: float = PCA, pcb: float = PCB,
+                       wg: bool = False) -> np.ndarray:
+    """MSA [K, L] -> per-position probabilities [L, 20]."""
+    K, L = msa.shape
+    valid = msa != GAP
+    counted = valid & (msa < N_AA)
+    w = _henikoff_weights(msa)
+
+    if not wg:
+        match, neff = _context_specific_weights(msa, w, p_back)
+        g = match @ pseudo_counts[:N_AA, :N_AA].T
+        tau = np.minimum(1.0, pca / (1.0 + neff / pcb))[:, None]
+        return (1.0 - tau) * match + tau * g
 
     # match weights (computeMatchWeights), normalized with background fallback
     match = np.zeros((L, N_AA))
@@ -128,28 +419,85 @@ class ProfileEntry:
     consensus_ss: np.ndarray
 
 
+E_PROFILE = 0.1  # --e-profile default (result2profile.cpp:33)
+
+
 def result2profile(qdb: StructDB, tdb: StructDB,
-                   results: Dict[int, List[AlnResult]]) -> Dict[int, ProfileEntry]:
-    """Build AA+3Di profiles for every query from its alignment results."""
+                   results: Dict[int, List[AlnResult]],
+                   e_profile: float = E_PROFILE,
+                   filter_msa: bool = True,
+                   wg: bool = False,
+                   same_db: Optional[bool] = None) -> Dict[int, ProfileEntry]:
+    """Build AA+3Di profiles for every query from its alignment results
+    (reference: lib/mmseqs/src/util/result2profile.cpp:180-265 run once per
+    track by data/result2structprofile.sh; hits enter the MSA only below
+    --e-profile, the same-DB self hit is skipped, the MSA is
+    redundancy-filtered, then context-specific weighting + pseudocounts)."""
     mb = blosum62()
     m3 = mat3di()
+    sub_aa = blosum62(2.0, -0.2).scores
+    sub_ss = mat3di(2.0, -0.2).scores
+    if same_db is None:
+        same_db = qdb.path == tdb.path
     q_idx = qdb.key_to_index()
     t_idx = tdb.key_to_index()
     out = {}
     for qkey, rs in results.items():
         qi = q_idx[int(qkey)]
-        rs = [r for r in rs if r.backtrace]
+        rs = [r for r in rs if r.backtrace
+              and not (same_db and int(r.db_key) == int(qkey))
+              and r.evalue < e_profile]
         t_aa = [np.asarray(tdb.get_aa(t_idx[r.db_key])) for r in rs]
         t_ss = [np.asarray(tdb.get_ss(t_idx[r.db_key])) for r in rs]
         msa_aa = _build_msa(np.asarray(qdb.get_aa(qi)), rs, t_aa)
         msa_ss = _build_msa(np.asarray(qdb.get_ss(qi)), rs, t_ss)
-        prob_aa = compute_pssm_probs(msa_aa, mb.p_back, mb.pseudo_counts)
-        prob_ss = compute_pssm_probs(msa_ss, m3.p_back, m3.pseudo_counts)
+        if filter_msa:
+            msa_aa = msa_aa[msa_filter(msa_aa, sub_aa)]
+            msa_ss = msa_ss[msa_filter(msa_ss, sub_ss)]
+        prob_aa = compute_pssm_probs(msa_aa, mb.p_back, mb.pseudo_counts, wg=wg)
+        prob_ss = compute_pssm_probs(msa_ss, m3.p_back, m3.pseudo_counts, wg=wg)
         out[int(qkey)] = ProfileEntry(
             key=int(qkey), prob_aa=prob_aa, prob_ss=prob_ss,
             consensus_aa=np.asarray(qdb.get_aa(qi)).copy(),
             consensus_ss=np.asarray(qdb.get_ss(qi)).copy())
     return out
+
+
+def pssm_store_bytes(probs: np.ndarray, p_back: np.ndarray,
+                     comp_bias_correction: bool = True) -> np.ndarray:
+    """probs [L,20] -> the int8 PSSM bytes the reference stores: bit factor
+    8 log-odds (PSSMCalculator::computeLogPSSM :259-272), then the windowed
+    global composition-bias correction applied in place
+    (SubstitutionMatrix::calcGlobalAaBiasCorrection :205-243,
+    result2profile.cpp:275-277)."""
+    with np.errstate(divide="ignore"):
+        v = (np.float32(8.0) * np.log2(probs / p_back[None, :N_AA])).astype(np.float32)
+    b = np.where(v < 0, v - 0.5, v + 0.5)
+    b = np.clip(b.astype(np.float32), -128, 127).astype(np.int32)
+    if not comp_bias_correction:
+        return b
+    L = probs.shape[0]
+    w = 40
+    p_null = (b.astype(np.float32) @ p_back[:N_AA].astype(np.float32)).astype(np.float32)
+    # the reference corrects IN PLACE: row i's window mixes already-corrected
+    # rows j<i with uncorrected rows j>i; p_null stays from the originals
+    work = b.copy()
+    for i in range(L):
+        lo = max(0, i - w // 2)
+        hi = min(L, i + w // 2)
+        wl = hi - lo
+        aa_sum = (work[lo:hi].sum(axis=0) - work[i]
+                  - (p_null[lo:hi].sum() - p_null[i])).astype(np.float32)
+        work[i] = (work[i] - aa_sum / np.float32(wl)).astype(np.int32)
+    return work
+
+
+def pssm_display_scores(probs: np.ndarray, p_back: np.ndarray,
+                        comp_bias_correction: bool = True) -> np.ndarray:
+    """The integers profile2pssm prints: stored bytes integer-divided by 4
+    on read-in (Sequence::mapProfile :332-336)."""
+    b = pssm_store_bytes(probs, p_back, comp_bias_correction)
+    return (np.sign(b) * (np.abs(b) // 4)).astype(np.int32)  # C trunc division
 
 
 def save_profile_db(profiles: Dict[int, ProfileEntry], path: str):

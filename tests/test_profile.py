@@ -47,3 +47,57 @@ def test_iterative_search_keeps_true_hits(scop_db):
     n_base = sum(len(v) for v in base.values())
     n_iter = sum(len(v) for v in iterated.values())
     assert n_iter >= 0.5 * n_base
+
+
+def test_pssm_golden_parity(golden_dir, tmp_path):
+    """PSSM ints vs the reference binary's profile2pssm output on the SCOP
+    set (context-specific weights + pseudocounts + global bias correction).
+    The raw result2profile verb's effective include gate is evalue<1e-3
+    (its -e default), mirrored here. Residual mismatches stem from the
+    reference's fast log2/pow2 approximations hitting byte-rounding
+    boundaries — allowed up to 0.1% of cells."""
+    import numpy as np
+
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.ops.matrices import blosum62
+    from foldseek_tpu.search.profile import pssm_display_scores, result2profile
+    from foldseek_tpu.search.results import AlnResult, expand_backtrace
+
+    results = {}
+    for line in open(golden_dir / "scop_alnp.tsv"):
+        f = line.rstrip("\n").split("\t")
+        qkey = int(f[0])
+        bt = expand_backtrace(f[11]) if len(f) > 11 else ""
+        results.setdefault(qkey, []).append(AlnResult(
+            db_key=int(f[1]), score=int(f[2]), seq_id=float(f[3]),
+            evalue=float(f[4]), q_start=int(f[5]), q_end=int(f[6]),
+            q_len=int(f[7]), t_start=int(f[8]), t_end=int(f[9]),
+            t_len=int(f[10]), backtrace=bt))
+    import shutil
+    scop = tmp_path / "scop"
+    scop.mkdir()
+    import os
+    for fn in os.listdir("/root/reference/example"):
+        if "tim" not in fn:
+            shutil.copy(os.path.join("/root/reference/example", fn), scop / fn)
+    db = create_db([str(scop)], str(tmp_path / "db"))
+    profs = result2profile(db, db, results, e_profile=1e-3, same_db=True)
+    gold = {}
+    cur = None
+    for line in open(golden_dir / "scop_pssm.tsv"):
+        if line.startswith("Query profile of sequence"):
+            cur = int(line.rsplit(" ", 1)[1])
+            gold[cur] = []
+        elif line[0].isdigit():
+            gold[cur].append([int(x) for x in line.rstrip("\n").split("\t")[2:22]])
+    mb = blosum62()
+    total = bad = 0
+    for key in sorted(gold):
+        g = np.array(gold[key])
+        mine = pssm_display_scores(profs[key].prob_aa, mb.p_back)
+        assert mine.shape == g.shape
+        d = np.abs(mine - g)
+        total += d.size
+        bad += int((d > 0).sum())
+        assert d.max() <= 3
+    assert bad / total < 1e-3, f"{bad}/{total}"
