@@ -212,3 +212,47 @@ def encode_chain(ca, n, c, cb):
 
 def states_to_string(states) -> str:
     return STATE_TO_CHAR[np.asarray(states)].tobytes().decode("ascii")
+
+
+# alternative alphabet: discretized partner sequence distance
+# (reference: lib/3di/structureto3diseqdist.{h,cpp})
+SEQDIST_CENTROIDS = np.array(
+    [-284, -147, -83, -52, -33, -21, -13, -7, -4, -3, -1,
+     1, 3, 7, 13, 24, 40, 68, 123, 250], dtype=np.int64)
+
+
+def encode_chain_seqdist(ca, n, c, cb):
+    """3Di seq-dist variant: same virtual-center partner search, state =
+    nearest centroid to the signed sequence offset partner-i
+    (StructureTo3diSeqDist::structure2states)."""
+    ca = np.asarray(ca, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64).copy()
+    L = ca.shape[0]
+    states = np.full(L, INVALID_STATE, dtype=np.int8)
+    if L < 3:
+        return states
+    missing_cb = np.isnan(cb[:, 0])
+    if missing_cb.any():
+        cb[missing_cb] = approx_cbeta(ca[missing_cb], n[missing_cb], c[missing_cb])
+    vc = virtual_center(ca, cb, n)
+    mask = ~(np.isnan(ca[:, 0]) | np.isnan(n[:, 0]) | np.isnan(c[:, 0]))
+    partner = np.full(L, -1, dtype=np.int64)
+    interior = np.zeros(L, dtype=bool)
+    interior[1:L - 1] = True
+    cand = interior & mask
+    if cand.any():
+        d2 = np.sum((vc[:, None, :] - vc[None, :, :]) ** 2, axis=-1)
+        d2[:, ~cand] = np.inf
+        np.fill_diagonal(d2, np.inf)
+        d2 = np.where(np.isnan(d2), np.inf, d2)
+        has = d2[1:L - 1].min(axis=1) < np.inf
+        partner[1:L - 1] = np.where(has, d2[1:L - 1].argmin(axis=1), -1)
+        mask[1:L - 1] &= has
+    # nearest centroid to (partner - i); first-wins ties via argmin on abs
+    seq_dist = partner - np.arange(L)
+    dist = np.abs(SEQDIST_CENTROIDS[None, :] - seq_dist[:, None])
+    nearest = dist.argmin(axis=1).astype(np.int8)
+    states = np.where(mask, nearest, INVALID_STATE).astype(np.int8)
+    return states

@@ -61,3 +61,24 @@ def test_fcz_in_tar(tmp_path):
         tf.add(FCZ, arcname="d1asha.fcz")
     db = create_db([str(tar)], str(tmp_path / "db"))
     assert db.size == 1 and db.get_ss_str(0) == _golden_cols()[2]
+
+
+def test_seqdist_alphabet(example_dir):
+    """3Di seq-dist variant (structureto3diseqdist.cpp): terminal residues
+    keep mask=true with partner=-1, so they discretize seqDistance=-1-i
+    exactly like the reference's loop does."""
+    import numpy as np
+
+    from foldseek_tpu.ingest.encoder3di import (SEQDIST_CENTROIDS,
+                                                encode_chain_seqdist)
+    from foldseek_tpu.ingest.pdb import parse_structure
+    ch = parse_structure(str(example_dir / "d1asha_")).chains[0]
+    st = encode_chain_seqdist(ch.ca, ch.n, ch.c, ch.cb)
+    assert st.shape == (len(ch.aa),)
+    assert ((st >= 0) & (st < 20)).all()
+    # residue 0: partner -1 -> seqDistance -1 -> nearest centroid is -1 (idx 10)
+    assert st[0] == 10
+    # interior states should reflect real partner offsets: mostly short-range
+    # (helix contacts at |offset| 3-4 -> centroid indices around 7-13)
+    inner = st[1:-1]
+    assert (np.abs(SEQDIST_CENTROIDS[inner]) <= 40).mean() > 0.5
