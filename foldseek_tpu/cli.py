@@ -45,6 +45,8 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("--cluster-search", type=int, default=0,
                    help="1: search cluster reps, expand hits to members")
     p.add_argument("--index-server", type=str, default="")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="write a jax.profiler trace of the run to this dir")
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("-v", "--verbosity", type=int, default=3)
 
@@ -108,6 +110,15 @@ def cmd_easy_search(argv):
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
     from .search.pipeline import easy_search
+    if getattr(args, "profile_dir", ""):
+        # device+host trace for perf work (SURVEY 5: the reference only has
+        # per-stage wallclock; we expose XLA-level traces)
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            easy_search(args.query, args.target, args.output, args.tmp_dir,
+                        params_from_args(args))
+        logger.info("jax.profiler trace written to %s", args.profile_dir)
+        return 0
     easy_search(args.query, args.target, args.output, args.tmp_dir,
                 params_from_args(args))
     return 0
