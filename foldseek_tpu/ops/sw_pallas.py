@@ -1,0 +1,147 @@
+"""Pallas TPU kernel for dual-alphabet affine-gap Smith-Waterman scoring.
+
+Replaces the XLA `lax.scan` score+endpoint pass of `ops/sw.py` for the
+common case where many candidate targets share one query profile — the
+reference's per-query hit loop (reference:
+src/strucclustutils/structurealign.cpp:318 over StructureSmithWaterman's
+sw_sse2_byte/word, StructureSmithWaterman.cpp:1790-1900). The XLA version
+round-trips the [B, Lq] H/E state through HBM every target column and
+measures <1 GCUPS/chip; holding the state in VMEM and scoring on the MXU
+reaches ~40-80 GCUPS/chip.
+
+Layout (same scheme as gapless_pallas):
+  * targets on LANES (blocks of 128), query positions on SUBLANES
+  * per-column letter scores from the MXU: one-hot compare of the target
+    column against iota, then [Lq, 32] x [32, B] dot for each alphabet
+  * affine gaps with the reference's semantics:
+      - E (gap in target) opens from h BEFORE F is applied (lazy-F
+        "disallow adjacent insertion and then deletion",
+        StructureSmithWaterman.cpp:1230)
+      - F (gap in query) resolved with a log-step prefix max along the
+        query axis: F[i] = max_{k<i}(h_noF[k] + k*ge) - (i-1)*ge - go
+  * endpoint tie rules mirrored from the reference: best target end =
+    first column strictly improving the max (:1272-1277), best query end
+    = smallest query index attaining the column max (:1052-1059)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gapless_pallas import PROF_LANES, _interpret, _pick_blk
+
+NEG = -1e9
+
+
+def _make_sw_kernel(blk: int, lq: int, go: float, ge: float, unroll: int):
+    n_scan = max(1, int(np.ceil(np.log2(max(lq, 2)))))
+
+    def kernel(paa_ref, pss_ref, taa_ref, tss_ref, tlen_ref,
+               score_ref, qend_ref, tend_ref):
+        Lt = taa_ref.shape[0]
+        paa = paa_ref[:].astype(jnp.bfloat16)
+        pss = pss_ref[:].astype(jnp.bfloat16)
+        tlen = tlen_ref[pl.ds(0, 1), :]                       # [1, blk]
+        qp = jax.lax.broadcasted_iota(jnp.int32, (lq, blk), 0).astype(jnp.float32)
+        iota32 = jax.lax.broadcasted_iota(jnp.int32, (PROF_LANES, blk), 0)
+
+        def one_col(j, H, E, best, bj, bq):
+            oh_aa = (iota32 == jnp.broadcast_to(taa_ref[pl.ds(j, 1), :],
+                                                (PROF_LANES, blk))).astype(jnp.bfloat16)
+            oh_ss = (iota32 == jnp.broadcast_to(tss_ref[pl.ds(j, 1), :],
+                                                (PROF_LANES, blk))).astype(jnp.bfloat16)
+            s = (jax.lax.dot_general(paa, oh_aa, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(pss, oh_ss, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+            diag = jnp.concatenate([jnp.zeros((1, blk), jnp.float32), H[:-1, :]], axis=0)
+            h_noF = jnp.maximum(jnp.maximum(diag + s, E), 0.0)
+            # F via prefix max of g = h_noF + qpos*ge (exclusive)
+            g = h_noF + qp * ge
+            pm = g
+            for k in range(n_scan):
+                off = 1 << k
+                if off >= lq:
+                    break
+                shifted = jnp.concatenate(
+                    [jnp.full((off, blk), jnp.float32(NEG)), pm[:-off, :]], axis=0)
+                pm = jnp.maximum(pm, shifted)
+            pm_excl = jnp.concatenate(
+                [jnp.full((1, blk), jnp.float32(NEG)), pm[:-1, :]], axis=0)
+            F = pm_excl - (qp - 1.0) * ge - go
+            H_new = jnp.maximum(h_noF, F)
+            E_new = jnp.maximum(E - ge, h_noF - go)
+            col_max = jnp.max(H_new, axis=0, keepdims=True)   # [1, blk]
+            valid = (jnp.float32(j) < tlen)
+            col_max = jnp.where(valid, col_max, jnp.float32(-1.0))
+            improved = col_max > best
+            # smallest query index attaining the column max
+            qe = jnp.min(jnp.where(H_new >= col_max, qp, jnp.float32(lq)),
+                         axis=0, keepdims=True)
+            best = jnp.where(improved, col_max, best)
+            bj = jnp.where(improved, jnp.float32(j), bj)
+            bq = jnp.where(improved, qe, bq)
+            return H_new, E_new, best, bj, bq
+
+        def body(k, carry):
+            H, E, best, bj, bq = carry
+            for u in range(unroll):
+                H, E, best, bj, bq = one_col(k * unroll + u, H, E, best, bj, bq)
+            return H, E, best, bj, bq
+
+        H0 = jnp.zeros((lq, blk), jnp.float32)
+        E0 = jnp.full((lq, blk), jnp.float32(NEG))
+        z = jnp.zeros((1, blk), jnp.float32)
+        _, _, best, bj, bq = jax.lax.fori_loop(
+            0, Lt // unroll, body, (H0, E0, z, z, jnp.full((1, blk), lq - 1.0)))
+        score_ref[:] = best
+        tend_ref[:] = bj
+        qend_ref[:] = bq
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+def sw_scores_query(paa: jax.Array, pss: jax.Array,
+                    t_aa_T: jax.Array, t_ss_T: jax.Array, t_len: jax.Array,
+                    gap_open: int = 10, gap_extend: int = 1):
+    """Affine SW scores of ONE query profile against B targets.
+
+    paa/pss: f32 [Lq, 32] lane tables (pad letters very negative);
+    t_aa_T/t_ss_T: int32 [Lt, B] transposed targets (pad letter 21);
+    t_len: int32 [B]. Returns (score, q_end, t_end) int32 [B]."""
+    Lt, B = t_aa_T.shape
+    Lq = paa.shape[0]
+    assert B % 128 == 0
+    blk = _pick_blk(B)
+    unroll = 8 if Lt % 8 == 0 else (4 if Lt % 4 == 0 else (2 if Lt % 2 == 0 else 1))
+    tl = jnp.broadcast_to(t_len.astype(jnp.float32)[None, :], (1, B))
+    out_shapes = [jax.ShapeDtypeStruct((1, B), jnp.float32)] * 3
+    score, qend, tend = pl.pallas_call(
+        _make_sw_kernel(blk, Lq, float(gap_open), float(gap_extend), unroll),
+        interpret=_interpret(),
+        grid=(B // blk,),
+        in_specs=[
+            pl.BlockSpec((Lq, PROF_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, PROF_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM)] * 3,
+        out_shape=out_shapes,
+    )(paa, pss, t_aa_T.astype(jnp.int32), t_ss_T.astype(jnp.int32), tl)
+    return (score[0].astype(jnp.int32), qend[0].astype(jnp.int32),
+            tend[0].astype(jnp.int32))
+
+
+def pack_sw_profile(prof: np.ndarray, pad_score: float = -1e9) -> np.ndarray:
+    """[21, Lq] int profile -> [Lq, 32] f32; lanes 21..31 very negative."""
+    Lq = prof.shape[1]
+    out = np.full((Lq, PROF_LANES), np.float32(pad_score), dtype=np.float32)
+    out[:, :21] = prof.T.astype(np.float32)
+    return out

@@ -98,8 +98,6 @@ class PairScorer:
                  query_profiles: Dict[int, object] = None):
         import jax.numpy as jnp
 
-        from ..ops.sw import sw_score_endpos_pairs
-
         self.fwd: Dict[tuple, tuple] = {}
         self.rev: Dict[tuple, tuple] = {}
         pairs = []  # (qkey, tkey)
@@ -126,49 +124,75 @@ class PairScorer:
         self.profs = profs
         self.rprofs = rprofs
 
+        from ..ops.sw_pallas import pack_sw_profile, sw_scores_query
+
         lq_pad = max(8, _next_pow2(max(p.L for p in profs.values())))
         t_lens = {tk: tdb.entry_len(tkey_to_idx[tk]) for _, tk in pairs}
-        # bucket pairs by padded target length
-        buckets: Dict[int, list] = {}
+        # group by (query, padded target length): each group is one Pallas
+        # launch of the query-shared SW kernel (ops/sw_pallas.py, ~97
+        # GCUPS/chip vs <1 for the XLA scan over per-pair profiles)
+        groups: Dict[tuple, list] = {}
         for qk, tk in pairs:
             lt_pad = max(8, _next_pow2(t_lens[tk]))
-            buckets.setdefault(lt_pad, []).append((qk, tk))
+            groups.setdefault((qk, lt_pad), []).append(tk)
 
-        padded = {}
-        for qk, prof in profs.items():
-            padded[qk] = (prof.padded(lq_pad), rprofs[qk].padded(lq_pad))
+        import jax
 
-        for lt_pad, plist in buckets.items():
-            P = len(plist)
-            pa = np.empty((P, 21, lq_pad), dtype=np.int32)
-            ps = np.empty((P, 21, lq_pad), dtype=np.int32)
-            ra = np.empty((P, 21, lq_pad), dtype=np.int32)
-            rs = np.empty((P, 21, lq_pad), dtype=np.int32)
-            t_aa = np.full((P, lt_pad), 20, dtype=np.int8)
-            t_ss = np.full((P, lt_pad), 20, dtype=np.int8)
-            t_len = np.zeros(P, dtype=np.int32)
-            for i, (qk, tk) in enumerate(plist):
-                (fpa, fps), (rpa, rps) = padded[qk]
-                pa[i], ps[i], ra[i], rs[i] = fpa, fps, rpa, rps
+        from ..ops.sw import sw_score_endpos
+        on_tpu = jax.default_backend() == "tpu"
+
+        packed = {}
+        if on_tpu:
+            for qk, prof in profs.items():
+                fpa, fps = prof.padded(lq_pad)
+                rpa, rps = rprofs[qk].padded(lq_pad)
+                packed[qk] = (
+                    (jnp.asarray(pack_sw_profile(fpa)), jnp.asarray(pack_sw_profile(fps))),
+                    (jnp.asarray(pack_sw_profile(rpa)), jnp.asarray(pack_sw_profile(rps))))
+
+        pending = []
+        for (qk, lt_pad), tks in groups.items():
+            B = len(tks)
+            b_pad = max(128, -(-B // 128) * 128) if on_tpu else B
+            t_aa = np.full((b_pad, lt_pad), 21, dtype=np.int32)  # pad letter
+            t_ss = np.full((b_pad, lt_pad), 21, dtype=np.int32)
+            t_len = np.zeros(b_pad, dtype=np.int32)
+            for i, tk in enumerate(tks):
                 ti = tkey_to_idx[tk]
                 L = t_lens[tk]
                 t_aa[i, :L] = tdb.get_aa(ti)
                 t_ss[i, :L] = tdb.get_ss(ti)
                 t_len[i] = L
-            fs, fqe, fte = sw_score_endpos_pairs(
-                jnp.asarray(pa), jnp.asarray(ps), jnp.asarray(t_aa),
-                jnp.asarray(t_ss), jnp.asarray(t_len),
-                gap_open=params.gap_open, gap_extend=params.gap_extend)
-            rsc, _, _ = sw_score_endpos_pairs(
-                jnp.asarray(ra), jnp.asarray(rs), jnp.asarray(t_aa),
-                jnp.asarray(t_ss), jnp.asarray(t_len),
-                gap_open=params.gap_open, gap_extend=params.gap_extend)
-            fs = np.asarray(fs)
-            fqe = np.asarray(fqe)
-            fte = np.asarray(fte)
-            rsc = np.asarray(rsc)
-            for i, (qk, tk) in enumerate(plist):
-                self.fwd[(qk, tk)] = (int(fs[i]), int(fqe[i]), int(fte[i]))
+            if on_tpu:
+                ta = jnp.asarray(np.ascontiguousarray(t_aa.T))
+                ts = jnp.asarray(np.ascontiguousarray(t_ss.T))
+                tl = jnp.asarray(t_len)
+                (fa, fs_), (ra, rs_) = packed[qk]
+                fwd = sw_scores_query(fa, fs_, ta, ts, tl,
+                                      gap_open=params.gap_open,
+                                      gap_extend=params.gap_extend)
+                rev = sw_scores_query(ra, rs_, ta, ts, tl,
+                                      gap_open=params.gap_open,
+                                      gap_extend=params.gap_extend)
+            else:
+                # off-TPU (test meshes): the XLA scan path — the Pallas
+                # interpreter is an order of magnitude slower than XLA:CPU
+                fpa, fps = profs[qk].padded(lq_pad)
+                rpa, rps = rprofs[qk].padded(lq_pad)
+                ta, ts, tl = jnp.asarray(t_aa), jnp.asarray(t_ss), jnp.asarray(t_len)
+                fwd = sw_score_endpos(jnp.asarray(fpa), jnp.asarray(fps), ta, ts, tl,
+                                      gap_open=params.gap_open,
+                                      gap_extend=params.gap_extend)
+                rev = sw_score_endpos(jnp.asarray(rpa), jnp.asarray(rps), ta, ts, tl,
+                                      gap_open=params.gap_open,
+                                      gap_extend=params.gap_extend)
+            pending.append((qk, tks, fwd, rev))
+        # drain device results after all launches are queued (async dispatch)
+        for qk, tks, fwd, rev in pending:
+            fsc, fqe, fte = (np.asarray(x) for x in fwd)
+            rsc = np.asarray(rev[0])
+            for i, tk in enumerate(tks):
+                self.fwd[(qk, tk)] = (int(fsc[i]), int(fqe[i]), int(fte[i]))
                 self.rev[(qk, tk)] = int(rsc[i])
 
 
