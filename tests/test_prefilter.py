@@ -47,3 +47,31 @@ def test_pallas_kernel_vs_scalar(exdb):
         ref = gapless_scores_np(prof.astype(np.int64), zeros.astype(np.int64),
                                 seq, np.zeros_like(seq))
         assert int(scores[i]) == ref, i
+
+
+def test_sw_pallas_matches_xla():
+    """Pallas affine SW (interpret mode off-TPU) must reproduce the XLA
+    scorer's score AND endpoint tie-breaking exactly."""
+    import jax.numpy as jnp
+
+    from foldseek_tpu.ops.sw import QueryProfile, sw_score_endpos
+    from foldseek_tpu.ops.sw_pallas import pack_sw_profile, sw_scores_query
+    rng = np.random.RandomState(7)
+    Lq, B, Lt = 64, 128, 64
+    prof = QueryProfile(rng.randint(0, 20, Lq).astype(np.int8),
+                        rng.randint(0, 20, Lq).astype(np.int8))
+    pa, ps = prof.padded(Lq)
+    t_aa = rng.randint(0, 20, (B, Lt)).astype(np.int32)
+    t_ss = rng.randint(0, 20, (B, Lt)).astype(np.int32)
+    t_len = rng.randint(10, Lt + 1, B).astype(np.int32)
+    for i in range(B):
+        t_aa[i, t_len[i]:] = 21
+        t_ss[i, t_len[i]:] = 21
+    ref = [np.asarray(x) for x in sw_score_endpos(
+        jnp.asarray(pa), jnp.asarray(ps), jnp.asarray(t_aa),
+        jnp.asarray(t_ss), jnp.asarray(t_len))]
+    got = [np.asarray(x) for x in sw_scores_query(
+        jnp.asarray(pack_sw_profile(pa)), jnp.asarray(pack_sw_profile(ps)),
+        jnp.asarray(t_aa.T), jnp.asarray(t_ss.T), jnp.asarray(t_len))]
+    for r, g, name in zip(ref, got, ("score", "q_end", "t_end")):
+        assert np.array_equal(r, g), name
