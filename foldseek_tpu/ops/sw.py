@@ -235,63 +235,6 @@ def sw_score_endpos(prof_aa: jax.Array, prof_ss: jax.Array,
     return score, q_end, t_end
 
 
-@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
-def sw_score_endpos_pairs(prof_aa: jax.Array, prof_ss: jax.Array,
-                          t_aa: jax.Array, t_ss: jax.Array, t_len: jax.Array,
-                          gap_open: int = 10, gap_extend: int = 1):
-    """Pairwise-batched SW: pair p aligns query profile p against target p.
-
-    Args:
-      prof_aa, prof_ss: int32 [P, 21, Lq] per-pair query profiles
-      t_aa, t_ss: int8/int32 [P, Lt]
-      t_len: int32 [P]
-    Returns (score, q_end, t_end), each int32 [P].
-
-    One launch scores every candidate pair of a search stage — the batched
-    replacement for the reference's per-query OpenMP loop
-    (structurealign.cpp:318).
-    """
-    P, Lt = t_aa.shape
-    Lq = prof_aa.shape[2]
-    t_aa = t_aa.astype(jnp.int32)
-    t_ss = t_ss.astype(jnp.int32)
-    qpos = jnp.arange(Lq, dtype=jnp.int32)
-    pidx = jnp.arange(P)
-
-    def step(carry, j):
-        H, E, best_score, best_j, best_qend = carry
-        ta = t_aa[:, j]
-        ts = t_ss[:, j]
-        s = prof_aa[pidx, ta, :] + prof_ss[pidx, ts, :]  # [P, Lq]
-        diag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
-        h_noF = jnp.maximum(jnp.maximum(diag + s, E), 0)
-        g = h_noF + qpos[None, :] * gap_extend
-        pmax = jax.lax.associative_scan(jnp.maximum, g, axis=1)
-        pmax_excl = jnp.pad(pmax[:, :-1], ((0, 0), (1, 0)), constant_values=NEG_INF)
-        F = pmax_excl - (qpos[None, :] - 1) * gap_extend - gap_open
-        H_new = jnp.maximum(h_noF, F)
-        E_new = jnp.maximum(E - gap_extend, h_noF - gap_open)
-        valid = j < t_len
-        col_max = jnp.max(H_new, axis=1)
-        col_max = jnp.where(valid, col_max, -1)
-        improved = col_max > best_score
-        col_qend = jnp.argmax(H_new == col_max[:, None], axis=1).astype(jnp.int32)
-        best_score = jnp.where(improved, col_max, best_score)
-        best_j = jnp.where(improved, j, best_j)
-        best_qend = jnp.where(improved, col_qend, best_qend)
-        return (H_new, E_new, best_score, best_j, best_qend), None
-
-    H0 = jnp.zeros((P, Lq), dtype=jnp.int32)
-    E0 = jnp.full((P, Lq), NEG_INF, dtype=jnp.int32)
-    init = (H0, E0,
-            jnp.zeros(P, dtype=jnp.int32),
-            jnp.zeros(P, dtype=jnp.int32),
-            jnp.full(P, Lq - 1, dtype=jnp.int32))
-    (H, E, score, t_end, q_end), _ = jax.lax.scan(
-        step, init, jnp.arange(Lt, dtype=jnp.int32))
-    return score, q_end, t_end
-
-
 def sw_score_endpos_np(prof_aa, prof_ss, t_aa, t_ss,
                        gap_open=10, gap_extend=1, terminate=0, reverse_target=False):
     """Reference-exact scalar implementation (single target), used for start

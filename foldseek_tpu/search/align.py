@@ -23,7 +23,7 @@ from ..nn.evalue import EvalueComputer
 from ..ops import backtrace as bt_ops
 from ..ops import lddt as lddt_ops
 from ..ops import tmscore as tm_ops
-from ..ops.sw import NEG_INF, QueryProfile, sw_score_endpos
+from ..ops.sw import QueryProfile
 from ..utils.log import logger
 from .params import SearchParams, can_be_covered, has_coverage
 from .results import AlnResult, compare_hits, compare_hits_by_structure_bits
@@ -31,60 +31,6 @@ from .results import AlnResult, compare_hits, compare_hits_by_structure_bits
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
-
-
-class DeviceScorer:
-    """Batched SW scoring of one query profile against many targets.
-
-    Targets are grouped into power-of-2 length buckets to bound the number of
-    XLA compilations; each bucket is padded to [B, Lt_pad] and scored in one
-    kernel launch."""
-
-    def __init__(self, tdb: StructDB, batch_size: int = 128):
-        self.tdb = tdb
-        self.batch = batch_size
-
-    def score(self, prof: QueryProfile, target_ids: np.ndarray):
-        import jax.numpy as jnp
-
-        lq_pad = max(8, _next_pow2(prof.L))
-        pa, ps = prof.padded(lq_pad)
-        pa = jnp.asarray(pa)
-        ps = jnp.asarray(ps)
-        n = len(target_ids)
-        scores = np.zeros(n, dtype=np.int32)
-        qends = np.zeros(n, dtype=np.int32)
-        tends = np.zeros(n, dtype=np.int32)
-        lens = self.tdb.lengths()[target_ids]
-        order = np.argsort(lens, kind="stable")
-        # walk in length order, grouping consecutive targets into one padded batch
-        pos = 0
-        while pos < n:
-            chunk = order[pos: pos + self.batch]
-            lt_pad = max(8, _next_pow2(int(lens[chunk].max())))
-            b_pad = self.batch
-            t_aa = np.full((b_pad, lt_pad), 20, dtype=np.int8)  # 'X' pad
-            t_ss = np.full((b_pad, lt_pad), 20, dtype=np.int8)
-            t_len = np.zeros(b_pad, dtype=np.int32)
-            for bi, oi in enumerate(chunk):
-                tid = target_ids[oi]
-                seq_aa = self.tdb.get_aa(tid)
-                seq_ss = self.tdb.get_ss(tid)
-                t_aa[bi, : len(seq_aa)] = seq_aa
-                t_ss[bi, : len(seq_ss)] = seq_ss
-                t_len[bi] = len(seq_aa)
-            s, qe, te = sw_score_endpos(
-                pa, ps, jnp.asarray(t_aa), jnp.asarray(t_ss), jnp.asarray(t_len),
-                gap_open=prof.gap_open, gap_extend=prof.gap_extend)
-            s = np.asarray(s)
-            qe = np.asarray(qe)
-            te = np.asarray(te)
-            for bi, oi in enumerate(chunk):
-                scores[oi] = s[bi]
-                qends[oi] = qe[bi]
-                tends[oi] = te[bi]
-            pos += len(chunk)
-        return scores, qends, tends
 
 
 class PairScorer:
