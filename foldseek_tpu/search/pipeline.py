@@ -54,6 +54,12 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
         with Timer("expand(cluster-search)"):
             expanded = expand_hits(first, clu_map)
         return _align_stage(qdb, seq_db, expanded, params, same_db=False)
+    if params.prefilter_mode == 3:
+        # UNGAPPED_AND_GAPPED: alignment-format results straight from the
+        # prefilter pass (ungappedprefilter.cpp:274-291)
+        from .ungapped import ungapped_and_gapped_results
+        with Timer("ungapped+gapped prefilter"):
+            return ungapped_and_gapped_results(qdb, tdb, params, same_db)
     with Timer("prefilter"):
         pref = run_prefilter(qdb, tdb, params)
     return _align_stage(qdb, tdb, pref, params, same_db=same_db)

@@ -101,3 +101,78 @@ def ungapped_prefilter(qdb: StructDB, tdb: StructDB,
     logger.info("ungapped prefilter: %d queries, avg %.1f hits",
                 qdb.size, np.mean([len(v) for v in out.values()]) if out else 0)
     return out
+
+
+def ungapped_and_gapped_results(qdb: StructDB, tdb: StructDB,
+                                params: SearchParams,
+                                same_db: bool) -> Dict[int, List]:
+    """--prefilter-mode 3 (PREF_MODE_UNGAPPED_AND_GAPPED): alignment-format
+    results straight from the prefilter pass, skipping the alignment module
+    (reference: lib/mmseqs/src/prefiltering/ungappedprefilter.cpp:274-291 —
+    the GPU path where Marv's gapped SW supplies score+endpos and results
+    carry qStart=dbStart=0, the estimated seqId, coverage from the end
+    positions alone).
+
+    TPU mapping: the same 3Di-profile (bit scale 2.0 + composition bias)
+    drives the Pallas affine SW kernel per query; E-values come from the
+    foldseek E-value network (the reference's CPU/GPU mode-3 uses
+    Karlin-Altschul statistics of the 3Di matrix — a documented deviation,
+    same monotonic ordering)."""
+    import jax.numpy as jnp
+
+    from ..nn.evalue import EvalueComputer
+    from ..ops.sw_pallas import sw_scores_query
+    from .results import AlnResult, compare_hits
+
+    m3 = mat3di(2.0, 0.0)
+    ev = EvalueComputer(tdb.total_residues)
+    lens = tdb.lengths()
+    n = tdb.size
+    lt_pad = max(8, 1 << (int(lens.max()) - 1).bit_length()) if n else 8
+    b_pad = -(-n // 128) * 128
+    t_ss = np.full((b_pad, lt_pad), PAD_LETTER, dtype=np.int32)
+    for i in range(n):
+        t_ss[i, : lens[i]] = tdb.get_ss(i)
+    t_ss_T = jnp.asarray(np.ascontiguousarray(t_ss.T))
+    zeros_T = jnp.asarray(np.zeros_like(t_ss.T))
+    t_len = jnp.asarray(np.pad(lens, (0, b_pad - n)).astype(np.int32))
+    tkeys = np.asarray(tdb.keys, dtype=np.int64)
+
+    out: Dict[int, List] = {}
+    for qi in range(qdb.size):
+        q_ss = np.asarray(qdb.get_ss(qi))
+        L = len(q_ss)
+        lq_pad = max(8, 1 << (L - 1).bit_length())
+        prof = np.full((21, lq_pad), -1e9, dtype=np.float32)
+        prof[:, :L] = m3.scores[:, q_ss].astype(np.float32)
+        bias = calc_comp_bias(q_ss, m3.scores, m3.p_back, PREFILTER_BIAS_SCALE)
+        prof[:, :L] += bias[None, :].astype(np.float32)
+        from ..ops.sw_pallas import pack_sw_profile
+        pss = jnp.asarray(pack_sw_profile(prof))
+        paa = jnp.asarray(np.full_like(np.asarray(pss), 0.0))
+        lam, mu = ev.predict_lambda_mu(q_ss)
+        score, q_end, t_end = (np.asarray(x) for x in sw_scores_query(
+            paa, pss, zeros_T, t_ss_T, t_len,
+            gap_open=params.gap_open, gap_extend=params.gap_extend))
+        qkey = int(qdb.keys[qi])
+        results = []
+        for i in range(n):
+            s = int(score[i])
+            is_identity = same_db and int(tkeys[i]) == qkey
+            if not (is_identity or s > MIN_DIAG_SCORE):
+                continue
+            qe, te = int(q_end[i]), int(t_end[i])
+            q_aln = max(qe, 1)
+            t_aln = max(te, 1)
+            seq_id = min(1.0, max(0.0, s / float(max(q_aln, t_aln)) * 0.1656
+                                  + 0.1141))
+            evalue = ev.evalue_corr(s, lam, mu)
+            if not is_identity and evalue > params.evalue_thr:
+                continue
+            results.append(AlnResult(
+                db_key=int(tkeys[i]), score=s, seq_id=seq_id, evalue=evalue,
+                q_start=0, q_end=qe, q_len=L,
+                t_start=0, t_end=te, t_len=int(lens[i]), backtrace=""))
+        results.sort(key=compare_hits)
+        out[qkey] = results[: params.max_seqs]
+    return out

@@ -75,3 +75,21 @@ def test_sw_pallas_matches_xla():
         jnp.asarray(t_aa.T), jnp.asarray(t_ss.T), jnp.asarray(t_len))]
     for r, g, name in zip(ref, got, ("score", "q_end", "t_end")):
         assert np.array_equal(r, g), name
+
+
+def test_prefilter_mode3_direct_results(example_dir, tmp_path):
+    """--prefilter-mode 3: alignment-format results straight from the gapped
+    3Di prefilter pass, no alignment module (ungappedprefilter.cpp:274-291;
+    GPU-only in the reference, so behavioral checks only)."""
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import easy_search
+    lines = easy_search(str(example_dir / "1tim.pdb.gz"),
+                        str(example_dir / "8tim.pdb.gz"),
+                        str(tmp_path / "m3.m8"), str(tmp_path / "tmp"),
+                        SearchParams(prefilter_mode=3))
+    assert len(lines) == 4
+    for l in lines:
+        f = l.split("\t")
+        assert int(f[6]) == 1 and int(f[8]) == 1  # qstart/tstart always 1
+        assert int(f[11]) > 500                   # strong 3Di gapped scores
+        assert float(f[10]) < 1e-10
