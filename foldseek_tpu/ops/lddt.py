@@ -25,8 +25,21 @@ class LDDTResult:
     score_length: int
 
 
+def lddt_query_context(q_ca: np.ndarray):
+    """Per-query precomputation shared across all of its hits: full pairwise
+    distances, <15 A adjacency, and per-residue neighbor degree
+    (LDDT.cpp:100-116). Rebuilding this per hit dominated the align stage."""
+    q = np.asarray(q_ca, dtype=np.float32)
+    dq_full = np.sqrt(((q[:, None, :] - q[None, :, :]) ** 2).sum(-1))
+    close_full = dq_full < 15.0
+    np.fill_diagonal(close_full, False)
+    degree = close_full.sum(axis=1).astype(np.float32)
+    return dq_full, close_full, degree
+
+
 def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
-                 q_start: int, t_start: int, backtrace: str) -> LDDTResult:
+                 q_start: int, t_start: int, backtrace: str,
+                 q_ctx=None) -> LDDTResult:
     qi, ti = q_start, t_start
     q_idx = []
     t_idx = []
@@ -44,15 +57,11 @@ def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
     if n == 0:
         return LDDTResult(0.0, np.zeros(0, dtype=np.float32), 0)
 
-    q = np.asarray(q_ca, dtype=np.float32)
-    qa = q[q_idx]
     ta = np.asarray(t_ca, dtype=np.float32)[t_idx]
 
-    # neighbor degree over the FULL query (norm, LDDT.cpp:100-116)
-    dq_full = np.sqrt(((q[:, None, :] - q[None, :, :]) ** 2).sum(-1))
-    close_full = dq_full < 15.0
-    np.fill_diagonal(close_full, False)
-    degree = close_full.sum(axis=1).astype(np.float32)
+    if q_ctx is None:
+        q_ctx = lddt_query_context(q_ca)
+    dq_full, close_full, degree = q_ctx
 
     # aligned-aligned pair scores
     dq = dq_full[np.ix_(q_idx, q_idx)]

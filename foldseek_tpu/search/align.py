@@ -187,6 +187,7 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
     prof = scorer.profs[qkey]
     lam, mu = ev.predict_lambda_mu(q_ss)
     q_ca = qdb.get_ca(qi) if need_tm or need_lddt else None
+    lddt_ctx = lddt_ops.lddt_query_context(q_ca) if need_lddt else None
 
     tids = np.array([tkey_to_idx[int(k)] for k in cand_keys], dtype=np.int64)
     if len(tids) == 0:
@@ -274,7 +275,7 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 res.t = tmres.t
             if need_lddt:
                 lr = lddt_ops.compute_lddt(q_ca, t_ca, res.q_start, res.t_start,
-                                           res.backtrace)
+                                           res.backtrace, q_ctx=lddt_ctx)
                 if lr.avg_lddt < params.lddt_threshold:
                     continue
                 res.lddt = lr.avg_lddt

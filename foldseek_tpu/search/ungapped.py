@@ -77,12 +77,19 @@ class UngappedPrefilter:
 
     def _run(self, prof: np.ndarray, byte_bias: int,
              params: SearchParams) -> List[tuple]:
+        return self._finish(self._launch(prof, byte_bias), params)
+
+    def _launch(self, prof: np.ndarray, byte_bias: int):
+        """Queue the kernel without blocking (async dispatch) so callers can
+        launch every query before the first readback."""
         import jax.numpy as jnp
         packed = pack_profile(prof)
         # byte-saturation cap as in the reference's uint8 kernel
         cap = jnp.float32(BYTE_CAP - byte_bias)
-        scores = np.asarray(
-            gapless_scores_single(jnp.asarray(packed), self.t_T, cap))
+        return gapless_scores_single(jnp.asarray(packed), self.t_T, cap)
+
+    def _finish(self, device_scores, params: SearchParams) -> List[tuple]:
+        scores = np.asarray(device_scores)
         scores = scores[: self.tdb.size].astype(np.int64)
         ok = scores > MIN_DIAG_SCORE
         idx = np.nonzero(ok)[0]
@@ -93,6 +100,9 @@ class UngappedPrefilter:
 
 def ungapped_prefilter(qdb: StructDB, tdb: StructDB,
                        params: SearchParams) -> Dict[int, List[int]]:
+    # NOTE: per-query launch+readback measured FASTER here than queueing all
+    # launches before draining — the remote-dispatch tunnel degrades when
+    # many result buffers are in flight
     pref = UngappedPrefilter(tdb)
     out: Dict[int, List[int]] = {}
     for qi in range(qdb.size):
