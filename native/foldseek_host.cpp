@@ -415,4 +415,82 @@ int tm_score_aligned(const double* x, const double* y, int n, int norm_len,
     return 0;
 }
 
+// direct export of the iterative superposition search used by full TM-align
+// (TMalign.cpp TMscore8_search): out13 = [score, u(9), t(3)]
+int tm_search8(const double* xtm, const double* ytm, int l_ali,
+               int simplify_step, double local_d0_search, double score_d8,
+               double d0, double lnorm, int n_it, double* out13) {
+    if (l_ali < 1) return -1;
+    TMSearchResult r;
+    tmscore8_search(xtm, ytm, l_ali, simplify_step, local_d0_search,
+                    score_d8, d0, lnorm, n_it, &r);
+    out13[0] = r.score;
+    std::memcpy(out13 + 1, r.u, 9 * sizeof(double));
+    std::memcpy(out13 + 10, r.t, 3 * sizeof(double));
+    return 0;
+}
+
+// Gotoh Needleman-Wunsch over a dense float32 score matrix with the
+// TM-align boundary conditions (negative boundaries clamp to FLT_MIN) and
+// trace tie rules: E/F prefer extension on ties, H priority diag > F > E
+// (lib/tmalign/TMalign.cpp NWDP_TM). Bit-identical to the numpy float32
+// anti-diagonal version in ops/tmalign.py.
+int nw_gotoh_f32(const float* score, int ylen, int xlen,
+                 float gap_open, float gap_extend, long* y2x) {
+    const float FLT_MIN_F = 1.1754943508222875e-38f;
+    const float NEGF = -3.0e38f;
+    const int W = xlen + 1;
+    std::vector<float> H((ylen + 1) * W), E((ylen + 1) * W, NEGF),
+        F((ylen + 1) * W, NEGF);
+    std::vector<signed char> Ht(ylen * xlen), Et(ylen * xlen), Ft(ylen * xlen);
+    H[0] = 0.0f;
+    for (int i = 1; i <= ylen; i++) {
+        float v = -gap_open - gap_extend * (float)(i - 1);
+        H[i * W] = std::max(v, FLT_MIN_F);
+        E[i * W] = std::max(H[i * W] - gap_open, FLT_MIN_F);
+    }
+    for (int j = 1; j <= xlen; j++) {
+        float v = -gap_open - gap_extend * (float)(j - 1);
+        H[j] = std::max(v, FLT_MIN_F);
+        F[j] = FLT_MIN_F;
+    }
+    for (int i = 0; i < ylen; i++) {
+        const float* srow = score + (size_t)i * xlen;
+        for (int j = 0; j < xlen; j++) {
+            float e_open = H[(i + 1) * W + j] - gap_open;
+            float e_ext = E[(i + 1) * W + j] - gap_extend;
+            float e = std::max(e_open, e_ext);
+            E[(i + 1) * W + j + 1] = e;
+            Et[(size_t)i * xlen + j] = (e_open > e_ext) ? 0 : 1;
+            float f_open = H[i * W + j + 1] - gap_open;
+            float f_ext = F[i * W + j + 1] - gap_extend;
+            float f = std::max(f_open, f_ext);
+            F[(i + 1) * W + j + 1] = f;
+            Ft[(size_t)i * xlen + j] = (f_open > f_ext) ? 0 : 1;
+            float diag = H[i * W + j] + srow[j];
+            float h = std::max(std::max(diag, e), f);
+            H[(i + 1) * W + j + 1] = h;
+            Ht[(size_t)i * xlen + j] = (h == diag) ? 0 : ((h == f) ? 1 : 2);
+        }
+    }
+    for (int i = 0; i < ylen; i++) y2x[i] = -1;
+    int i = ylen - 1, j = xlen - 1, state = 0;
+    while (i >= 0 && j >= 0) {
+        if (state == 0) {
+            signed char tr = Ht[(size_t)i * xlen + j];
+            if (tr == 0) { y2x[i] = j; i--; j--; }
+            else state = tr;
+        } else if (state == 1) {
+            signed char tr = Ft[(size_t)i * xlen + j];
+            i--;
+            state = (tr == 0) ? 0 : 1;
+        } else {
+            signed char tr = Et[(size_t)i * xlen + j];
+            j--;
+            state = (tr == 0) ? 0 : 2;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
