@@ -575,6 +575,42 @@ def cmd_multimersearch(argv):
     return 0
 
 
+def cmd_convert2foldcomp(argv):
+    """Compress structures into a foldcomp (FCMP) database
+    (reference: src/strucclustutils/GemmiWrapper.cpp:895-945 GemmiToFoldcomp
+    + lib/foldcomp compress/writeStream; backbone N/CA/C per residue)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu convert2foldcomp")
+    p.add_argument("inputs", nargs="+", help="PDB/mmCIF/mmJSON files or dirs")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import numpy as np
+
+    from .ingest.createdb import _parse_structures, collect_input_files
+    from .ingest.foldcomp import encode_fcz, write_foldcomp_db
+
+    def entries():
+        for path in collect_input_files(args.inputs):
+            for st in _parse_structures(path):
+                multi = len(st.chains) > 1
+                for ch in st.chains:
+                    if len(ch.aa) <= 3 or np.isnan(ch.n[:, 0]).all():
+                        continue
+                    name = f"{st.name}_{ch.name}" if multi else st.name
+                    blob = encode_fcz(
+                        np.nan_to_num(ch.n).astype(np.float32),
+                        np.nan_to_num(ch.ca).astype(np.float32),
+                        np.nan_to_num(ch.c).astype(np.float32),
+                        ch.aa, title="", chain=ch.name or "A",
+                        bfactor=ch.bfactor, idx_atom=1)
+                    yield name, blob
+
+    write_foldcomp_db(entries(), args.output_db)
+    logger.info("convert2foldcomp: wrote %s", args.output_db)
+    return 0
+
+
 def cmd_createclusearchdb(argv):
     """Representatives + _seq + _clu triple for --cluster-search
     (reference: lib/mmseqs/src/util/createclusterdb.cpp)."""
@@ -817,6 +853,7 @@ COMMANDS = {
     "compressca": (cmd_compressca, "Re-encode C-alpha coords as int16 diffs (6 B/residue)"),
     "createsubdb": (cmd_createsubdb, "Subset a structure DB by key/name list"),
     "createclusearchdb": (cmd_createclusearchdb, "Build a clustered search DB for --cluster-search"),
+    "convert2foldcomp": (cmd_convert2foldcomp, "Compress structures into a foldcomp (.fcz) DB"),
     "structurealign": (cmd_structurealign, "Re-align a result DB with the dual-alphabet SW aligner"),
     "tmalign": (cmd_tmalign, "Re-align a result DB with TM-align"),
     "lolalign": (cmd_lolalign, "Re-align a result DB with LoLalign"),

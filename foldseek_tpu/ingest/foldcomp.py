@@ -325,3 +325,175 @@ def iter_foldcomp_db(path: str):
         st = decode_fcz(chunk)
         fallback = st.title or f"{os.path.basename(path)}_{key}"
         yield names.get(key, fallback), st
+
+
+# ---------------------------------------------------------------------------
+# write side (compress): mirrors Foldcomp::preprocess/compress/writeStream
+# (lib/foldcomp/src/foldcomp.cpp:450-606,1038-1110) for backbone-only input —
+# the reference foldseek export passes N/CA/C per residue only
+# (src/strucclustutils/GemmiWrapper.cpp:895-945, CB commented out).
+
+_AA_TO_INT = {c: i for i, c in enumerate(_INT_TO_AA)}
+
+
+def _torsions_f32(p: np.ndarray) -> np.ndarray:
+    """Consecutive 4-atom dihedrals with foldcomp's sign convention
+    (lib/foldcomp/src/torsion_angle.cpp:32-100), float32 math."""
+    p = np.asarray(p, dtype=np.float32)
+    d1 = p[1:-2] - p[:-3]
+    d2 = p[2:-1] - p[1:-2]
+    d3 = p[3:] - p[2:-1]
+    u1 = np.cross(d1, d2).astype(np.float32)
+    u2 = np.cross(d2, d3).astype(np.float32)
+    num = (u1 * u2).sum(1)
+    den = np.sqrt((u1 * u1).sum(1) * (u2 * u2).sum(1)).astype(np.float32)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = num / den
+    t = np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))).astype(np.float32)
+    t = np.where(np.isnan(cos), np.where(cos < 0, 180.0, 0.0), t)
+    sign = (u1 * np.cross(u2, d2)).sum(1)
+    return np.where(sign < 0, -t, t).astype(np.float32)
+
+
+def _angles_f32(p: np.ndarray) -> np.ndarray:
+    """Interior bond angles in degrees (nerf.cpp getBondAngles)."""
+    p = np.asarray(p, dtype=np.float32)
+    d1 = p[:-2] - p[1:-1]
+    d2 = p[2:] - p[1:-1]
+    num = (d1 * d2).sum(1)
+    den = np.sqrt((d1 * d1).sum(1) * (d2 * d2).sum(1))
+    return np.degrees(np.arccos(num / den)).astype(np.float32)
+
+
+class _Disc:
+    """Discretizer(values, n_bin) (lib/foldcomp/src/discretizer.cpp:22-53):
+    vector discretize rounds (+0.5 then uint truncation)."""
+
+    def __init__(self, values: np.ndarray, n_bin: int):
+        v = np.asarray(values, dtype=np.float32)
+        self.min = np.float32(v.min()) if len(v) else np.float32(0)
+        vmax = np.float32(v.max()) if len(v) else np.float32(0)
+        span = np.float32(vmax - self.min)
+        with np.errstate(divide="ignore"):
+            self.disc_f = np.float32(n_bin) / span if span != 0 else np.float32(0)
+            self.cont_f = span / np.float32(n_bin)
+
+    def disc(self, v: np.ndarray) -> np.ndarray:
+        out = ((np.asarray(v, np.float32) - self.min) * self.disc_f
+               + np.float32(0.5))
+        return np.nan_to_num(out).astype(np.uint32)
+
+
+def encode_fcz(n_xyz: np.ndarray, ca_xyz: np.ndarray, c_xyz: np.ndarray,
+               residues: str, title: str = "", chain: str = "A",
+               bfactor: np.ndarray = None, idx_residue: int = 0,
+               idx_atom: int = 0, anchor_threshold: int = 25) -> bytes:
+    """Backbone N/CA/C (+ per-residue CA b-factors) -> FCMP blob."""
+    L = len(residues)
+    bb = np.empty((3 * L, 3), dtype=np.float32)
+    bb[0::3] = n_xyz
+    bb[1::3] = ca_xyz
+    bb[2::3] = c_xyz
+    if bfactor is None:
+        bfactor = np.zeros(L, dtype=np.float32)
+
+    tors = _torsions_f32(bb)           # 3L-3 values: psi0, omega0, phi0, ...
+    psi, omega, phi = tors[0::3], tors[1::3], tors[2::3]
+    ang = _angles_f32(bb)              # 3L-2 values; split starts at index 1
+    ca_c_n = ang[1::3]
+    c_n_ca = ang[2::3]
+    n_ca_c = ang[3::3]
+
+    d_phi = _Disc(phi, 2 ** 12 - 1)
+    d_psi = _Disc(psi, 2 ** 12 - 1)
+    d_omega = _Disc(omega, 2 ** 11 - 1)
+    d_ncac = _Disc(n_ca_c, 255)
+    d_cacn = _Disc(ca_c_n, 255)
+    d_cnca = _Disc(c_n_ca, 255)
+    phi_d, psi_d, omega_d = d_phi.disc(phi), d_psi.disc(psi), d_omega.disc(omega)
+    ncac_d, cacn_d, cnca_d = d_ncac.disc(n_ca_c), d_cacn.disc(ca_c_n), d_cnca.disc(c_n_ca)
+
+    # anchors (foldcomp.cpp:745-761)
+    n_inner = L // anchor_threshold
+    n_all = n_inner + 2
+    interval = L // (n_all - 1)
+    anchor_idx = [i * interval for i in range(n_all - 1)] + [L - 1]
+
+    # sidechain torsion stream: with only N/CA/C present every missing atom
+    # resolves to the origin (findFirstAtomCoords, sidechain.cpp:140-147);
+    # analytically the O torsion is dihedral(N,CA,C,origin) and every later
+    # torsion is exactly 0 (degenerate cross products), scalar-discretized
+    # WITHOUT rounding (discretizer.cpp:55, compress at foldcomp.cpp:533-537)
+    sc_bytes = bytearray()
+    cont = np.float32(255.0) / np.float32(360.0)
+    for r in range(L):
+        cnt = _TORSION_NUM.get(residues[r], 0)
+        if cnt == 0:
+            continue
+        o_t = _torsions_f32(np.stack([n_xyz[r], ca_xyz[r], c_xyz[r],
+                                      np.zeros(3)]).astype(np.float32))[0]
+        sc_bytes.append(int((np.float32(o_t) + np.float32(180.0)) * cont) & 0xFF)
+        zero_byte = int(np.float32(180.0) * cont) & 0xFF
+        sc_bytes.extend([zero_byte] * (cnt - 1))
+
+    d_temp = _Disc(np.asarray(bfactor, np.float32), 255)
+    temp_d = d_temp.disc(bfactor)
+
+    import struct as st
+    out = bytearray()
+    out += MAGIC
+    # header stores the one-letter CHARACTERS (get_header passes
+    # this->firstResidue = getOneLetterCode(...), a char)
+    out += st.pack(_HEADER_FMT, L, 3 * L, idx_residue, idx_atom, n_all,
+                   chain[:1].encode() or b"A", len(sc_bytes),
+                   residues[0].encode(), residues[-1].encode(), len(title),
+                   float(d_phi.min), float(d_psi.min), float(d_omega.min),
+                   float(d_ncac.min), float(d_cacn.min), float(d_cnca.min),
+                   float(d_phi.cont_f), float(d_psi.cont_f), float(d_omega.cont_f),
+                   float(d_ncac.cont_f), float(d_cacn.cont_f), float(d_cnca.cont_f))
+    out += np.asarray(anchor_idx, dtype=np.int32).tobytes()
+    out += title.encode()
+    for ai in anchor_idx:
+        out += np.asarray([n_xyz[ai], ca_xyz[ai], c_xyz[ai]],
+                          dtype=np.float32).tobytes()
+    out += b"\x00" + np.zeros(3, np.float32).tobytes()  # hasOXT + coords
+
+    def row(i):
+        if i < L - 1:
+            rr = (_AA_TO_INT.get(residues[i], 23), int(omega_d[i]), int(psi_d[i]),
+                  int(phi_d[i]), int(cacn_d[i]), int(cnca_d[i]), int(ncac_d[i]))
+        else:
+            rr = (_AA_TO_INT.get(residues[i], 23), 0, 0, 0, 0, 0, 0)
+        res_i, om, ps, ph, cacn, cnca, ncac = rr
+        b = bytearray(8)
+        b[0] = ((res_i << 3) | ((om & 0x7FF) >> 8)) & 0xFF
+        b[1] = om & 0xFF
+        b[2] = (ps & 0xFFF) >> 4
+        b[3] = (((ps & 0xF) << 4) | ((ph & 0xFFF) >> 8)) & 0xFF
+        b[4] = ph & 0xFF
+        b[5] = cacn & 0xFF
+        b[6] = cnca & 0xFF
+        b[7] = ncac & 0xFF
+        return bytes(b)
+
+    for i in range(L):
+        out += row(i)
+    out += bytes(sc_bytes)
+    out += st.pack("<ff", float(d_temp.min), float(d_temp.cont_f))
+    out += bytes(int(x) & 0xFF for x in temp_d)
+    return bytes(out)
+
+
+def write_foldcomp_db(db_entries, out_path: str):
+    """entries: iterable of (name, blob). Writes data + .index + .lookup +
+    .dbtype in the foldcomp/mmseqs container layout iter_foldcomp_db reads."""
+    off = 0
+    with open(out_path, "wb") as f, open(out_path + ".index", "w") as idx, \
+            open(out_path + ".lookup", "w") as lk:
+        for key, (name, blob) in enumerate(db_entries):
+            f.write(blob)
+            idx.write(f"{key}\t{off}\t{len(blob)}\n")
+            lk.write(f"{key}\t{name}\t0\n")
+            off += len(blob)
+    with open(out_path + ".dbtype", "wb") as f:
+        f.write(bytes([5, 0, 0, 0]))

@@ -82,3 +82,53 @@ def test_seqdist_alphabet(example_dir):
     # (helix contacts at |offset| 3-4 -> centroid indices around 7-13)
     inner = st[1:-1]
     assert (np.abs(SEQDIST_CENTROIDS[inner]) <= 40).mean() > 0.5
+
+
+def test_encode_roundtrip_and_reference_layout(example_dir, golden_dir):
+    """encode_fcz must round-trip through our decoder and reproduce the
+    reference binary's own export byte-for-byte except its uninitialized
+    header padding and one-ULP float rounding in the discretizer params
+    (verified externally: the reference binary decodes our blob to
+    byte-identical AA + 3Di strings)."""
+    import numpy as np
+
+    from foldseek_tpu.ingest.foldcomp import decode_fcz, encode_fcz
+    from foldseek_tpu.ingest.pdb import parse_structure
+    ch = parse_structure(str(example_dir / "d1asha_")).chains[0]
+    blob = encode_fcz(np.asarray(ch.n, np.float32), np.asarray(ch.ca, np.float32),
+                      np.asarray(ch.c, np.float32), ch.aa,
+                      bfactor=ch.bfactor, idx_atom=1)
+    ref = (golden_dir / "d1asha.fcz").read_bytes()
+    assert len(blob) == len(ref)
+    pad = {14, 15}  # reference writes uninitialized struct padding here
+    diffs = [i for i in range(len(blob)) if blob[i] != ref[i] and i not in pad]
+    assert all(24 <= i < 72 for i in diffs), diffs  # only discretizer floats
+    assert len(diffs) <= 8
+    st = decode_fcz(blob)
+    assert st.residues == ch.aa
+    rmsd = float(np.sqrt(np.mean(np.sum(
+        (st.ca - np.asarray(ch.ca, np.float32)) ** 2, axis=1))))
+    assert rmsd < 0.15
+
+
+def test_convert2foldcomp_verb(example_dir, tmp_path):
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.ingest.createdb import create_db
+    out = str(tmp_path / "fcdb")
+    assert main(["convert2foldcomp", str(example_dir / "d1asha_"),
+                 str(example_dir / "1tim.pdb.gz"), out, "-v", "1"]) == 0
+    db = create_db([out], str(tmp_path / "db"))
+    assert db.size == 3  # d1asha_ + 1tim chains A/B
+    # backbone coordinates survive the codec (~0.1 A); the 3Di drifts more
+    # because backbone-only fcz reconstructs degenerate CBs — the reference's
+    # own foldseek export has the identical behavior (byte-level parity above)
+    import numpy as np
+    direct = create_db([str(example_dir / "1tim.pdb.gz")], str(tmp_path / "dbd"))
+    for name in ("1tim_A", "1tim_B"):
+        i, j = db.names.index(name), direct.names.index(name)
+        rmsd = float(np.sqrt(np.mean(np.sum(
+            (db.get_ca(i) - direct.get_ca(j)) ** 2, axis=1))))
+        assert rmsd < 0.15, (name, rmsd)
+        a, b = db.get_ss_str(i), direct.get_ss_str(j)
+        ident = sum(x == y for x, y in zip(a, b)) / len(b)
+        assert ident > 0.4, (name, ident)
