@@ -80,6 +80,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_float, ctypes.c_float,
                                      ctypes.POINTER(ctypes.c_long)]
         lib.nw_gotoh_f32.restype = ctypes.c_int
+        lib.lddt_aligned.argtypes = [fp, fp, fp, ctypes.c_int, dp, fp]
+        lib.lddt_aligned.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -174,3 +176,23 @@ def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):
     if rc != 0:
         return None
     return y2x
+
+
+def lddt_aligned(qa: np.ndarray, ta: np.ndarray, deg: np.ndarray):
+    """C-alpha LDDT over aligned columns. Returns (avg, per_col, score_len)
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    qa = np.ascontiguousarray(qa, dtype=np.float32)
+    ta = np.ascontiguousarray(ta, dtype=np.float32)
+    deg = np.ascontiguousarray(deg, dtype=np.float32)
+    m = len(qa)
+    out = np.zeros(2, dtype=np.float64)
+    per_col = np.zeros(m, dtype=np.float32)
+    rc = lib.lddt_aligned(_ptr(qa, ctypes.c_float), _ptr(ta, ctypes.c_float),
+                          _ptr(deg, ctypes.c_float), m,
+                          _ptr(out, ctypes.c_double), _ptr(per_col, ctypes.c_float))
+    if rc != 0:
+        return None
+    return float(out[0]), per_col, int(out[1])

@@ -63,6 +63,15 @@ def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
         q_ctx = lddt_query_context(q_ca)
     dq_full, close_full, degree = q_ctx
 
+    from .. import native
+    qa32 = np.asarray(q_ca, dtype=np.float32)[q_idx]
+    res = native.lddt_aligned(qa32, ta, degree[q_idx])
+    if res is not None:
+        avg, per_col, score_len = res
+        # columns with zero degree are NaN-skipped in the reference;
+        # per_col here already holds 0 for them like the nan_to_num below
+        return LDDTResult(avg, per_col, score_len)
+
     # aligned-aligned pair scores
     dq = dq_full[np.ix_(q_idx, q_idx)]
     close = close_full[np.ix_(q_idx, q_idx)]

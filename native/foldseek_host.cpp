@@ -493,4 +493,48 @@ int nw_gotoh_f32(const float* score, int ylen, int xlen,
     return 0;
 }
 
+// C-alpha LDDT over the aligned columns of one hit (src/commons/LDDT.cpp
+// semantics as re-derived in ops/lddt.py): query-side <15A pairs scored
+// 0.25 * #(|dq - dt| < {0.5,1,2,4}), column-normalized by the query
+// residue's FULL-chain neighbor degree (passed in), averaged over columns
+// with neighbors. qa/ta: [m*3] float32 aligned coords; deg: [m] float32.
+// out2 = [avg, score_length]; per_col: [m].
+int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
+                 double* out2, float* per_col) {
+    if (m <= 0) { out2[0] = 0.0; out2[1] = 0.0; return 0; }
+    std::vector<float> col_sum(m, 0.0f);
+    for (int i = 0; i < m; i++) {
+        for (int j = i + 1; j < m; j++) {
+            float dxq = qa[3 * i] - qa[3 * j];
+            float dyq = qa[3 * i + 1] - qa[3 * j + 1];
+            float dzq = qa[3 * i + 2] - qa[3 * j + 2];
+            float dq = std::sqrt(dxq * dxq + dyq * dyq + dzq * dzq);
+            if (dq >= 15.0f) continue;
+            float dxt = ta[3 * i] - ta[3 * j];
+            float dyt = ta[3 * i + 1] - ta[3 * j + 1];
+            float dzt = ta[3 * i + 2] - ta[3 * j + 2];
+            float dt = std::sqrt(dxt * dxt + dyt * dyt + dzt * dzt);
+            float dl = std::fabs(dq - dt);
+            float p = 0.25f * ((dl < 0.5f) + (dl < 1.0f) + (dl < 2.0f) + (dl < 4.0f));
+            col_sum[i] += p;
+            col_sum[j] += p;
+        }
+    }
+    double total = 0.0;
+    int score_len = 0;
+    for (int i = 0; i < m; i++) {
+        if (deg[i] > 0.0f) {
+            float v = col_sum[i] / std::max(deg[i], 1.0f);
+            per_col[i] = v;
+            total += v;
+            score_len++;
+        } else {
+            per_col[i] = 0.0f;
+        }
+    }
+    out2[0] = score_len ? total / score_len : 0.0;
+    out2[1] = score_len;
+    return 0;
+}
+
 }  // extern "C"
