@@ -18,6 +18,18 @@ from dataclasses import dataclass
 import numpy as np
 
 
+def backtrace_indices(backtrace: str, q_start: int, t_start: int):
+    """Vectorized M-column index extraction from a backtrace string:
+    (q_idx, t_idx) of aligned pairs. q advances on M/I, t on M/D."""
+    arr = np.frombuffer(backtrace.encode("ascii"), dtype=np.uint8)
+    qstep = arr != ord("D")
+    tstep = arr != ord("I")
+    qpos = q_start + np.cumsum(qstep) - qstep
+    tpos = t_start + np.cumsum(tstep) - tstep
+    m = arr == ord("M")
+    return qpos[m], tpos[m]
+
+
 @dataclass
 class LDDTResult:
     avg_lddt: float
@@ -40,19 +52,7 @@ def lddt_query_context(q_ca: np.ndarray):
 def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
                  q_start: int, t_start: int, backtrace: str,
                  q_ctx=None) -> LDDTResult:
-    qi, ti = q_start, t_start
-    q_idx = []
-    t_idx = []
-    for op in backtrace:
-        if op == "M":
-            q_idx.append(qi)
-            t_idx.append(ti)
-            qi += 1
-            ti += 1
-        elif op == "I":
-            qi += 1
-        else:
-            ti += 1
+    q_idx, t_idx = backtrace_indices(backtrace, q_start, t_start)
     n = len(q_idx)
     if n == 0:
         return LDDTResult(0.0, np.zeros(0, dtype=np.float32), 0)

@@ -151,19 +151,8 @@ def compute_tm_score(q_ca: np.ndarray, t_ca: np.ndarray,
                      normalization_len: int) -> TMResult:
     """Approximate TM-score of a fixed alignment
     (reference: TMaligner.cpp:50-104). q_ca/t_ca: [L, 3] float32."""
-    qi, ti = q_start, t_start
-    q_idx = []
-    t_idx = []
-    for op in backtrace:
-        if op == "M":
-            q_idx.append(qi)
-            t_idx.append(ti)
-            qi += 1
-            ti += 1
-        elif op == "I":
-            qi += 1
-        else:
-            ti += 1
+    from .lddt import backtrace_indices
+    q_idx, t_idx = backtrace_indices(backtrace, q_start, t_start)
     # x = target, y = query (TMaligner.cpp:74-81 invmap convention)
     xtm = np.asarray(t_ca[t_idx], dtype=np.float64)
     ytm = np.asarray(q_ca[q_idx], dtype=np.float64)
