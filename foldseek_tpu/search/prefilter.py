@@ -8,7 +8,10 @@ Three modes, mirroring the reference's PREFMODE switch
 * UNGAPPED — gapless diagonal scoring of every query against every target,
   top max_seqs kept (reference: lib/mmseqs/src/prefiltering/ungappedprefilter.cpp;
   on GPU via libmarv — here the TPU kernel in ops/gapless.py).
-* KMER — the classic k-mer double-diagonal prefilter (host side; TODO round 1+).
+* KMER — the classic k-mer double-diagonal prefilter (host side, bit-parity
+  with the reference; search/kmer.py).
+* UNGAPPED_AND_GAPPED (mode 3) — alignment-format results straight from the
+  gapped prefilter pass (search/ungapped.py).
 """
 from __future__ import annotations
 
