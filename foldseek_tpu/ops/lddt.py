@@ -88,3 +88,61 @@ def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
     score_length = int(valid.sum())
     avg = float(per_col[valid].sum() / score_length) if score_length else 0.0
     return LDDTResult(avg, np.nan_to_num(per_col), score_length)
+
+
+def batched_lddt_device(qa: "np.ndarray", ta: "np.ndarray",
+                        deg: "np.ndarray", m_len: "np.ndarray",
+                        chunk: int = 256):
+    """Batched C-alpha LDDT on the accelerator: [P, M_pad, 3] padded aligned
+    coords, [P, M_pad] per-column query degrees, [P] true column counts.
+    Returns (avg [P], score_len [P]) float32/int32.
+
+    The per-hit host loop (native lddt_aligned) is the production path on a
+    single host core; this vmapped form is the device path for fleets of
+    survivors (round-2: wire into align_all once hits/s exceed what one host
+    core feeds). Scores match compute_lddt to float32 accuracy."""
+    import jax
+    import jax.numpy as jnp
+
+    P, M, _ = qa.shape
+
+    def one(args):
+        q, t, dg, ml = args
+        idx = jnp.arange(M)
+        valid = idx < ml
+        pairm = valid[:, None] & valid[None, :] & (idx[:, None] != idx[None, :])
+        dq = jnp.sqrt(((q[:, None, :] - q[None, :, :]) ** 2).sum(-1))
+        close = (dq < 15.0) & pairm
+        dt = jnp.sqrt(((t[:, None, :] - t[None, :, :]) ** 2).sum(-1))
+        dl = jnp.abs(dq - dt)
+        pair = 0.25 * ((dl < 0.5).astype(jnp.float32) + (dl < 1.0)
+                       + (dl < 2.0) + (dl < 4.0))
+        col = jnp.where(close, pair, 0.0).sum(axis=1)
+        ok = (dg > 0) & valid
+        per_col = jnp.where(ok, col / jnp.maximum(dg, 1.0), 0.0)
+        n_ok = ok.sum()
+        avg = jnp.where(n_ok > 0, per_col.sum() / jnp.maximum(n_ok, 1), 0.0)
+        return avg.astype(jnp.float32), n_ok.astype(jnp.int32)
+
+    def chunk_fn(args):
+        return jax.vmap(lambda q, t, dg, ml: one((q, t, dg, ml)))(*args)
+
+    qa = jnp.asarray(qa, jnp.float32)
+    ta = jnp.asarray(ta, jnp.float32)
+    deg = jnp.asarray(deg, jnp.float32)
+    m_len = jnp.asarray(m_len, jnp.int32)
+    # pad P to a multiple of chunk, then lax.map over chunks to bound the
+    # [chunk, M, M] intermediates
+    pad = (-P) % chunk
+    if pad:
+        qa = jnp.pad(qa, ((0, pad), (0, 0), (0, 0)))
+        ta = jnp.pad(ta, ((0, pad), (0, 0), (0, 0)))
+        deg = jnp.pad(deg, ((0, pad), (0, 0)))
+        m_len = jnp.pad(m_len, (0, pad))
+    n_chunks = qa.shape[0] // chunk
+    qa = qa.reshape(n_chunks, chunk, M, 3)
+    ta = ta.reshape(n_chunks, chunk, M, 3)
+    deg = deg.reshape(n_chunks, chunk, M)
+    m_len = m_len.reshape(n_chunks, chunk)
+    avg, slen = jax.lax.map(chunk_fn, (qa, ta, deg, m_len))
+    return np.asarray(avg).reshape(-1)[:P], np.asarray(slen).reshape(-1)[:P]

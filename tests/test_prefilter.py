@@ -93,3 +93,29 @@ def test_prefilter_mode3_direct_results(example_dir, tmp_path):
         assert int(f[6]) == 1 and int(f[8]) == 1  # qstart/tstart always 1
         assert int(f[11]) > 500                   # strong 3Di gapped scores
         assert float(f[10]) < 1e-10
+
+
+def test_batched_lddt_device_matches_host():
+    """Device-batched LDDT (round-2 groundwork) must match the per-hit
+    host path."""
+    from foldseek_tpu.ops import lddt as L
+    rng = np.random.RandomState(9)
+    P, M = 5, 64
+    qa = np.zeros((P, M, 3), np.float32)
+    ta = np.zeros((P, M, 3), np.float32)
+    deg = np.zeros((P, M), np.float32)
+    ml = rng.randint(20, M + 1, P).astype(np.int32)
+    refs = []
+    for p in range(P):
+        n = ml[p]
+        q = np.cumsum(rng.randn(n, 3) * 2, 0).astype(np.float32)
+        t = (q + rng.randn(n, 3)).astype(np.float32)
+        qa[p, :n] = q
+        ta[p, :n] = t
+        ctx = L.lddt_query_context(q)
+        deg[p, :n] = ctx[2]
+        refs.append(L.compute_lddt(q, t, 0, 0, "M" * n, q_ctx=ctx))
+    avg, slen = L.batched_lddt_device(qa, ta, deg, ml, chunk=4)
+    for p in range(P):
+        assert abs(avg[p] - refs[p].avg_lddt) < 1e-5
+        assert slen[p] == refs[p].score_length
