@@ -575,6 +575,163 @@ def cmd_multimersearch(argv):
     return 0
 
 
+def _read_complex_db(path: str):
+    """Read the complexres DB written by multimersearch/scoremultimer:
+    lines `qkey\\t<scorecomplex cols>`."""
+    out = {}
+    with open(path) as f:
+        header = f.readline()
+        if not header.startswith("#foldseek-tpu complexres"):
+            raise ValueError(f"{path}: not a foldseek-tpu complex result DB")
+        for line in f:
+            qkey, rest = line.rstrip("\n").split("\t", 1)
+            out.setdefault(int(qkey), []).append(rest)
+    return out
+
+
+def _write_complex_db(lines, path: str):
+    with open(path, "w") as f:
+        f.write("#foldseek-tpu complexres v1\n")
+        for qkey in sorted(lines):
+            for line in lines[qkey]:
+                f.write(f"{qkey}\t{line}\n")
+
+
+def cmd_expandmultimer(argv):
+    """Standalone expandmultimer verb (reference: src/strucclustutils/
+    expandmultimer.cpp; registered FoldseekBase.cpp:421-433). Output is a
+    backtrace-less alignment DB of fake entries (score 0) carrying only the
+    expanded chain pairs, like the reference's fake prefilter entries."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu expandmultimer")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .multimer.expand import expand_multimer
+    from .search.resultdb import read_result_db, write_result_db
+    from .search.results import AlnResult
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    results_in, _ = read_result_db(args.result_db)
+    hits = {qk: [r.db_key for r in rs] for qk, rs in results_in.items()}
+    expanded = expand_multimer(qdb, tdb, hits)
+    q_idx = qdb.key_to_index()
+    t_idx = tdb.key_to_index()
+    out = {qk: [AlnResult(db_key=tk, score=0, seq_id=0.0, evalue=0.0,
+                          q_start=0, q_end=0, q_len=qdb.entry_len(q_idx[qk]),
+                          t_start=0, t_end=0, t_len=tdb.entry_len(t_idx[tk]),
+                          backtrace="")
+                for tk in tks]
+           for qk, tks in expanded.items()}
+    write_result_db(out, args.output_db, add_backtrace=False)
+    return 0
+
+
+def cmd_scoremultimer(argv):
+    """Standalone scoremultimer verb (reference: src/strucclustutils/
+    scoremultimer.cpp; FoldseekBase.cpp:296-313)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu scoremultimer")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("aln_db", help="alignment DB with backtraces")
+    p.add_argument("output_db")
+    p.add_argument("--multimer-tm-threshold", type=float, default=0.0)
+    p.add_argument("--chain-tm-threshold", type=float, default=0.0)
+    p.add_argument("--interface-lddt-threshold", type=float, default=0.0)
+    p.add_argument("--cov-mode", type=int, default=0)
+    p.add_argument("-c", "--cov-thr", type=float, default=0.0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .multimer.filter import MultimerFilterParams
+    from .multimer.scoremultimer import score_multimer
+    from .search.resultdb import read_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    alns, has_bt = read_result_db(args.aln_db)
+    if not has_bt:
+        logger.error("scoremultimer needs an alignment DB with backtraces "
+                     "(structurealign -a / --add-backtrace)")
+        return 1
+    fp = None
+    if (args.multimer_tm_threshold or args.chain_tm_threshold
+            or args.interface_lddt_threshold):
+        fp = MultimerFilterParams(
+            mult_tm_thr=args.multimer_tm_threshold,
+            chain_tm_thr=args.chain_tm_threshold,
+            interface_lddt_thr=args.interface_lddt_threshold,
+            cov_thr=args.cov_thr, cov_mode=args.cov_mode)
+    lines = score_multimer(qdb, tdb, alns, filter_params=fp)
+    _write_complex_db(lines, args.output_db)
+    return 0
+
+
+def cmd_createmultimerreport(argv):
+    """Standalone createmultimerreport verb (reference: src/strucclustutils/
+    createmultimerreport.cpp; FoldseekBase.cpp:400-418)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu createmultimerreport")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("complex_db", help="complexres DB from scoremultimer")
+    p.add_argument("output_tsv")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .multimer.report import create_multimer_report
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    report = create_multimer_report(qdb, tdb, _read_complex_db(args.complex_db))
+    with open(args.output_tsv, "w") as f:
+        for line in report:
+            f.write(line + "\n")
+    logger.info("createmultimerreport: %d assignments -> %s",
+                len(report), args.output_tsv)
+    return 0
+
+
+def cmd_multimercluster(argv):
+    """Standalone multimercluster verb on a prebuilt DB (reference:
+    src/workflow/MultimerCluster.cpp; FoldseekBase.cpp:316-333)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu multimercluster")
+    p.add_argument("db")
+    p.add_argument("cluster_tsv")
+    p.add_argument("tmp_dir")
+    p.add_argument("--multimer-tm-threshold", type=float, default=0.7)
+    p.add_argument("--chain-tm-threshold", type=float, default=0.7)
+    p.add_argument("--interface-lddt-threshold", type=float, default=0.3)
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .multimer.cluster import complex_name, multimer_cluster
+    from .multimer.filter import MultimerFilterParams
+    from .multimer.scoremultimer import complex_maps
+    db = load_db(args.db)
+    fp = MultimerFilterParams(
+        mult_tm_thr=args.multimer_tm_threshold,
+        chain_tm_thr=args.chain_tm_threshold,
+        interface_lddt_thr=args.interface_lddt_threshold,
+        cov_thr=args.cov_thr, cov_mode=args.cov_mode)
+    if fp.mult_tm_thr + fp.chain_tm_thr + fp.interface_lddt_thr == 0:
+        fp.mult_tm_thr = 0.0001  # mustsetMultimerCluster (MultimerCluster.cpp:19-21)
+    clusters = multimer_cluster(db, params_from_args(args), fp)
+    _, complex_chains, _ = complex_maps(db)
+    with open(args.cluster_tsv, "w") as f:
+        for rep in sorted(clusters):
+            rname = complex_name(db, rep, complex_chains)
+            for m in clusters[rep]:
+                f.write(f"{rname}\t{complex_name(db, m, complex_chains)}\n")
+    logger.info("multimercluster: %d complexes -> %d clusters",
+                len(complex_chains), len(clusters))
+    return 0
+
+
 def cmd_convert2foldcomp(argv):
     """Compress structures into a foldcomp (FCMP) database
     (reference: src/strucclustutils/GemmiWrapper.cpp:895-945 GemmiToFoldcomp
@@ -862,6 +1019,13 @@ COMMANDS = {
     "rbh": (cmd_rbh, "Reciprocal best hit on prebuilt DBs"),
     "multimersearch": (cmd_multimersearch, "Complex search on prebuilt DBs"),
     "complexsearch": (cmd_multimersearch, "Alias of multimersearch"),
+    "expandmultimer": (cmd_expandmultimer, "Expand chain hits to all chain pairs of hit complexes"),
+    "expandcomplex": (cmd_expandmultimer, "Alias of expandmultimer"),
+    "scoremultimer": (cmd_scoremultimer, "Score chain-pair alignments into complex assignments"),
+    "scorecomplex": (cmd_scoremultimer, "Alias of scoremultimer"),
+    "createmultimerreport": (cmd_createmultimerreport, "Complex result DB to report TSV"),
+    "createcomplexreport": (cmd_createmultimerreport, "Alias of createmultimerreport"),
+    "multimercluster": (cmd_multimercluster, "Cluster complexes in a prebuilt DB"),
     "databases": (cmd_databases, "List/download prebuilt structure databases"),
     "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
     "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),
