@@ -1035,6 +1035,8 @@ COMMANDS = {
 
 
 def main(argv=None):
+    from .utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print("foldseek-tpu — TPU-native protein structure search\n\nCommands:")

@@ -22,7 +22,7 @@ import numpy as np
 from ..utils.log import logger
 from .storage import StructDB
 
-INDEX_VERSION = 1
+INDEX_VERSION = 2
 
 
 def index_dir(db_path: str) -> str:
@@ -31,18 +31,21 @@ def index_dir(db_path: str) -> str:
 
 def create_index(db: StructDB, k: int = 0, sensitivity: float = 9.5,
                  lt_pad_multiple: int = 128) -> str:
-    """Build + persist the padded device panel and the k-mer posting lists."""
+    """Build + persist the length-bucketed device panels and the k-mer
+    posting lists (reference: makepaddedseqdb length-sorts + pads for the
+    GPU kernels, lib/mmseqs/src/util/makepaddedseqdb.cpp; libmarv
+    dbbatching.cuh partitions by length)."""
     out = index_dir(db.path)
     os.makedirs(out, exist_ok=True)
 
-    # --- padded transposed panel for the gapless kernel ---
-    from ..ops.gapless_pallas import prepare_targets_T
+    # --- length-bucketed transposed panels for the gapless kernel ---
+    from .panels import build_buckets
     lens = db.lengths()
-    max_len = int(lens.max()) if db.size else 1
-    lt_pad = -(-max_len // lt_pad_multiple) * lt_pad_multiple
     seqs = [db.get_ss(i) for i in range(db.size)]
-    t_T = prepare_targets_T(seqs, lens, lt_pad=lt_pad)
-    np.save(os.path.join(out, "panel_ss_T.npy"), t_T)
+    buckets = build_buckets(seqs, lens)
+    for bi, b in enumerate(buckets):
+        np.save(os.path.join(out, f"bucket_{bi}_panel_T.npy"), b.panel_T)
+        np.save(os.path.join(out, f"bucket_{bi}_idx.npy"), b.entry_idx)
 
     # --- k-mer postings (host prefilter) ---
     from ..search.kmer import KmerPrefilter
@@ -68,9 +71,11 @@ def create_index(db: StructDB, k: int = 0, sensitivity: float = 9.5,
     with open(os.path.join(out, "manifest.json"), "w") as f:
         json.dump({"version": INDEX_VERSION, "k": pref.k,
                    "kmer_thr": pref.kmer_thr, "sensitivity": sensitivity,
-                   "lt_pad": lt_pad, "n_entries": db.size}, f)
-    logger.info("createindex: panel [%d, %d] + %d k-mers -> %s",
-                t_T.shape[0], t_T.shape[1], len(kmer_ids), out)
+                   "n_buckets": len(buckets),
+                   "bucket_lt": [b.lt_pad for b in buckets],
+                   "n_entries": db.size}, f)
+    logger.info("createindex: %d bucket panels (lt %s) + %d k-mers -> %s",
+                len(buckets), [b.lt_pad for b in buckets], len(kmer_ids), out)
     return out
 
 
@@ -92,7 +97,7 @@ class PostingIndex:
 
 
 def load_index(db: StructDB) -> Optional[dict]:
-    """Returns {"manifest", "panel_ss_T", "postings", "masked_ss"} or None."""
+    """Returns {"manifest", "buckets", "postings", "masked_ss"} or None."""
     out = index_dir(db.path)
     manifest_path = os.path.join(out, "manifest.json")
     if not os.path.isfile(manifest_path):
@@ -100,11 +105,20 @@ def load_index(db: StructDB) -> Optional[dict]:
     with open(manifest_path) as f:
         manifest = json.load(f)
     if manifest.get("version") != INDEX_VERSION:
-        logger.warning("index version mismatch at %s; ignoring", out)
+        logger.warning("index version mismatch at %s; ignoring "
+                       "(re-run createindex)", out)
         return None
+    from .panels import Bucket
+    buckets = []
+    for bi, lt_pad in enumerate(manifest["bucket_lt"]):
+        buckets.append(Bucket(
+            lt_pad=lt_pad,
+            entry_idx=np.load(os.path.join(out, f"bucket_{bi}_idx.npy")),
+            panel_T=np.load(os.path.join(out, f"bucket_{bi}_panel_T.npy"),
+                            mmap_mode="r")))
     return {
         "manifest": manifest,
-        "panel_ss_T": np.load(os.path.join(out, "panel_ss_T.npy"), mmap_mode="r"),
+        "buckets": buckets,
         "postings": PostingIndex(out),
         "masked_ss": np.load(os.path.join(out, "masked_ss.npy"), mmap_mode="r"),
     }

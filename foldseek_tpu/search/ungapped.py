@@ -8,18 +8,24 @@ Reference semantics (lib/mmseqs/src/prefiltering/ungappedprefilter.cpp):
     ungapped_alignment, StripedSmithWaterman.cpp:1817-1875)
   * keep score > min_ungapped_score (15), top max_seqs by (score desc, key asc)
 
-TPU path: the Pallas gapless kernel scans length-bucketed transposed target
-panels resident on device; one kernel launch covers every target bucket.
+TPU path: queries are stacked into multi-query profile batches and every
+length bucket of the target DB is scanned by one Pallas kernel launch over
+its transposed int8 panel (db/panels.py). When the padded panels exceed the
+device HBM budget, buckets stream through HBM in splits and per-query
+candidate lists are merged across splits (the reference's TARGET_DB_SPLIT,
+Prefiltering.cpp:289-381).
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from ..db.panels import PanelSet
 from ..db.storage import StructDB
-from ..ops.gapless_pallas import (PAD_LETTER, gapless_scores_single,
-                                  pack_profile, prepare_targets_T)
+from ..ops.gapless_pallas import (PAD_LETTER, gapless_scores_batch,
+                                  gapless_scores_single, pack_profile,
+                                  pack_profiles_batch)
 from ..ops.matrices import mat3di
 from ..ops.sw import calc_comp_bias
 from ..utils.log import logger
@@ -28,86 +34,170 @@ from .params import SearchParams
 MIN_DIAG_SCORE = 15
 PREFILTER_BIAS_SCALE = 0.15
 BYTE_CAP = 255
+# DP-state rows (q * lq_pad) per kernel launch; see gapless_pallas.MAX_STATE_BYTES
+MAX_STACK_ROWS = 3072
+# bring full score rows home below this, device top-k above
+DEVICE_TOPK_MIN_ROWS = 8192
 
 
 class UngappedPrefilter:
-    """Holds the device-resident transposed target panels for repeated queries."""
+    """Bucketed, device-resident target panels scanned for query batches."""
 
-    def __init__(self, tdb: StructDB, lt_pad_multiple: int = 128):
-        import jax.numpy as jnp
+    def __init__(self, tdb: StructDB, budget_bytes: Optional[int] = None):
         self.tdb = tdb
         self.m3 = mat3di(2.0, 0.0)
-        from ..db.index import load_index
-        idx = load_index(tdb)
-        if idx is not None:
-            t_T = idx["panel_ss_T"]
-            logger.info("ungapped prefilter: using precomputed index panel %s",
-                        t_T.shape)
-        else:
-            lens = tdb.lengths()
-            n = tdb.size
-            max_len = int(lens.max()) if n else 1
-            lt_pad = -(-max_len // lt_pad_multiple) * lt_pad_multiple
-            seqs = [tdb.get_ss(i) for i in range(n)]
-            t_T = prepare_targets_T(seqs, lens, lt_pad=lt_pad)
-        self.t_T = jnp.asarray(t_T)
-        self.n_pad = t_T.shape[1]
+        self.panels = PanelSet.from_db(tdb, budget_bytes)
         self.keys = np.asarray(tdb.keys, dtype=np.int64)
+        n_pads = sum(b.n_pad for b in self.panels.buckets)
+        logger.info(
+            "ungapped prefilter: %d buckets (lt %s), %.1f MB device panels, "
+            "%d splits", len(self.panels.buckets),
+            [b.lt_pad for b in self.panels.buckets],
+            self.panels.total_bytes / 1e6, len(self.panels.splits))
 
-    def query(self, q_ss: np.ndarray, params: SearchParams,
-              comp_bias: bool = True) -> List[tuple]:
-        """Returns [(target_key, score)] gated + sorted by reference rules."""
-        L = len(q_ss)
+    # --- profile construction -------------------------------------------
+    def _profile(self, q_ss: np.ndarray, comp_bias: bool = True):
+        q_ss = np.asarray(q_ss)
         prof = self.m3.scores[:, q_ss].astype(np.float32)  # [21, L]
         byte_bias = abs(int(self.m3.scores.min()))
         if comp_bias:
-            bias = calc_comp_bias(np.asarray(q_ss), self.m3.scores, self.m3.p_back,
+            bias = calc_comp_bias(q_ss, self.m3.scores, self.m3.p_back,
                                   PREFILTER_BIAS_SCALE)
             prof = prof + bias[None, :].astype(np.float32)
             byte_bias += abs(min(int(bias.min()), 0))
-        return self._run(prof, byte_bias, params)
+        return prof, byte_bias
 
-    def query_profile(self, prof_ss: np.ndarray, params: SearchParams) -> List[tuple]:
+    # --- public API ------------------------------------------------------
+    def query(self, q_ss: np.ndarray, params: SearchParams,
+              comp_bias: bool = True) -> List[tuple]:
+        """[(target_key, score)] gated + sorted by reference rules."""
+        return self.query_batch([q_ss], params, comp_bias=comp_bias)[0]
+
+    def query_profile(self, prof_ss: np.ndarray,
+                      params: SearchParams) -> List[tuple]:
         """Prefilter with a prebuilt [21, L] 3Di profile (profile searches;
         the reference's GPU path feeds the PSSM to Marv the same way,
         ungappedprefilter.cpp:135-199)."""
         prof = np.asarray(prof_ss, dtype=np.float32)
         byte_bias = abs(min(int(prof.min()), 0))
-        return self._run(prof, byte_bias, params)
+        return self._run_batch([prof], [byte_bias], params)[0]
 
-    def _run(self, prof: np.ndarray, byte_bias: int,
-             params: SearchParams) -> List[tuple]:
-        return self._finish(self._launch(prof, byte_bias), params)
+    def query_batch(self, seqs: Sequence[np.ndarray], params: SearchParams,
+                    comp_bias: bool = True) -> List[List[tuple]]:
+        """Batch variant: one kernel launch scores a whole query stack
+        against each target bucket."""
+        profs, biases = [], []
+        for q_ss in seqs:
+            p, b = self._profile(q_ss, comp_bias)
+            profs.append(p)
+            biases.append(b)
+        return self._run_batch(profs, biases, params)
 
-    def _launch(self, prof: np.ndarray, byte_bias: int):
-        """Queue the kernel without blocking (async dispatch) so callers can
-        launch every query before the first readback."""
+    # --- execution -------------------------------------------------------
+    # static lq_pad family: stack shapes (and so kernel compiles) stay
+    # bounded regardless of the query length mix; short stacks are padded
+    # with dummy all-NEG profiles (score 0, filtered by the gate)
+    LQ_FAMILY = (128, 256, 384, 512, 768, 1024, 1536, 3072)
+
+    @classmethod
+    def _stack_lq(cls, lq_need: int) -> int:
+        for b in cls.LQ_FAMILY:
+            if lq_need <= b:
+                return b
+        return -(-lq_need // 8) * 8  # oversize query: single-query stack
+
+    def _make_stacks(self, profs, byte_biases):
+        """Group queries into uniform-lq_pad stacks under the kernel's
+        DP-state budget, quantized to the static shape family."""
         import jax.numpy as jnp
-        packed = pack_profile(prof)
-        # byte-saturation cap as in the reference's uint8 kernel
-        cap = jnp.float32(BYTE_CAP - byte_bias)
-        return gapless_scores_single(jnp.asarray(packed), self.t_T, cap)
+        groups: Dict[int, list] = {}
+        for i, p in enumerate(profs):
+            groups.setdefault(self._stack_lq(p.shape[1] + 1), []).append(i)
+        dummy = np.full((21, 1), -3e8, dtype=np.float32)
+        stacks = []
+        for lq_pad in sorted(groups):
+            idxs = groups[lq_pad]
+            q_full = max(1, MAX_STACK_ROWS // lq_pad)
+            for i in range(0, len(idxs), q_full):
+                grp = idxs[i:i + q_full]
+                plist = [profs[g] for g in grp]
+                clist = [float(BYTE_CAP - byte_biases[g]) for g in grp]
+                while len(plist) < q_full:  # pad to the static stack shape
+                    plist.append(dummy)
+                    clist.append(float(BYTE_CAP))
+                stack, caps, lq_pad2 = pack_profiles_batch(
+                    plist, clist, lq_pad=lq_pad)
+                assert lq_pad2 == lq_pad
+                stacks.append((grp, jnp.asarray(stack), jnp.asarray(caps),
+                               q_full, lq_pad))
+        return stacks
 
-    def _finish(self, device_scores, params: SearchParams) -> List[tuple]:
-        scores = np.asarray(device_scores)
-        scores = scores[: self.tdb.size].astype(np.int64)
-        ok = scores > MIN_DIAG_SCORE
-        idx = np.nonzero(ok)[0]
-        order = np.lexsort((self.keys[idx], -scores[idx]))
-        idx = idx[order][: params.max_seqs]
-        return [(int(self.keys[i]), int(scores[i])) for i in idx]
+    def _run_batch(self, profs, byte_biases, params: SearchParams):
+        import jax
+        import jax.numpy as jnp
+
+        stacks = self._make_stacks(profs, byte_biases)
+        nq = len(profs)
+        cand_scores = [[] for _ in range(nq)]
+        cand_idx = [[] for _ in range(nq)]
+        multi_split = len(self.panels.splits) > 1
+
+        for split in self.panels.splits:
+            for piece in split:
+                bucket = self.panels.buckets[piece.bucket]
+                t_dev = self.panels.device_panel(piece, keep=not multi_split)
+                rows = piece.row_end - piece.row_start
+                n_real = min(bucket.n, piece.row_end) - piece.row_start
+                if n_real <= 0:
+                    continue
+                entry_idx = bucket.entry_idx[
+                    piece.row_start: piece.row_start + n_real]
+                pending = []
+                for grp, stack, caps, q, lq_pad in stacks:
+                    scores = gapless_scores_batch(stack, t_dev, caps,
+                                                  q, lq_pad)
+                    if rows >= DEVICE_TOPK_MIN_ROWS:
+                        k = min(rows, params.max_seqs)
+                        top_s, top_i = jax.lax.top_k(scores, k)
+                        pending.append((grp, top_s, top_i))
+                    else:
+                        pending.append((grp, scores, None))
+                for grp, s_dev, i_dev in pending:
+                    s = np.asarray(s_dev)
+                    if i_dev is not None:
+                        ti = np.asarray(i_dev)
+                        for r, g in enumerate(grp):
+                            ok = ti[r] < n_real
+                            cand_scores[g].append(s[r][ok])
+                            cand_idx[g].append(entry_idx[ti[r][ok]])
+                    else:
+                        for r, g in enumerate(grp):
+                            cand_scores[g].append(s[r][:n_real])
+                            cand_idx[g].append(entry_idx)
+
+        out = []
+        for g in range(nq):
+            if cand_scores[g]:
+                s = np.concatenate(cand_scores[g]).astype(np.int64)
+                idx = np.concatenate(cand_idx[g])
+            else:
+                s = np.zeros(0, dtype=np.int64)
+                idx = np.zeros(0, dtype=np.int64)
+            ok = s > MIN_DIAG_SCORE
+            s, idx = s[ok], idx[ok]
+            order = np.lexsort((self.keys[idx], -s))[: params.max_seqs]
+            out.append([(int(self.keys[idx[i]]), int(s[i])) for i in order])
+        return out
 
 
 def ungapped_prefilter(qdb: StructDB, tdb: StructDB,
                        params: SearchParams) -> Dict[int, List[int]]:
-    # NOTE: per-query launch+readback measured FASTER here than queueing all
-    # launches before draining — the remote-dispatch tunnel degrades when
-    # many result buffers are in flight
     pref = UngappedPrefilter(tdb)
-    out: Dict[int, List[int]] = {}
-    for qi in range(qdb.size):
-        hits = pref.query(np.asarray(qdb.get_ss(qi)), params)
-        out[int(qdb.keys[qi])] = [k for k, _ in hits]
+    seqs = [np.asarray(qdb.get_ss(qi)) for qi in range(qdb.size)]
+    hits = pref.query_batch(seqs, params)
+    out: Dict[int, List[int]] = {
+        int(qdb.keys[qi]): [k for k, _ in hits[qi]]
+        for qi in range(qdb.size)}
     logger.info("ungapped prefilter: %d queries, avg %.1f hits",
                 qdb.size, np.mean([len(v) for v in out.values()]) if out else 0)
     return out

@@ -48,6 +48,8 @@ def _recv(conn):
 
 
 def serve(db_path: str, socket_path: str, max_seqs_default: int = 1000):
+    from .utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     from .search.params import SearchParams
     from .search.ungapped import UngappedPrefilter
     db = load_db(db_path)

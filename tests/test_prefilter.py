@@ -49,6 +49,66 @@ def test_pallas_kernel_vs_scalar(exdb):
         assert int(scores[i]) == ref, i
 
 
+def test_query_batch_matches_single(exdb):
+    """Multi-query stacked kernel + bucketed panels == per-query results."""
+    params = SearchParams()
+    pref = UngappedPrefilter(exdb)
+    seqs = [np.asarray(exdb.get_ss(i)) for i in range(exdb.size)]
+    batched = pref.query_batch(seqs, params)
+    for qi in range(exdb.size):
+        single = pref.query(seqs[qi], params)
+        assert batched[qi] == single, exdb.names[qi]
+
+
+def test_split_streaming_matches_unsplit(tmp_path):
+    """A device-memory budget ~4x smaller than the panels must stream splits
+    and still produce identical prefilter output (TARGET_DB_SPLIT analogue,
+    Prefiltering.cpp:289-381)."""
+    from foldseek_tpu.db.storage import StructDBWriter
+    rng = np.random.RandomState(11)
+    w = StructDBWriter(str(tmp_path / "bigdb"))
+    for i in range(600):
+        L = int(rng.randint(30, 400))
+        aa = rng.randint(0, 20, L).astype(np.int8)
+        ss = rng.randint(0, 20, L).astype(np.int8)
+        t = np.arange(L) * 0.6
+        ca = np.stack([2.3 * np.cos(t), 2.3 * np.sin(t), 1.5 * t], 1).astype(np.float32)
+        w.add_entry(i, f"e{i}", f"e{i}", aa, ss, ca)
+    db = w.finish()
+
+    params = SearchParams()
+    whole = UngappedPrefilter(db)
+    assert len(whole.panels.splits) == 1
+    budget = max(whole.panels.total_bytes // 4, 128 * 128 * 4)
+    split = UngappedPrefilter(db, budget_bytes=budget)
+    assert len(split.panels.splits) >= 3
+    seqs = [np.asarray(db.get_ss(i)) for i in range(12)]
+    a = whole.query_batch(seqs, params)
+    b = split.query_batch(seqs, params)
+    assert a == b
+    assert any(len(h) > 3 for h in a)
+
+
+def test_bucket_layout(exdb):
+    """Buckets cover every entry exactly once, panels carry the sequences,
+    and memory is bounded by bucket sums (not max_len * N)."""
+    from foldseek_tpu.db.panels import build_buckets
+    lens = exdb.lengths()
+    seqs = [np.asarray(exdb.get_ss(i)) for i in range(exdb.size)]
+    buckets = build_buckets(seqs, lens)
+    seen = np.concatenate([b.entry_idx for b in buckets])
+    assert sorted(seen.tolist()) == list(range(exdb.size))
+    for b in buckets:
+        for row, i in enumerate(b.entry_idx):
+            L = int(lens[i])
+            assert L <= b.lt_pad
+            assert np.array_equal(b.panel_T[:L, row], seqs[i])
+            assert (b.panel_T[L:, row] == 21).all()
+    total = sum(b.nbytes for b in buckets)
+    flat = int(lens.max() + 127) // 128 * 128 * (-(-exdb.size // 128) * 128) * 4
+    assert total <= flat
+
+
 def test_sw_pallas_matches_xla():
     """Pallas affine SW (interpret mode off-TPU) must reproduce the XLA
     scorer's score AND endpoint tie-breaking exactly."""
