@@ -79,6 +79,7 @@ def main():
     n1, n2 = 2, 10
     # only real query rows count as useful cells (not the stack padding)
     cells_per_batch = B * Q * Lq * Lt
+    extra = bench_e2e()
     # two independent measurement rounds; report the best (occasional
     # multi-second stalls on the remote tunnel poison a single round)
     gcups = 0.0
@@ -87,12 +88,56 @@ def main():
         t2 = run(n2)
         gcups = max(gcups,
                     (n2 - n1) * cells_per_batch / max(t2 - t1, 1e-9) / 1e9)
-    print(json.dumps({
+    out = {
         "metric": "prefilter_gcups_per_chip",
         "value": round(gcups, 2),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / REFERENCE_CPU_1CORE_GCUPS, 2),
-    }))
+    }
+    out.update(extra)
+    print(json.dumps(out))
+
+
+# Reference easy-search (search+convertalis, createdb excluded) on the 26
+# SCOP example domains all-vs-all, single thread on this machine's CPU:
+# 3.75 s = 6.9 queries/s (foldseek search+convertalis --threads 1).
+REFERENCE_E2E_SCOP_SECONDS = 3.75
+
+
+def bench_e2e():
+    """End-to-end SCOP 26x26 all-vs-all search queries/s (default k-mer
+    prefilter mode, createdb excluded, warm steady state — kernel compiles
+    are amortized by the persistent compilation cache)."""
+    import os
+    import tempfile
+
+    example = "/root/reference/example"
+    if not os.path.isdir(example):
+        return {}
+    try:
+        from foldseek_tpu.ingest.createdb import create_db
+        from foldseek_tpu.search.params import SearchParams
+        from foldseek_tpu.search.pipeline import search
+        files = [os.path.join(example, f) for f in sorted(os.listdir(example))
+                 if "tim" not in f]
+        with tempfile.TemporaryDirectory() as td:
+            db = create_db(files, os.path.join(td, "scopdb"))
+            params = SearchParams(add_backtrace=True)
+            search(db, db, params)  # warm (compile)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                search(db, db, params)
+                best = min(best, time.perf_counter() - t0)
+        qps = db.size / best
+        return {
+            "e2e_scop_ava_seconds": round(best, 2),
+            "e2e_scop_ava_queries_per_sec": round(qps, 2),
+            "e2e_vs_reference_1thread": round(
+                qps / (26.0 / REFERENCE_E2E_SCOP_SECONDS), 2),
+        }
+    except Exception as e:  # e2e is auxiliary; never fail the bench line
+        return {"e2e_error": str(e)[:200]}
 
 
 if __name__ == "__main__":

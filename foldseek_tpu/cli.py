@@ -29,6 +29,10 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("--exhaustive-search", type=int, default=0)
     p.add_argument("--prefilter-mode", type=int, default=0,
                    help="0: kmer, 1: ungapped, 2: exhaustive")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="1: accelerated path — forces the ungapped device "
+                        "prefilter like the reference's GPU mode "
+                        "(StructureSearch.cpp:110-112)")
     p.add_argument("--comp-bias-corr", type=int, default=1)
     p.add_argument("--exact-tmscore", type=int, default=0)
     p.add_argument("--gap-open", type=int, default=10)
@@ -62,7 +66,9 @@ def params_from_args(args) -> SearchParams:
         sort_by_structure_bits=bool(args.sort_by_structure_bits),
         exhaustive_search=bool(args.exhaustive_search),
         cluster_search=getattr(args, "cluster_search", 0),
-        prefilter_mode=args.prefilter_mode,
+        prefilter_mode=(1 if (getattr(args, "gpu", 0)
+                              and args.prefilter_mode == 0)
+                        else args.prefilter_mode),
         comp_bias_correction=bool(args.comp_bias_corr),
         exact_tmscore=bool(args.exact_tmscore),
         gap_open=args.gap_open, gap_extend=args.gap_extend,

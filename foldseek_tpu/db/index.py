@@ -52,20 +52,10 @@ def create_index(db: StructDB, k: int = 0, sensitivity: float = 9.5,
     from ..search.params import SearchParams
     pref = KmerPrefilter(db, SearchParams(sensitivity=sensitivity), k=k,
                          bias_scale=0.15)
-    kmer_ids = np.array(sorted(pref.postings.keys()), dtype=np.int64)
-    offsets = np.zeros(len(kmer_ids) + 1, dtype=np.int64)
-    seq_ids = []
-    positions = []
-    for i, kid in enumerate(kmer_ids):
-        plist = pref.postings[int(kid)]
-        offsets[i + 1] = offsets[i] + len(plist)
-        for ti, p in plist:
-            seq_ids.append(ti)
-            positions.append(p)
-    np.save(os.path.join(out, "kmer_ids.npy"), kmer_ids)
-    np.save(os.path.join(out, "kmer_offsets.npy"), offsets)
-    np.save(os.path.join(out, "kmer_seq.npy"), np.asarray(seq_ids, dtype=np.int32))
-    np.save(os.path.join(out, "kmer_pos.npy"), np.asarray(positions, dtype=np.int32))
+    np.save(os.path.join(out, "kmer_ids.npy"), pref.post_ids)
+    np.save(os.path.join(out, "kmer_offsets.npy"), pref.post_off)
+    np.save(os.path.join(out, "kmer_seq.npy"), pref.post_tid.astype(np.int32))
+    np.save(os.path.join(out, "kmer_pos.npy"), pref.post_pos.astype(np.int32))
     np.save(os.path.join(out, "masked_ss.npy"),
             np.concatenate(pref.masked_seqs) if pref.masked_seqs else np.zeros(0, np.int8))
     with open(os.path.join(out, "manifest.json"), "w") as f:
@@ -75,7 +65,8 @@ def create_index(db: StructDB, k: int = 0, sensitivity: float = 9.5,
                    "bucket_lt": [b.lt_pad for b in buckets],
                    "n_entries": db.size}, f)
     logger.info("createindex: %d bucket panels (lt %s) + %d k-mers -> %s",
-                len(buckets), [b.lt_pad for b in buckets], len(kmer_ids), out)
+                len(buckets), [b.lt_pad for b in buckets], len(pref.post_ids),
+                out)
     return out
 
 

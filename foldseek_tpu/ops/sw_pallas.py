@@ -145,3 +145,172 @@ def pack_sw_profile(prof: np.ndarray, pad_score: float = -1e9) -> np.ndarray:
     out = np.full((Lq, PROF_LANES), np.float32(pad_score), dtype=np.float32)
     out[:, :21] = prof.T.astype(np.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-query stacked variant: q (profile, reversed-profile, ...) stacks on
+# the sublane axis share one target panel. The affine F recurrence (prefix
+# max along the query axis) is segmented across query boundaries with a
+# per-query "staircase" bias folded into the two per-row constants the
+# single-query kernel already applies — zero extra per-cell work:
+#   g = h_noF + qp*ge + qidx*BIG      (h_noF >= 0, so every row of query k
+#                                      carries bias >= k*BIG)
+#   F = pm_excl - ((qp-1)*ge + go + qidx*BIG [+ 1e9 on pad rows])
+# Cross-query prefix-max entries keep a smaller bias, so they can never win
+# inside a later query (BIG exceeds any reachable score), and the pad-row
+# term keeps H at 0 on the boundary rows — the clean H[-1]=0 start the
+# single-query kernel has.
+# ---------------------------------------------------------------------------
+
+SEG_BIG = 65536.0  # > any reachable SW score + qp*ge term; exact in f32
+
+
+def _make_sw_batch_kernel(blk: int, q: int, lqp: int, go: float, ge: float,
+                          unroll: int):
+    n_scan = max(1, int(np.ceil(np.log2(max(lqp, 2)))))
+
+    def kernel(paa_ref, pss_ref, rowadd_ref, rowsub_ref, taa_ref, tss_ref,
+               tlen_ref, score_ref, qend_ref, tend_ref):
+        Lt = taa_ref.shape[0]
+        QL = q * lqp
+        paa = paa_ref[:].astype(jnp.bfloat16)
+        pss = pss_ref[:].astype(jnp.bfloat16)
+        rowadd = rowadd_ref[:]                                # [QL, 1]
+        rowsub = rowsub_ref[:]                                # [QL, 1]
+        tlen = tlen_ref[pl.ds(0, 1), :]                       # [1, blk]
+        qp_rel = (jax.lax.broadcasted_iota(jnp.int32, (q, lqp, blk), 1)
+                  .reshape(QL, blk).astype(jnp.float32))
+        iota32 = jax.lax.broadcasted_iota(jnp.int32, (PROF_LANES, blk), 0)
+
+        def one_col(j, H, E, best, bj, bq):
+            oh_aa = (iota32 == jnp.broadcast_to(taa_ref[pl.ds(j, 1), :],
+                                                (PROF_LANES, blk))).astype(jnp.bfloat16)
+            oh_ss = (iota32 == jnp.broadcast_to(tss_ref[pl.ds(j, 1), :],
+                                                (PROF_LANES, blk))).astype(jnp.bfloat16)
+            s = (jax.lax.dot_general(paa, oh_aa, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(pss, oh_ss, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+            diag = jnp.concatenate([jnp.zeros((1, blk), jnp.float32), H[:-1, :]], axis=0)
+            h_noF = jnp.maximum(jnp.maximum(diag + s, E), 0.0)
+            g = h_noF + rowadd
+            pm = g
+            for k in range(n_scan):
+                off = 1 << k
+                if off >= lqp:
+                    break
+                shifted = jnp.concatenate(
+                    [jnp.full((off, blk), jnp.float32(NEG)), pm[:-off, :]], axis=0)
+                pm = jnp.maximum(pm, shifted)
+            pm_excl = jnp.concatenate(
+                [jnp.full((1, blk), jnp.float32(NEG)), pm[:-1, :]], axis=0)
+            F = pm_excl - rowsub
+            H_new = jnp.maximum(h_noF, F)
+            E_new = jnp.maximum(E - ge, h_noF - go)
+            Hq = H_new.reshape(q, lqp, blk)
+            col_max = jnp.max(Hq, axis=1)                      # [q, blk]
+            valid = jnp.float32(j) < jnp.broadcast_to(tlen, (q, blk))
+            col_max = jnp.where(valid, col_max, jnp.float32(-1.0))
+            improved = col_max > best
+            qe = jnp.min(
+                jnp.where(H_new >= jnp.broadcast_to(col_max[:, None, :],
+                                                    (q, lqp, blk)).reshape(QL, blk),
+                          qp_rel, jnp.float32(lqp)).reshape(q, lqp, blk),
+                axis=1)                                        # [q, blk]
+            best = jnp.where(improved, col_max, best)
+            bj = jnp.where(improved, jnp.float32(j), bj)
+            bq = jnp.where(improved, qe, bq)
+            return H_new, E_new, best, bj, bq
+
+        def body(k, carry):
+            H, E, best, bj, bq = carry
+            for u in range(unroll):
+                H, E, best, bj, bq = one_col(k * unroll + u, H, E, best, bj, bq)
+            return H, E, best, bj, bq
+
+        H0 = jnp.zeros((QL, blk), jnp.float32)
+        E0 = jnp.full((QL, blk), jnp.float32(NEG))
+        z = jnp.zeros((q, blk), jnp.float32)
+        _, _, best, bj, bq = jax.lax.fori_loop(
+            0, Lt // unroll, body, (H0, E0, z, z, jnp.full((q, blk), lqp - 1.0)))
+        score_ref[:] = best
+        tend_ref[:] = bj
+        qend_ref[:] = bq
+    return kernel
+
+
+# stacked SW DP state budget (H + E f32 + pm-chain transients;
+# measured: 2048 rows x 128 lanes overflows the 16 MB scoped limit)
+SW_MAX_STACK_ROWS = 1536
+
+
+@functools.partial(jax.jit, static_argnames=("q", "lq_pad", "gap_open",
+                                             "gap_extend"))
+def sw_scores_batch(paa_stack: jax.Array, pss_stack: jax.Array,
+                    rowadd: jax.Array, rowsub: jax.Array,
+                    t_aa_T: jax.Array, t_ss_T: jax.Array, t_len: jax.Array,
+                    q: int, lq_pad: int,
+                    gap_open: int = 10, gap_extend: int = 1):
+    """Affine SW scores of q stacked query profiles against B shared targets.
+
+    paa_stack/pss_stack/rowadd/rowsub: from pack_sw_profiles_batch;
+    t_*: int32 [Lt, B]; t_len: int32 [B].
+    Returns (score, q_end, t_end) int32 [q, B] — identical per query to
+    sw_scores_query at the same lq_pad."""
+    Lt, B = t_aa_T.shape
+    assert paa_stack.shape[0] == q * lq_pad
+    assert B % 128 == 0
+    blk = 128
+    unroll = 8 if Lt % 8 == 0 else (4 if Lt % 4 == 0 else (2 if Lt % 2 == 0 else 1))
+    tl = jnp.broadcast_to(t_len.astype(jnp.float32)[None, :], (1, B))
+    out_shapes = [jax.ShapeDtypeStruct((q, B), jnp.float32)] * 3
+    score, qend, tend = pl.pallas_call(
+        _make_sw_batch_kernel(blk, q, lq_pad, float(gap_open),
+                              float(gap_extend), unroll),
+        interpret=_interpret(),
+        grid=(B // blk,),
+        in_specs=[
+            pl.BlockSpec((q * lq_pad, PROF_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q * lq_pad, PROF_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q * lq_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q * lq_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((q, blk), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=out_shapes,
+    )(paa_stack, pss_stack, rowadd, rowsub,
+      t_aa_T.astype(jnp.int32), t_ss_T.astype(jnp.int32), tl)
+    return (score.astype(jnp.int32), qend.astype(jnp.int32),
+            tend.astype(jnp.int32))
+
+
+def pack_sw_profiles_batch(profs_aa, profs_ss, lq_pad: int,
+                           gap_open: int = 10, gap_extend: int = 1,
+                           pad_score: float = -1e9):
+    """Stack per-query ([21, Lq] aa, [21, Lq] ss) profile pairs into the
+    batched kernel's [q*lq_pad, 32] layout plus the segmented-F row
+    constants. Every query keeps >=1 trailing all-NEG pad row (lq_pad must
+    exceed the longest Lq). Returns (paa, pss, rowadd, rowsub) f32."""
+    q = len(profs_aa)
+    assert all(p.shape[1] < lq_pad for p in profs_aa)
+    paa = np.full((q * lq_pad, PROF_LANES), np.float32(pad_score), np.float32)
+    pss = np.full((q * lq_pad, PROF_LANES), np.float32(pad_score), np.float32)
+    pad_rows = np.ones(q * lq_pad, dtype=bool)
+    for k in range(q):
+        Lq = profs_aa[k].shape[1]
+        paa[k * lq_pad: k * lq_pad + Lq, :21] = profs_aa[k].T
+        pss[k * lq_pad: k * lq_pad + Lq, :21] = profs_ss[k].T
+        pad_rows[k * lq_pad: k * lq_pad + Lq] = False
+    qp = np.arange(q * lq_pad) % lq_pad
+    qidx = np.arange(q * lq_pad) // lq_pad
+    rowadd = (qp * gap_extend + qidx * SEG_BIG).astype(np.float32)[:, None]
+    rowsub = ((qp - 1) * gap_extend + gap_open + qidx * SEG_BIG
+              + np.where(pad_rows, 1e9, 0.0)).astype(np.float32)[:, None]
+    return paa, pss, rowadd, rowsub

@@ -35,9 +35,19 @@ def _next_pow2(n: int) -> int:
 
 class PairScorer:
     """All-pairs batched SW scoring: every (query, candidate) pair of the
-    whole stage goes to the device in a handful of launches, bucketed by
-    power-of-2 target length. Replaces the per-query launch loop — on a
-    remote-dispatch backend the round-trips dominated the stage."""
+    whole stage goes to the device in a handful of launches.
+
+    On TPU, queries are stacked — each query contributes its forward AND
+    reversed profile as two adjacent slots of a multi-query SW kernel stack
+    (ops/sw_pallas.py sw_scores_batch, segmented affine F), and each stack
+    scans the union of its queries' candidates per power-of-2 target-length
+    bucket. This cuts launches from 2 x queries x buckets to
+    ~2 x buckets per stack of ~8 queries — on a remote-dispatch backend the
+    per-launch round-trips dominated the stage."""
+
+    # static lq_pad family bounds kernel compiles; > max: per-query fallback
+    SW_LQ_FAMILY = (128, 256, 384, 512, 768, 1024)
+    SW_MAX_STACK_ROWS = 1536
 
     def __init__(self, qdb: StructDB, tdb: StructDB, params: SearchParams,
                  prefilter: Dict[int, Sequence[int]], qkey_to_idx, tkey_to_idx,
@@ -70,61 +80,169 @@ class PairScorer:
         self.profs = profs
         self.rprofs = rprofs
 
-        from ..ops.sw_pallas import pack_sw_profile, sw_scores_query
-
-        lq_pad = max(8, _next_pow2(max(p.L for p in profs.values())))
-        t_lens = {tk: tdb.entry_len(tkey_to_idx[tk]) for _, tk in pairs}
-        # group by (query, padded target length): each group is one Pallas
-        # launch of the query-shared SW kernel (ops/sw_pallas.py, ~97
-        # GCUPS/chip vs <1 for the XLA scan over per-pair profiles)
-        groups: Dict[tuple, list] = {}
-        for qk, tk in pairs:
-            lt_pad = max(8, _next_pow2(t_lens[tk]))
-            groups.setdefault((qk, lt_pad), []).append(tk)
-
         import jax
-
-        from ..ops.sw import sw_score_endpos
         on_tpu = jax.default_backend() == "tpu"
+        t_lens = {tk: tdb.entry_len(tkey_to_idx[tk]) for _, tk in pairs}
+        cand_by_q: Dict[int, list] = {}
+        for qk, tk in pairs:
+            cand_by_q.setdefault(qk, []).append(tk)
 
-        packed = {}
         if on_tpu:
-            for qk, prof in profs.items():
-                fpa, fps = prof.padded(lq_pad)
-                rpa, rps = rprofs[qk].padded(lq_pad)
-                packed[qk] = (
-                    (jnp.asarray(pack_sw_profile(fpa)), jnp.asarray(pack_sw_profile(fps))),
-                    (jnp.asarray(pack_sw_profile(rpa)), jnp.asarray(pack_sw_profile(rps))))
+            self._score_stacked(tdb, params, cand_by_q, t_lens, tkey_to_idx)
+        else:
+            self._score_xla(tdb, params, cand_by_q, t_lens, tkey_to_idx)
 
+    @classmethod
+    def _sw_lq(cls, lq_need: int):
+        for b in cls.SW_LQ_FAMILY:
+            if lq_need <= b:
+                return b
+        return None
+
+    def _score_stacked(self, tdb, params, cand_by_q, t_lens, tkey_to_idx):
+        import jax.numpy as jnp
+
+        from ..ops.sw_pallas import (pack_sw_profile, pack_sw_profiles_batch,
+                                     sw_scores_batch, sw_scores_query)
+
+        # group queries by lq family; oversize queries take the single path
+        fam: Dict[int, list] = {}
+        single: list = []
+        for qk in cand_by_q:
+            b = self._sw_lq(self.profs[qk].L + 1)
+            if b is None:
+                single.append(qk)
+            else:
+                fam.setdefault(b, []).append(qk)
+
+        dummy = np.full((21, 1), -1e9, dtype=np.float32)
         pending = []
-        for (qk, lt_pad), tks in groups.items():
-            B = len(tks)
-            b_pad = max(128, -(-B // 128) * 128) if on_tpu else B
-            t_aa = np.full((b_pad, lt_pad), 21, dtype=np.int32)  # pad letter
-            t_ss = np.full((b_pad, lt_pad), 21, dtype=np.int32)
-            t_len = np.zeros(b_pad, dtype=np.int32)
-            for i, tk in enumerate(tks):
-                ti = tkey_to_idx[tk]
-                L = t_lens[tk]
-                t_aa[i, :L] = tdb.get_aa(ti)
-                t_ss[i, :L] = tdb.get_ss(ti)
-                t_len[i] = L
-            if on_tpu:
+        for lq_pad, qks in sorted(fam.items()):
+            per_stack = max(1, self.SW_MAX_STACK_ROWS // lq_pad // 2)
+            for s0 in range(0, len(qks), per_stack):
+                grp = qks[s0:s0 + per_stack]
+                # interleave fwd/rev profiles; pad to the static slot count
+                plist_aa, plist_ss = [], []
+                for qk in grp:
+                    fpa, fps = self.profs[qk].padded(self.profs[qk].L)
+                    rpa, rps = self.rprofs[qk].padded(self.rprofs[qk].L)
+                    plist_aa += [fpa, rpa]
+                    plist_ss += [fps, rps]
+                while len(plist_aa) < 2 * per_stack:
+                    plist_aa.append(dummy)
+                    plist_ss.append(dummy)
+                paa, pss, radd, rsub = pack_sw_profiles_batch(
+                    plist_aa, plist_ss, lq_pad,
+                    gap_open=params.gap_open, gap_extend=params.gap_extend)
+                paa, pss = jnp.asarray(paa), jnp.asarray(pss)
+                radd, rsub = jnp.asarray(radd), jnp.asarray(rsub)
+
+                # per stack: union of candidates, bucketed by target length
+                buckets: Dict[int, list] = {}
+                seen = set()
+                for qk in grp:
+                    for tk in cand_by_q[qk]:
+                        if tk not in seen:
+                            seen.add(tk)
+                            lt_pad = max(8, _next_pow2(t_lens[tk]))
+                            buckets.setdefault(lt_pad, []).append(tk)
+                for lt_pad, tks in sorted(buckets.items()):
+                    b_pad = max(128, -(-len(tks) // 128) * 128)
+                    t_aa = np.full((b_pad, lt_pad), 21, dtype=np.int32)
+                    t_ss = np.full((b_pad, lt_pad), 21, dtype=np.int32)
+                    t_len = np.zeros(b_pad, dtype=np.int32)
+                    for i, tk in enumerate(tks):
+                        ti = tkey_to_idx[tk]
+                        L = t_lens[tk]
+                        t_aa[i, :L] = tdb.get_aa(ti)
+                        t_ss[i, :L] = tdb.get_ss(ti)
+                        t_len[i] = L
+                    out = sw_scores_batch(
+                        paa, pss, radd, rsub,
+                        jnp.asarray(np.ascontiguousarray(t_aa.T)),
+                        jnp.asarray(np.ascontiguousarray(t_ss.T)),
+                        jnp.asarray(t_len), 2 * per_stack, lq_pad,
+                        gap_open=params.gap_open, gap_extend=params.gap_extend)
+                    pending.append((grp, tks, out))
+        # drain after all launches are queued (async dispatch)
+        for grp, tks, out in pending:
+            sc, qe, te = (np.asarray(x) for x in out)
+            col = {tk: i for i, tk in enumerate(tks)}
+            for r, qk in enumerate(grp):
+                for tk in cand_by_q[qk]:
+                    i = col.get(tk)
+                    if i is None:
+                        continue
+                    self.fwd[(qk, tk)] = (int(sc[2 * r, i]), int(qe[2 * r, i]),
+                                          int(te[2 * r, i]))
+                    self.rev[(qk, tk)] = int(sc[2 * r + 1, i])
+
+        # oversize queries: per-query single-profile launches
+        pending = []
+        for qk in single:
+            prof, rprof = self.profs[qk], self.rprofs[qk]
+            lq_pad = max(8, _next_pow2(prof.L))
+            fpa, fps = prof.padded(lq_pad)
+            rpa, rps = rprof.padded(lq_pad)
+            fa, fs_ = jnp.asarray(pack_sw_profile(fpa)), jnp.asarray(pack_sw_profile(fps))
+            ra, rs_ = jnp.asarray(pack_sw_profile(rpa)), jnp.asarray(pack_sw_profile(rps))
+            buckets: Dict[int, list] = {}
+            for tk in cand_by_q[qk]:
+                buckets.setdefault(max(8, _next_pow2(t_lens[tk])), []).append(tk)
+            for lt_pad, tks in sorted(buckets.items()):
+                b_pad = max(128, -(-len(tks) // 128) * 128)
+                t_aa = np.full((b_pad, lt_pad), 21, dtype=np.int32)
+                t_ss = np.full((b_pad, lt_pad), 21, dtype=np.int32)
+                t_len = np.zeros(b_pad, dtype=np.int32)
+                for i, tk in enumerate(tks):
+                    ti = tkey_to_idx[tk]
+                    L = t_lens[tk]
+                    t_aa[i, :L] = tdb.get_aa(ti)
+                    t_ss[i, :L] = tdb.get_ss(ti)
+                    t_len[i] = L
                 ta = jnp.asarray(np.ascontiguousarray(t_aa.T))
                 ts = jnp.asarray(np.ascontiguousarray(t_ss.T))
                 tl = jnp.asarray(t_len)
-                (fa, fs_), (ra, rs_) = packed[qk]
                 fwd = sw_scores_query(fa, fs_, ta, ts, tl,
                                       gap_open=params.gap_open,
                                       gap_extend=params.gap_extend)
                 rev = sw_scores_query(ra, rs_, ta, ts, tl,
                                       gap_open=params.gap_open,
                                       gap_extend=params.gap_extend)
-            else:
-                # off-TPU (test meshes): the XLA scan path — the Pallas
-                # interpreter is an order of magnitude slower than XLA:CPU
-                fpa, fps = profs[qk].padded(lq_pad)
-                rpa, rps = rprofs[qk].padded(lq_pad)
+                pending.append((qk, tks, fwd, rev))
+        for qk, tks, fwd, rev in pending:
+            fsc, fqe, fte = (np.asarray(x) for x in fwd)
+            rsc = np.asarray(rev[0])
+            for i, tk in enumerate(tks):
+                self.fwd[(qk, tk)] = (int(fsc[i]), int(fqe[i]), int(fte[i]))
+                self.rev[(qk, tk)] = int(rsc[i])
+
+    def _score_xla(self, tdb, params, cand_by_q, t_lens, tkey_to_idx):
+        """Off-TPU (test meshes): the XLA scan path — the Pallas interpreter
+        is an order of magnitude slower than XLA:CPU."""
+        import jax.numpy as jnp
+
+        from ..ops.sw import sw_score_endpos
+
+        lq_pad = max(8, _next_pow2(max(p.L for p in self.profs.values())))
+        pending = []
+        for qk, tks_all in cand_by_q.items():
+            groups: Dict[int, list] = {}
+            for tk in tks_all:
+                groups.setdefault(max(8, _next_pow2(t_lens[tk])), []).append(tk)
+            fpa, fps = self.profs[qk].padded(lq_pad)
+            rpa, rps = self.rprofs[qk].padded(lq_pad)
+            for lt_pad, tks in sorted(groups.items()):
+                B = len(tks)
+                t_aa = np.full((B, lt_pad), 21, dtype=np.int32)
+                t_ss = np.full((B, lt_pad), 21, dtype=np.int32)
+                t_len = np.zeros(B, dtype=np.int32)
+                for i, tk in enumerate(tks):
+                    ti = tkey_to_idx[tk]
+                    L = t_lens[tk]
+                    t_aa[i, :L] = tdb.get_aa(ti)
+                    t_ss[i, :L] = tdb.get_ss(ti)
+                    t_len[i] = L
                 ta, ts, tl = jnp.asarray(t_aa), jnp.asarray(t_ss), jnp.asarray(t_len)
                 fwd = sw_score_endpos(jnp.asarray(fpa), jnp.asarray(fps), ta, ts, tl,
                                       gap_open=params.gap_open,
@@ -132,8 +250,7 @@ class PairScorer:
                 rev = sw_score_endpos(jnp.asarray(rpa), jnp.asarray(rps), ta, ts, tl,
                                       gap_open=params.gap_open,
                                       gap_extend=params.gap_extend)
-            pending.append((qk, tks, fwd, rev))
-        # drain device results after all launches are queued (async dispatch)
+                pending.append((qk, tks, fwd, rev))
         for qk, tks, fwd, rev in pending:
             fsc, fqe, fte = (np.asarray(x) for x in fwd)
             rsc = np.asarray(rev[0])

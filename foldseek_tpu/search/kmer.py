@@ -119,7 +119,11 @@ class KmerPrefilter:
         if (idx is not None
                 and idx["manifest"].get("k") == self.k
                 and idx["manifest"].get("kmer_thr") == self.kmer_thr):
-            self.postings = idx["postings"]
+            p = idx["postings"]
+            self.post_ids = np.asarray(p.kmer_ids, dtype=np.int64)
+            self.post_off = np.asarray(p.offsets, dtype=np.int64)
+            self.post_tid = np.asarray(p.seq, dtype=np.int64)
+            self.post_pos = np.asarray(p.pos, dtype=np.int64)
             masked = np.asarray(idx["masked_ss"])
             offs = self.tdb.offsets
             self.masked_seqs = [masked[offs[i]:offs[i + 1]]
@@ -159,8 +163,22 @@ class KmerPrefilter:
                     seen[int(kidx)] = int(p)
             for kidx, p in seen.items():
                 postings.setdefault(kidx, []).append((ti, p))
-        self.postings = postings
         self.masked_seqs = masked_seqs
+        # flatten into sorted posting arrays (the on-disk index layout) so
+        # query-time lookups are one batched searchsorted
+        kmer_ids = np.array(sorted(postings.keys()), dtype=np.int64)
+        off = np.zeros(len(kmer_ids) + 1, dtype=np.int64)
+        tids, poss = [], []
+        for i, kid in enumerate(kmer_ids):
+            plist = postings[int(kid)]
+            off[i + 1] = off[i] + len(plist)
+            for ti, p in plist:
+                tids.append(ti)
+                poss.append(p)
+        self.post_ids = kmer_ids
+        self.post_off = off
+        self.post_tid = np.asarray(tids, dtype=np.int64)
+        self.post_pos = np.asarray(poss, dtype=np.int64)
         logger.info("kmer index: k=%d thr=%d, %d kmers, %d masked residues",
                     self.k, self.kmer_thr, len(postings), masked_total)
 
@@ -212,21 +230,22 @@ class KmerPrefilter:
         for li in range(1, len(lists)):
             s1, i1 = lists[li]
             rest = best_rest[li]
-            out_s = []
-            out_i = []
             s1 = s1.astype(np.int64)
-            i1 = i1.astype(np.int64)
-            for sc, ix in zip(cur_scores, cur_idx):
-                cutoff2 = threshold - int(sc) - rest
-                n1 = int(np.searchsorted(-s1, -cutoff2, side="right"))
-                if n1 == 0:
-                    continue
-                out_s.append(sc + s1[:n1])
-                out_i.append(ix + i1[:n1] * mults[li])
-            if not out_s:
+            iw = i1.astype(np.int64) * mults[li]
+            # vectorized cartesian expansion: for outer entry j keep the top
+            # n1[j] inner entries (s1 is sorted desc), preserving the
+            # KmerGenerator emit order (outer desc, inner desc)
+            cutoffs = threshold - cur_scores - rest
+            n1 = np.searchsorted(-s1, -cutoffs, side="right")
+            total = int(n1.sum())
+            if total == 0:
                 return np.zeros(0, dtype=np.int64)
-            cur_scores = np.concatenate(out_s)
-            cur_idx = np.concatenate(out_i)
+            rep = np.repeat(np.arange(len(cur_scores)), n1)
+            off = np.zeros(len(n1), dtype=np.int64)
+            np.cumsum(n1[:-1], out=off[1:])
+            pos = np.arange(total, dtype=np.int64) - off[rep]
+            cur_scores = cur_scores[rep] + s1[pos]
+            cur_idx = cur_idx[rep] + iw[pos]
         return cur_idx
 
     # --- per-query matching ---
@@ -238,9 +257,9 @@ class KmerPrefilter:
         q = np.asarray(q_ss, dtype=np.int64)
         L = len(q)
         comp_bias = _calc_bias_float(q, self.mat8, self.m8.p_back, self.bias_scale)
-        arrivals_id: List[int] = []
-        arrivals_diag: List[int] = []
         span = self.span
+        kidx_parts: List[np.ndarray] = []
+        pos_parts: List[np.ndarray] = []
         for p in range(L - span + 1):
             win = q[p + self.offsets]
             if (win == X).any():
@@ -248,36 +267,55 @@ class KmerPrefilter:
             bias_f = float(np.float32(comp_bias[p + self.offsets].sum()))
             bias = int(bias_f - 0.5) if bias_f < 0 else int(bias_f + 0.5)
             thr = max(self.kmer_thr - bias, 0)
-            for kidx in self.similar_kmers(win, thr):
-                plist = self.postings.get(int(kidx))
-                if plist is None:
-                    continue
-                for tid, j in plist:
-                    arrivals_id.append(tid)
-                    arrivals_diag.append((p - j) & 0xFFFF)
+            kidxs = self.similar_kmers(win, thr)
+            if len(kidxs):
+                kidx_parts.append(kidxs)
+                pos_parts.append(np.full(len(kidxs), p, dtype=np.int64))
 
-        # double-diagonal detection (diag byte) + dedup, per target id
-        last_diag: Dict[int, int] = {}
-        cand_ids: List[int] = []
-        cand_diags: List[int] = []
-        emitted_last: Dict[int, int] = {}
-        dup_ids: List[int] = []
-        dup_diags: List[int] = []
-        for tid, d16 in zip(arrivals_id, arrivals_diag):
-            d8 = d16 & 0xFF
-            # the reference's duplicateBitArray starts zeroed, so the FIRST
-            # posting of an id on diagonal byte 0 already counts as a duplicate
-            # (CacheFriendlyOperations.cpp:186,200-207)
-            if last_diag.get(tid, 0) == d8:
-                dup_ids.append(tid)
-                dup_diags.append(d16)
-            last_diag[tid] = d8
-        for tid, d16 in zip(dup_ids, dup_diags):
-            d8 = d16 & 0xFF
-            if emitted_last.get(tid) != d8:
-                cand_ids.append(tid)
-                cand_diags.append(d16)
-            emitted_last[tid] = d8
+        # batched posting lookup over the flat sorted arrays
+        if kidx_parts:
+            K = np.concatenate(kidx_parts)
+            P = np.concatenate(pos_parts)
+            loc = np.searchsorted(self.post_ids, K)
+            found = loc < len(self.post_ids)
+            found &= self.post_ids[np.minimum(loc, len(self.post_ids) - 1)] == K
+            loc, P = loc[found], P[found]
+            counts = self.post_off[loc + 1] - self.post_off[loc]
+            total = int(counts.sum())
+            rep = np.repeat(np.arange(len(loc)), counts)
+            base = np.zeros(len(loc), dtype=np.int64)
+            np.cumsum(counts[:-1], out=base[1:])
+            flat = np.arange(total, dtype=np.int64) - base[rep] + self.post_off[loc][rep]
+            arr_tid = self.post_tid[flat]
+            arr_d16 = (P[rep] - self.post_pos[flat]) & 0xFFFF
+        else:
+            arr_tid = np.zeros(0, dtype=np.int64)
+            arr_d16 = np.zeros(0, dtype=np.int64)
+
+        # double-diagonal detection (diag byte) + dedup, per target id —
+        # vectorized over arrivals grouped per tid in arrival order.
+        # The reference's duplicateBitArray starts zeroed, so the FIRST
+        # posting of an id on diagonal byte 0 already counts as a duplicate
+        # (CacheFriendlyOperations.cpp:186,200-207).
+        order = np.argsort(arr_tid, kind="stable")
+        st = arr_tid[order]
+        sd16 = arr_d16[order]
+        sd8 = sd16 & 0xFF
+        first = np.ones(len(st), dtype=bool)
+        first[1:] = st[1:] != st[:-1]
+        prev_d8 = np.empty_like(sd8)
+        prev_d8[1:] = sd8[:-1]
+        prev_d8[first] = 0
+        dup = prev_d8 == sd8
+        dt, dd16, dd8 = st[dup], sd16[dup], sd8[dup]
+        dfirst = np.ones(len(dt), dtype=bool)
+        dfirst[1:] = dt[1:] != dt[:-1]
+        dprev = np.empty_like(dd8)
+        dprev[1:] = dd8[:-1]
+        keep = dfirst.copy()
+        keep[~dfirst] = dprev[~dfirst] != dd8[~dfirst]
+        cand_ids = dt[keep]
+        cand_diags = dd16[keep]
 
         # diagonal rescoring (exact int, capped 255)
         prof = self._ungapped_profile(q, comp_bias)
@@ -370,16 +408,12 @@ class KmerPrefilter:
             n = min(L_t - md, L_q)
             qs = prof[:n]
             ts = np.asarray(t_seq[md: md + n], dtype=np.int64)
-        s = qs[np.arange(n), ts]
-        best = 0
-        run = 0
-        for v in s:
-            run = run + int(v)
-            if run < 0:
-                run = 0
-            elif run > best:
-                best = run
-        return best
+        s = qs[np.arange(n), ts].astype(np.int64)
+        # vectorized Kadane: max subarray sum (empty allowed) via prefix sums
+        P = np.empty(n + 1, dtype=np.int64)
+        P[0] = 0
+        np.cumsum(s, out=P[1:])
+        return int(np.max(P - np.minimum.accumulate(P)))
 
 
 def _calc_bias_float(q: np.ndarray, mat8: np.ndarray, back: np.ndarray,
@@ -412,18 +446,47 @@ def _compute_score_threshold(hist: np.ndarray, max_hits: int) -> int:
     return 0
 
 
+_FORK_STATE = {}
+
+
+def _kmer_query_worker(args):
+    qi, max_seqs, identity = args
+    pref, qdb = _FORK_STATE["pref"], _FORK_STATE["qdb"]
+    hits = pref.query(np.asarray(qdb.get_ss(qi)), max_seqs, identity)
+    return qi, [t for t, _, _ in hits]
+
+
 def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
                    k: int = 0, bias_scale: float = 0.15,
                    min_diag_score: int = MIN_DIAG_SCORE) -> Dict[int, List[int]]:
     # the search workflow runs the prefilter at bias scale 0.15
     # (src/workflow/StructureSearch.cpp:101)
+    import multiprocessing as mp
+    import os
+
     pref = KmerPrefilter(tdb, params, k=k, bias_scale=bias_scale,
                          min_diag_score=min_diag_score)
     same_db = qdb.path == tdb.path
     tidx_to_key = {i: int(tdb.keys[i]) for i in range(tdb.size)}
+    jobs = [(qi, params.max_seqs, qi if same_db else None)
+            for qi in range(qdb.size)]
     out: Dict[int, List[int]] = {}
-    for qi in range(qdb.size):
-        identity = qi if same_db else None
-        hits = pref.query(np.asarray(qdb.get_ss(qi)), params.max_seqs, identity)
+    # fork-parallel over queries — the reference's `#pragma omp parallel for`
+    # in Prefiltering (Prefiltering.cpp:589-700); the forked workers share
+    # the posting lists copy-on-write
+    n_workers = min(os.cpu_count() or 1, len(jobs),
+                    int(os.environ.get("FOLDSEEK_TPU_THREADS", "16")))
+    if n_workers > 1 and len(jobs) > 2 and hasattr(os, "fork"):
+        _FORK_STATE["pref"], _FORK_STATE["qdb"] = pref, qdb
+        try:
+            with mp.get_context("fork").Pool(n_workers) as pool:
+                for qi, tids in pool.imap_unordered(
+                        _kmer_query_worker, jobs, chunksize=2):
+                    out[int(qdb.keys[qi])] = [tidx_to_key[t] for t in tids]
+        finally:
+            _FORK_STATE.clear()
+        return out
+    for qi, max_seqs, identity in jobs:
+        hits = pref.query(np.asarray(qdb.get_ss(qi)), max_seqs, identity)
         out[int(qdb.keys[qi])] = [tidx_to_key[t] for t, _, _ in hits]
     return out
