@@ -34,12 +34,12 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 @dataclass
 class ShardedTargets:
-    """Target DB padded to [n_pad, Lt_pad] and sharded over the db axis."""
+    """Transposed 3Di target panel [Lt_pad, n_pad] sharded over the db axis
+    (the production gapless kernel's layout; target rows ride the lane
+    axis, so the shard boundary is the lane/batch dimension)."""
     mesh: Mesh
-    aa: jax.Array        # int8 [n_pad, Lt_pad] sharded P('db', None)
-    ss: jax.Array        # int8 [n_pad, Lt_pad]
-    lens: jax.Array      # int32 [n_pad]
-    keys: jax.Array      # int32 [n_pad]  (-1 for padding rows)
+    ss_T: jax.Array      # int32 [Lt_pad, n_pad] sharded P(None, 'db')
+    keys: jax.Array      # int64 [n_pad] sharded P('db')  (-1 for pad rows)
     n_total: int
     lt_pad: int
 
@@ -51,24 +51,22 @@ def shard_targets(tdb: StructDB, mesh: Mesh, lt_pad: Optional[int] = None,
     lens = tdb.lengths()[:n]
     if lt_pad is None:
         lt_pad = int(-(-int(lens.max()) // 128) * 128)
-    n_pad = -(-n // n_dev) * n_dev
-    aa = np.full((n_pad, lt_pad), 20, dtype=np.int8)
-    ss = np.full((n_pad, lt_pad), 20, dtype=np.int8)
-    lens_pad = np.zeros(n_pad, dtype=np.int32)
-    keys = np.full(n_pad, -1, dtype=np.int32)
+    # per-device row count must be a kernel block multiple (128)
+    per_dev = -(-n // n_dev)
+    per_dev = -(-per_dev // 128) * 128
+    n_pad = per_dev * n_dev
+    from ..db.panels import PAD_LETTER
+    ss = np.full((n_pad, lt_pad), PAD_LETTER, dtype=np.int32)
+    keys = np.full(n_pad, -1, dtype=np.int64)
     for i in range(n):
         L = min(int(lens[i]), lt_pad)
-        aa[i, :L] = tdb.get_aa(i)[:L]
         ss[i, :L] = tdb.get_ss(i)[:L]
-        lens_pad[i] = L
         keys[i] = int(tdb.keys[i])
-    shard = NamedSharding(mesh, P(DB_AXIS, None))
+    shard = NamedSharding(mesh, P(None, DB_AXIS))
     shard1 = NamedSharding(mesh, P(DB_AXIS))
     return ShardedTargets(
         mesh=mesh,
-        aa=jax.device_put(aa, shard),
-        ss=jax.device_put(ss, shard),
-        lens=jax.device_put(lens_pad, shard1),
+        ss_T=jax.device_put(np.ascontiguousarray(ss.T), shard),
         keys=jax.device_put(keys, shard1),
         n_total=n, lt_pad=lt_pad)
 
@@ -125,35 +123,41 @@ def prostt5_sharded_forward(mesh: Mesh, cfg, params, tokens, mask):
     return f(params, tokens, mask)
 
 
-def sharded_gapless_topk(st: ShardedTargets, prof: jax.Array, k: int,
-                         chunk: int = 32):
-    """Score one query against the full sharded DB; return global top-k.
+def sharded_gapless_topk(st: ShardedTargets, prof_stack: jax.Array,
+                         caps: jax.Array, q: int, lq_pad: int, k: int):
+    """Score a stacked query batch against the full sharded DB; return the
+    global per-query top-k.
 
-    Per device: gapless kernel over the local shard + local top-k;
-    merge: all_gather of [k] candidates over ICI, then global top-k.
-    Returns (scores [k], keys [k]) replicated on all devices.
-    """
-    from ..ops.gapless import gapless_scores
+    Per device: the production Pallas gapless kernel over the local panel
+    shard + local top-k; merge: all_gather of [q, k] candidates over
+    ICI/DCN, then global top-k. Returns (scores [q, k], keys [q, k])
+    replicated on all devices. Inputs come from
+    ops.gapless_pallas.pack_profiles_batch; this is exactly the single-chip
+    prefilter math (byte cap included), so the merged result equals an
+    unsharded UngappedPrefilter scan."""
+    from ..ops.gapless_pallas import gapless_scores_batch
 
     mesh = st.mesh
+    n_dev = mesh.devices.size
+    k_local = min(k, st.keys.shape[0] // n_dev)
+    k = min(k, k_local * n_dev)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, None), P(DB_AXIS, None), P(DB_AXIS, None),
-                  P(DB_AXIS), P(DB_AXIS)),
-        out_specs=(P(None), P(None)),
+        in_specs=(P(None, None), P(None, None), P(None, DB_AXIS), P(DB_AXIS)),
+        out_specs=(P(None, None), P(None, None)),
         # all_gather + top_k makes the outputs bitwise-replicated, but the vma
         # type system cannot prove it
         check_vma=False,
     )
-    def run(prof, aa, ss, lens, keys):
-        scores, _, _ = gapless_scores(prof, aa, ss, lens, chunk=chunk)
-        scores = jnp.where(keys >= 0, scores, -1.0)
-        local_s, local_i = jax.lax.top_k(scores, k)
+    def run(prof_stack, caps, ss_T, keys):
+        scores = gapless_scores_batch(prof_stack, ss_T, caps, q, lq_pad)
+        scores = jnp.where(keys[None, :] >= 0, scores, -1.0)
+        local_s, local_i = jax.lax.top_k(scores, k_local)    # [q, k_local]
         local_keys = keys[local_i]
-        all_s = jax.lax.all_gather(local_s, DB_AXIS).reshape(-1)
-        all_keys = jax.lax.all_gather(local_keys, DB_AXIS).reshape(-1)
+        all_s = jax.lax.all_gather(local_s, DB_AXIS, axis=1).reshape(q, -1)
+        all_keys = jax.lax.all_gather(local_keys, DB_AXIS, axis=1).reshape(q, -1)
         best_s, best_i = jax.lax.top_k(all_s, k)
-        return best_s, all_keys[best_i]
+        return best_s, jnp.take_along_axis(all_keys, best_i, axis=1)
 
-    return run(prof, st.aa, st.ss, st.lens, st.keys)
+    return run(prof_stack, caps, st.ss_T, st.keys)

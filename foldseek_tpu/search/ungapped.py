@@ -40,6 +40,62 @@ MAX_STACK_ROWS = 3072
 DEVICE_TOPK_MIN_ROWS = 8192
 
 
+# static lq_pad family: stack shapes (and so kernel compiles) stay
+# bounded regardless of the query length mix; short stacks are padded
+# with dummy all-NEG profiles (score 0, filtered by the gate)
+LQ_FAMILY = (128, 256, 384, 512, 768, 1024, 1536, 3072)
+
+
+def _stack_lq(lq_need: int) -> int:
+    for b in LQ_FAMILY:
+        if lq_need <= b:
+            return b
+    return -(-lq_need // 8) * 8  # oversize query: single-query stack
+
+
+def make_profile_stacks(profs, byte_biases):
+    """Group [21, L] query profiles into uniform-lq_pad stacks under the
+    kernel's DP-state budget, quantized to the static shape family.
+    Returns [(query_indices, prof_stack, caps, q, lq_pad)] device-ready."""
+    import jax.numpy as jnp
+    groups: Dict[int, list] = {}
+    for i, p in enumerate(profs):
+        groups.setdefault(_stack_lq(p.shape[1] + 1), []).append(i)
+    dummy = np.full((21, 1), -3e8, dtype=np.float32)
+    stacks = []
+    for lq_pad in sorted(groups):
+        idxs = groups[lq_pad]
+        q_full = max(1, MAX_STACK_ROWS // lq_pad)
+        for i in range(0, len(idxs), q_full):
+            grp = idxs[i:i + q_full]
+            plist = [profs[g] for g in grp]
+            clist = [float(BYTE_CAP - byte_biases[g]) for g in grp]
+            while len(plist) < q_full:  # pad to the static stack shape
+                plist.append(dummy)
+                clist.append(float(BYTE_CAP))
+            stack, caps, lq_pad2 = pack_profiles_batch(
+                plist, clist, lq_pad=lq_pad)
+            assert lq_pad2 == lq_pad
+            stacks.append((grp, jnp.asarray(stack), jnp.asarray(caps),
+                           q_full, lq_pad))
+    return stacks
+
+
+def make_query_profile(q_ss: np.ndarray, comp_bias: bool = True):
+    """[21, L] single-alphabet 3Di prefilter profile + byte bias (the
+    running-score saturation offset)."""
+    m3 = mat3di(2.0, 0.0)
+    q_ss = np.asarray(q_ss)
+    prof = m3.scores[:, q_ss].astype(np.float32)
+    byte_bias = abs(int(m3.scores.min()))
+    if comp_bias:
+        bias = calc_comp_bias(q_ss, m3.scores, m3.p_back,
+                              PREFILTER_BIAS_SCALE)
+        prof = prof + bias[None, :].astype(np.float32)
+        byte_bias += abs(min(int(bias.min()), 0))
+    return prof, byte_bias
+
+
 class UngappedPrefilter:
     """Bucketed, device-resident target panels scanned for query batches."""
 
@@ -57,15 +113,7 @@ class UngappedPrefilter:
 
     # --- profile construction -------------------------------------------
     def _profile(self, q_ss: np.ndarray, comp_bias: bool = True):
-        q_ss = np.asarray(q_ss)
-        prof = self.m3.scores[:, q_ss].astype(np.float32)  # [21, L]
-        byte_bias = abs(int(self.m3.scores.min()))
-        if comp_bias:
-            bias = calc_comp_bias(q_ss, self.m3.scores, self.m3.p_back,
-                                  PREFILTER_BIAS_SCALE)
-            prof = prof + bias[None, :].astype(np.float32)
-            byte_bias += abs(min(int(bias.min()), 0))
-        return prof, byte_bias
+        return make_query_profile(q_ss, comp_bias)
 
     # --- public API ------------------------------------------------------
     def query(self, q_ss: np.ndarray, params: SearchParams,
@@ -94,43 +142,8 @@ class UngappedPrefilter:
         return self._run_batch(profs, biases, params)
 
     # --- execution -------------------------------------------------------
-    # static lq_pad family: stack shapes (and so kernel compiles) stay
-    # bounded regardless of the query length mix; short stacks are padded
-    # with dummy all-NEG profiles (score 0, filtered by the gate)
-    LQ_FAMILY = (128, 256, 384, 512, 768, 1024, 1536, 3072)
-
-    @classmethod
-    def _stack_lq(cls, lq_need: int) -> int:
-        for b in cls.LQ_FAMILY:
-            if lq_need <= b:
-                return b
-        return -(-lq_need // 8) * 8  # oversize query: single-query stack
-
     def _make_stacks(self, profs, byte_biases):
-        """Group queries into uniform-lq_pad stacks under the kernel's
-        DP-state budget, quantized to the static shape family."""
-        import jax.numpy as jnp
-        groups: Dict[int, list] = {}
-        for i, p in enumerate(profs):
-            groups.setdefault(self._stack_lq(p.shape[1] + 1), []).append(i)
-        dummy = np.full((21, 1), -3e8, dtype=np.float32)
-        stacks = []
-        for lq_pad in sorted(groups):
-            idxs = groups[lq_pad]
-            q_full = max(1, MAX_STACK_ROWS // lq_pad)
-            for i in range(0, len(idxs), q_full):
-                grp = idxs[i:i + q_full]
-                plist = [profs[g] for g in grp]
-                clist = [float(BYTE_CAP - byte_biases[g]) for g in grp]
-                while len(plist) < q_full:  # pad to the static stack shape
-                    plist.append(dummy)
-                    clist.append(float(BYTE_CAP))
-                stack, caps, lq_pad2 = pack_profiles_batch(
-                    plist, clist, lq_pad=lq_pad)
-                assert lq_pad2 == lq_pad
-                stacks.append((grp, jnp.asarray(stack), jnp.asarray(caps),
-                               q_full, lq_pad))
-        return stacks
+        return make_profile_stacks(profs, byte_biases)
 
     def _run_batch(self, profs, byte_biases, params: SearchParams):
         import jax

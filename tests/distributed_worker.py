@@ -1,0 +1,38 @@
+"""Worker for the 2-process x 4-device CPU distributed prefilter test.
+
+Usage: python distributed_worker.py <port> <num_procs> <proc_id> <db> <out>
+
+Each process forms the global 8-device mesh via jax.distributed (Gloo CPU
+collectives), loads ONLY its host's panel rows, scans, merges with
+all_gather, and writes its (replicated) result as JSON.
+"""
+import json
+import os
+import sys
+
+
+def main():
+    port, nprocs, pid, db_path, out_path = sys.argv[1:6]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=int(nprocs),
+                               process_id=int(pid),
+                               local_device_ids=list(range(4)))
+    import numpy as np
+
+    from foldseek_tpu.db.storage import load_db
+    from foldseek_tpu.parallel.distributed import DistributedPrefilter
+    from foldseek_tpu.search.params import SearchParams
+
+    db = load_db(db_path)
+    pref = DistributedPrefilter(db)
+    seqs = [np.asarray(db.get_ss(i)) for i in range(min(db.size, 8))]
+    hits = pref.query_batch(seqs, SearchParams())
+    with open(out_path, "w") as f:
+        json.dump(hits, f)
+
+
+if __name__ == "__main__":
+    main()

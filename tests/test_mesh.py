@@ -1,6 +1,6 @@
-"""Multi-device sharding: sharded prefilter top-k must equal the
-single-device result (conftest provides an 8-virtual-device CPU mesh —
-the same mechanism the driver's dryrun_multichip uses)."""
+"""Multi-device sharding: the sharded prefilter must reproduce the
+single-device UngappedPrefilter exactly (conftest provides an 8-virtual-
+device CPU mesh — the same mechanism the driver's dryrun_multichip uses)."""
 import numpy as np
 import pytest
 
@@ -14,43 +14,33 @@ def mesh8():
     return make_mesh(8)
 
 
-def test_sharded_topk_matches_single_device(example_dir, tmp_path_factory, mesh8):
-    import jax.numpy as jnp
-
+@pytest.fixture(scope="module")
+def scop_db(example_dir, tmp_path_factory):
     from foldseek_tpu.ingest.createdb import create_db
-    from foldseek_tpu.ops.gapless import combine_profiles, gapless_scores
-    from foldseek_tpu.ops.sw import QueryProfile
-    from foldseek_tpu.parallel.mesh import shard_targets, sharded_gapless_topk
     d = tmp_path_factory.mktemp("mesh")
     files = [str(f) for f in sorted(example_dir.iterdir()) if "tim" not in f.name]
-    db = create_db(files, str(d / "db"))
-    st = shard_targets(db, mesh8, lt_pad=256)
-    qp = QueryProfile(np.asarray(db.get_aa(0)), np.asarray(db.get_ss(0)))
-    pa, ps = qp.padded(256)
-    prof = combine_profiles(pa, ps)
-    k = 3  # <= entries per shard (24 entries / 8 devices)
-    s_sh, k_sh = (np.asarray(x) for x in
-                  sharded_gapless_topk(st, jnp.asarray(prof), k=k, chunk=32))
+    return create_db(files, str(d / "db"))
 
-    # single-device reference over the same padded panels
-    lens = db.lengths()
-    n = db.size
-    t_aa = np.full((n, 256), 20, dtype=np.int8)
-    t_ss = np.full((n, 256), 20, dtype=np.int8)
-    for i in range(n):
-        L = min(int(lens[i]), 256)
-        t_aa[i, :L] = db.get_aa(i)[:L]
-        t_ss[i, :L] = db.get_ss(i)[:L]
-    ref, _, _ = gapless_scores(jnp.asarray(prof), jnp.asarray(t_aa),
-                               jnp.asarray(t_ss),
-                               jnp.asarray(np.minimum(lens, 256).astype(np.int32)),
-                               chunk=32)
-    ref = np.asarray(ref)
-    order = np.argsort(-ref, kind="stable")[:k]
-    # top-k score multiset must match exactly...
-    assert np.allclose(sorted(s_sh, reverse=True), sorted(ref[order], reverse=True))
-    # ...and every returned key must carry its own reference score (handles
-    # ties at the k boundary without being vacuous)
-    key_to_score = {int(db.keys[i]): float(ref[i]) for i in range(n)}
-    for kk, ss in zip(k_sh, s_sh):
-        assert np.isclose(key_to_score[int(kk)], float(ss)), (kk, ss)
+
+def test_sharded_topk_matches_unsharded_prefilter(scop_db, mesh8):
+    """Global top-k over the 8-way sharded panel == the single-device
+    production prefilter (same profiles, same byte cap, same gating)."""
+    from foldseek_tpu.parallel.distributed import DistributedPrefilter
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.ungapped import UngappedPrefilter
+
+    params = SearchParams()
+    single = UngappedPrefilter(scop_db)
+    dist = DistributedPrefilter(scop_db, mesh=mesh8)
+    seqs = [np.asarray(scop_db.get_ss(i)) for i in range(scop_db.size)]
+    a = single.query_batch(seqs, params)
+    b = dist.query_batch(seqs, params)
+    assert a == b
+
+
+def test_host_row_range_partition(scop_db, mesh8):
+    """Every panel row is owned by exactly one process slice."""
+    from foldseek_tpu.parallel.distributed import host_row_range
+    n_pad = 1024
+    r0, r1 = host_row_range(n_pad, mesh8)
+    assert (r0, r1) == (0, n_pad)  # single process owns all rows
