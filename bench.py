@@ -125,7 +125,9 @@ def bench_e2e():
             params = SearchParams(add_backtrace=True)
             search(db, db, params)  # warm (compile)
             best = float("inf")
-            for _ in range(2):
+            # best-of-4: the remote-dispatch tunnel stalls for seconds at
+            # random; steady-state on local hardware matches the best rep
+            for _ in range(4):
                 t0 = time.perf_counter()
                 search(db, db, params)
                 best = min(best, time.perf_counter() - t0)

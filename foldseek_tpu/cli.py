@@ -141,10 +141,21 @@ def cmd_search(argv):
     set_verbosity(args.verbosity)
     from .db.storage import load_db
     from .search.pipeline import search
+    from .search.profile import is_profile_db
     from .search.resultdb import write_result_db
+    params = params_from_args(args)
+    if is_profile_db(args.query_db):
+        # profile-vs-sequence search (query side = result2profile output)
+        from .search.pipeline import profile_search
+        from .search.profile import load_profile_db
+        profiles = load_profile_db(args.query_db)
+        tdb = load_db(args.target_db)
+        results = profile_search(profiles, tdb, params)
+        write_result_db(results, args.result,
+                        add_backtrace=params.add_backtrace)
+        return 0
     qdb = load_db(args.query_db)
     tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
-    params = params_from_args(args)
     # backtrace only with -a, like the reference search (its convertalis
     # derives alnlen/mismatch from spans when no backtrace is stored)
     results = search(qdb, tdb, params)
@@ -163,8 +174,13 @@ def cmd_convertalis(argv):
     set_verbosity(args.verbosity)
     from .db.storage import load_db
     from .search.convertalis import format_results, needs_backtrace
+    from .search.profile import is_profile_db
     from .search.resultdb import read_result_db
-    qdb = load_db(args.query_db)
+    if is_profile_db(args.query_db):
+        from .search.profile import ProfileQueryDB, load_profile_db
+        qdb = ProfileQueryDB(load_profile_db(args.query_db))
+    else:
+        qdb = load_db(args.query_db)
     if args.target_db == args.query_db:
         tdb = qdb
     else:

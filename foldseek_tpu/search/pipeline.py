@@ -80,6 +80,34 @@ def _align_stage(qdb: StructDB, tdb: StructDB, pref: Dict[int, List[int]],
         return align_all(qdb, tdb, pref, params, same_db=same_db)
 
 
+def profile_search(profiles, tdb: StructDB,
+                   params: SearchParams) -> Dict[int, List[AlnResult]]:
+    """Profile-vs-sequence search: the query side is a profile DB
+    (result2profile output) instead of a structure DB — the reference's
+    profile search mode (lib/mmseqs/src/alignment/Alignment.cpp profile
+    path; prefilter feeds the PSSM like the GPU Marv path,
+    ungappedprefilter.cpp:135-199). TM/LDDT gates are off (profiles carry
+    no C-alpha payload)."""
+    from dataclasses import replace
+
+    from .profile import ProfileQueryDB, profile_query
+    from .ungapped import UngappedPrefilter
+
+    qprofiles = {k: profile_query(p, params.gap_open, params.gap_extend)
+                 for k, p in profiles.items()}
+    upref = UngappedPrefilter(tdb)
+    pref = {}
+    with Timer("profile prefilter"):
+        for qkey, qp in qprofiles.items():
+            hits = upref.query_profile(qp.prof_ss, params)
+            pref[qkey] = [t for t, _ in hits]
+    qdb = ProfileQueryDB(profiles)
+    params = replace(params, sort_by_structure_bits=False)
+    with Timer("structurealign(profile)"):
+        return align_all(qdb, tdb, pref, params, same_db=False,
+                         query_profiles=qprofiles)
+
+
 def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
                      num_iterations: int,
                      same_db: Optional[bool] = None) -> Dict[int, List[AlnResult]]:

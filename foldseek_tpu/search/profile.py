@@ -417,6 +417,7 @@ class ProfileEntry:
     prob_ss: np.ndarray     # [L, 20]
     consensus_aa: np.ndarray
     consensus_ss: np.ndarray
+    name: str = ""
 
 
 E_PROFILE = 0.1  # --e-profile default (result2profile.cpp:33)
@@ -459,7 +460,8 @@ def result2profile(qdb: StructDB, tdb: StructDB,
         out[int(qkey)] = ProfileEntry(
             key=int(qkey), prob_aa=prob_aa, prob_ss=prob_ss,
             consensus_aa=np.asarray(qdb.get_aa(qi)).copy(),
-            consensus_ss=np.asarray(qdb.get_ss(qi)).copy())
+            consensus_ss=np.asarray(qdb.get_ss(qi)).copy(),
+            name=qdb.names[qi])
     return out
 
 
@@ -506,6 +508,7 @@ def save_profile_db(profiles: Dict[int, ProfileEntry], path: str):
     np.savez_compressed(
         os.path.join(path, "profiles.npz"),
         keys=np.asarray(keys, dtype=np.int64),
+        names=np.asarray([profiles[k].name for k in keys]),
         **{f"paa_{k}": profiles[k].prob_aa for k in keys},
         **{f"pss_{k}": profiles[k].prob_ss for k in keys},
         **{f"caa_{k}": profiles[k].consensus_aa for k in keys},
@@ -514,16 +517,67 @@ def save_profile_db(profiles: Dict[int, ProfileEntry], path: str):
         json.dump({"kind": "profile", "n_entries": len(keys)}, f)
 
 
+def is_profile_db(path: str) -> bool:
+    m = os.path.join(path, "manifest.json")
+    if not os.path.isfile(m):
+        return False
+    try:
+        return json.load(open(m)).get("kind") == "profile"
+    except Exception:
+        return False
+
+
 def load_profile_db(path: str) -> Dict[int, ProfileEntry]:
     data = np.load(os.path.join(path, "profiles.npz"))
+    names = data["names"] if "names" in data else None
     out = {}
-    for k in data["keys"]:
+    for i, k in enumerate(data["keys"]):
         k = int(k)
         out[k] = ProfileEntry(key=k, prob_aa=data[f"paa_{k}"],
                               prob_ss=data[f"pss_{k}"],
                               consensus_aa=data[f"caa_{k}"],
-                              consensus_ss=data[f"css_{k}"])
+                              consensus_ss=data[f"css_{k}"],
+                              name=str(names[i]) if names is not None else f"profile_{k}")
     return out
+
+
+class ProfileQueryDB:
+    """Minimal StructDB surface over profile-DB consensus sequences, so the
+    alignment stage and convertalis can treat a profile DB as the query side
+    (the reference profile search drives Alignment.cpp with the profile's
+    stored query sequence; no C-alpha payload, so TM/LDDT gates are off)."""
+
+    def __init__(self, profiles: Dict[int, ProfileEntry]):
+        self._keys = sorted(profiles)
+        self._p = [profiles[k] for k in self._keys]
+        self.keys = np.asarray(self._keys, dtype=np.int64)
+        self.names = [p.name or f"profile_{p.key}" for p in self._p]
+        self.headers = list(self.names)
+        self.ca = None
+        self.path = "<profile-db>"
+        self.size = len(self._keys)
+
+    def entry_len(self, i: int) -> int:
+        return len(self._p[i].consensus_aa)
+
+    def lengths(self) -> np.ndarray:
+        return np.asarray([self.entry_len(i) for i in range(self.size)])
+
+    def get_aa(self, i: int) -> np.ndarray:
+        return self._p[i].consensus_aa
+
+    def get_ss(self, i: int) -> np.ndarray:
+        return self._p[i].consensus_ss
+
+    def get_aa_str(self, i: int) -> str:
+        from ..ops.matrices import ALPHABET
+        return "".join(ALPHABET[c] for c in self._p[i].consensus_aa)
+
+    def get_ca(self, i: int):
+        raise ValueError("profile DB has no C-alpha data")
+
+    def key_to_index(self):
+        return {int(k): i for i, k in enumerate(self._keys)}
 
 
 class PSSMQueryProfile:

@@ -101,3 +101,42 @@ def test_pssm_golden_parity(golden_dir, tmp_path):
         bad += int((d > 0).sum())
         assert d.max() <= 3
     assert bad / total < 1e-3, f"{bad}/{total}"
+
+
+def test_profile_vs_sequence_search(example_dir, tmp_path):
+    """Profile-query search mode: a saved result2profile DB searched against
+    the sequence DB (reference Alignment.cpp profile path). The save/load
+    round trip must not change results, and every profile must find its own
+    source structure as the top hit."""
+    import numpy as np
+
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import profile_search, search
+    from foldseek_tpu.search.profile import (load_profile_db, result2profile,
+                                             save_profile_db)
+
+    files = [str(example_dir / n) for n in
+             ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_", "d1x9fd_")]
+    db = create_db(files, str(tmp_path / "db"))
+    params = SearchParams(add_backtrace=True)
+    base = search(db, db, params, same_db=True)
+    profiles = result2profile(db, db, base, same_db=True)
+    save_profile_db(profiles, str(tmp_path / "profdb"))
+    loaded = load_profile_db(str(tmp_path / "profdb"))
+
+    a = profile_search(profiles, db, params)
+    b = profile_search(loaded, db, params)
+    fmt = {k: [(r.db_key, r.score, r.evalue) for r in v] for k, v in a.items()}
+    fmt_b = {k: [(r.db_key, r.score, r.evalue) for r in v] for k, v in b.items()}
+    assert fmt == fmt_b
+    for qkey, rs in a.items():
+        assert rs, qkey
+        assert rs[0].db_key == qkey  # self is top hit
+        assert rs[0].evalue < 1e-10
+    # the globin profile must hit the other globins
+    name_to_key = {db.names[i]: int(db.keys[i]) for i in range(db.size)}
+    asha = name_to_key["d1asha_"]
+    hits = {r.db_key for r in a[asha]}
+    assert name_to_key["d1mbaa_"] in hits
+    assert name_to_key["d1itha_"] in hits
