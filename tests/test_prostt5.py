@@ -81,3 +81,60 @@ def test_prostt5_predict_shapes():
     res = model.predict(seqs)
     assert [len(r) for r in res] == [len(s) for s in seqs]
     assert all(set(r) <= set("ACDEFGHIKLMNPQRSTVWY") for r in res)
+
+
+def test_gguf_write_load_roundtrip(tmp_path):
+    """A synthetic tiny ProstT5 written in the llama.cpp T5ENCODER GGUF
+    layout must load back bit-identically and predict the same 3Di as the
+    in-memory params (validates the whole GGUF path without the released
+    weights — this environment has no egress)."""
+    import numpy as np
+
+    from foldseek_tpu.nn.gguf_writer import default_vocab, write_prostt5_gguf
+    from foldseek_tpu.nn.prostt5 import (ProstT5, ProstT5Config,
+                                         init_random_params, load_params_gguf)
+
+    cfg = ProstT5Config.tiny()
+    params = init_random_params(cfg, seed=5)
+    path = str(tmp_path / "tiny.gguf")
+    write_prostt5_gguf(path, cfg, params)
+
+    cfg2, params2, token_id = load_params_gguf(path)
+    assert (cfg2.d_model, cfg2.d_kv, cfg2.num_heads, cfg2.d_ff,
+            cfg2.num_layers, cfg2.rel_buckets) == (
+        cfg.d_model, cfg.d_kv, cfg.num_heads, cfg.d_ff,
+        cfg.num_layers, cfg.rel_buckets)
+    assert token_id["<AA2fold>"] == 3 and token_id["</s>"] == 1
+    assert np.array_equal(params2["embed"], params["embed"])
+    assert np.array_equal(params2["rel_bias"], params["rel_bias"])
+    assert np.array_equal(params2["conv0_w"], params["conv0_w"])
+    for a, b in zip(params2["layers"], params["layers"]):
+        for k in ("wq", "wk", "wv", "wo", "ffn_up", "ffn_down"):
+            assert np.array_equal(a[k], b[k]), k
+
+    vocab = default_vocab(cfg.vocab_size)
+    tok = {t: i for i, t in enumerate(vocab)}
+    mem = ProstT5(cfg=cfg, params=params, token_id=tok)
+    gguf = ProstT5(model_file=path)
+    seqs = ["MKVLA", "ACDEFGHIKLMNPQRSTVWY"]
+    assert mem.predict(seqs) == gguf.predict(seqs)
+
+
+def test_createdb_prostt5_synthetic_gguf(tmp_path):
+    """createdb --prostt5-model end-to-end with the synthetic GGUF: FASTA in,
+    AA + predicted-3Di DB out (structcreatedb.cpp:697-872)."""
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.nn.gguf_writer import write_prostt5_gguf
+    from foldseek_tpu.nn.prostt5 import ProstT5Config, init_random_params
+
+    cfg = ProstT5Config.tiny()
+    path = str(tmp_path / "tiny.gguf")
+    write_prostt5_gguf(path, cfg, init_random_params(cfg, seed=5))
+    fasta = tmp_path / "seqs.fasta"
+    fasta.write_text(">a test\nMKVLAWW\n>b\nACDEFGHIK\n")
+    db = create_db([str(fasta)], str(tmp_path / "db"), prostt5_model=path)
+    assert db.size == 2
+    idx = {db.names[i]: i for i in range(db.size)}
+    assert db.get_aa_str(idx["a"]) == "MKVLAWW"
+    ss = db.get_ss_str(idx["a"])
+    assert len(ss) == 7 and ss.isupper()
