@@ -200,7 +200,7 @@ def create_db(inputs: List[str], out_path: str,
                     # backbone rebuild for C-alpha-only traces (PULCHRA
                     # equivalent; structcreatedb.cpp:504-518)
                     from .backbone import rebuild_backbone
-                    n_arr, c_arr = rebuild_backbone(ch.ca)
+                    n_arr, c_arr = rebuild_backbone(ch.ca, ch.aa)
                     logger.info("%s chain %s is C-alpha only; backbone rebuilt",
                                 st.name, ch.name)
                 states = encode_chain(ch.ca, n_arr, c_arr, ch.cb)

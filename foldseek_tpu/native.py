@@ -82,6 +82,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.nw_gotoh_f32.restype = ctypes.c_int
         lib.lddt_aligned.argtypes = [fp, fp, fp, ctypes.c_int, dp, fp]
         lib.lddt_aligned.restype = ctypes.c_int
+        lib.fwbw_forward_m.argtypes = [dp, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_double, ctypes.c_double, dp]
+        lib.fwbw_forward_m.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -196,3 +199,18 @@ def lddt_aligned(qa: np.ndarray, ta: np.ndarray, deg: np.ndarray):
     if rc != 0:
         return None
     return float(out[0]), per_col, int(out[1])
+
+
+def fwbw_forward_m(s: np.ndarray, go: float, ge: float):
+    """Log-space FwBw forward match matrix; None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(s, dtype=np.float64)
+    L1, L2 = s.shape
+    M = np.empty((L1, L2), dtype=np.float64)
+    rc = lib.fwbw_forward_m(_ptr(s, ctypes.c_double), L1, L2,
+                            float(go), float(ge), _ptr(M, ctypes.c_double))
+    if rc != 0:
+        return None
+    return M

@@ -27,7 +27,14 @@ NEG = -1e30
 
 
 def _forward_m(s: np.ndarray, go: float, ge: float) -> np.ndarray:
-    """Log-space forward match matrix M for score matrix s (already /T)."""
+    """Log-space forward match matrix M for score matrix s (already /T).
+
+    Dispatches to the native host library when available (identical op
+    order; the numpy row loop below is the semantics reference)."""
+    from .. import native
+    M_native = native.fwbw_forward_m(s, go, ge)
+    if M_native is not None:
+        return M_native
     L1, L2 = s.shape
     M = np.full((L1, L2), NEG)
     E_prev = np.full(L2, NEG)   # E(i-1, ·)

@@ -61,11 +61,15 @@ LOL_MIN_P = 0.7
 
 def lol_nn(d_dist: np.ndarray, d_seq) -> np.ndarray:
     """The 2-input 3-hidden ReLU scorer; invalid entries (d_dist < 0)
-    contribute 0 (lolScore, LoLAlign.cpp:845-905)."""
+    contribute 0 (lolScore, LoLAlign.cpp:845-905). Hidden units are summed
+    without materializing the [..., 3] intermediate (hot path)."""
     d_dist = np.asarray(d_dist, dtype=np.float32)
     d_seq = np.broadcast_to(np.asarray(d_seq, dtype=np.float32), d_dist.shape)
-    h = np.maximum(0.0, d_seq[..., None] * W1[0] + d_dist[..., None] * W1[1] + B1)
-    out = h @ W2 + B2
+    out = np.float32(B2[0] if np.ndim(B2) else B2) + np.zeros_like(d_dist)
+    for h in range(3):
+        out += np.float32(W2[h]) * np.maximum(
+            0.0, d_seq * np.float32(W1[0, h]) + d_dist * np.float32(W1[1, h])
+            + np.float32(B1[h])).astype(np.float32)
     return np.where(d_dist >= 0, out, 0.0).astype(np.float32)
 
 

@@ -537,4 +537,57 @@ int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// FwBw log-space forward match matrix (ops/fwbw.py _forward_m; reference
+// lib/mmseqs/src/alignment/Fwbw.cpp forward pass). Same op order as the
+// numpy implementation so results match to the ulp.
+
+static inline double laexp(double a, double b) {
+    // numpy logaddexp semantics
+    if (a == b) return a + 0.6931471805599453;  // log(2)
+    double d = a - b;
+    if (d > 0) return a + log1p(exp(-d));
+    if (d <= 0) return b + log1p(exp(d));
+    return a + b;  // propagates NaN
+}
+
+int fwbw_forward_m(const double* s, int L1, int L2, double go, double ge,
+                   double* M) {
+    const double NEGV = -1e30;
+    std::vector<double> E_prev(L2, NEGV), F_prev(L2, NEGV), M_prev(L2, NEGV);
+    std::vector<double> diag(L2), g(L2), E_row(L2), F_row(L2);
+    for (int i = 0; i < L1; i++) {
+        double* M_row = M + (size_t)i * L2;
+        if (i > 0) {
+            diag[0] = 0.0;
+            for (int j = 1; j < L2; j++) {
+                double prev = laexp(laexp(M_prev[j - 1], E_prev[j - 1]),
+                                    F_prev[j - 1]);
+                diag[j] = laexp(prev, 0.0);
+            }
+        } else {
+            std::fill(diag.begin(), diag.end(), 0.0);
+        }
+        const double* srow = s + (size_t)i * L2;
+        for (int j = 0; j < L2; j++) M_row[j] = srow[j] + diag[j];
+        // E(i, j): within-row gaps over M(i, k<j)
+        double run = M_row[0];  // g[0]
+        E_row[0] = NEGV;
+        for (int j = 1; j < L2; j++) {
+            E_row[j] = (j - 1) * ge + go + run;
+            run = laexp(run, M_row[j] - j * ge);
+        }
+        if (i > 0) {
+            for (int j = 0; j < L2; j++)
+                F_row[j] = laexp(go + M_prev[j], ge + F_prev[j]);
+        } else {
+            std::fill(F_row.begin(), F_row.end(), NEGV);
+        }
+        std::memcpy(M_prev.data(), M_row, sizeof(double) * L2);
+        std::swap(E_prev, E_row);
+        std::swap(F_prev, F_row);
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -39,7 +39,7 @@ def test_lolalign_pair_values(example_dir, tmp_path):
 
 
 @pytest.mark.skipif("RUN_SLOW" not in __import__("os").environ,
-                    reason="~6 min; run with RUN_SLOW=1")
+                    reason="~2-3 min on one core; run with RUN_SLOW=1")
 def test_lolalign_scop_golden(scop_dir, golden_dir, tmp_path):
     import numpy as np
 

@@ -27,8 +27,6 @@ def test_tmalign_pair_values(example_dir, tmp_path):
     assert int(r.tm_query * 100) == 84
 
 
-@pytest.mark.skipif("RUN_SLOW" not in __import__("os").environ,
-                    reason="~20 min on one core; run with RUN_SLOW=1")
 def test_easy_search_tmalign_scop_golden(scop_dir, golden_dir, tmp_path):
     """easy-search --alignment-type 1 over the 26 SCOP domains vs the
     reference golden: same hit set, TM columns within 0.01."""
