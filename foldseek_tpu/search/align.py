@@ -284,13 +284,19 @@ def align_all(qdb: StructDB, tdb: StructDB,
         need_tm = need_lddt = False
         params.sort_by_structure_bits = False
 
-    out: Dict[int, List[AlnResult]] = {}
-    for qkey, cand_keys in prefilter.items():
+    # thread-parallel over queries (the reference's omp-for,
+    # structurealign.cpp:318); per-hit backtrace/TM/LDDT run in the native
+    # lib which releases the GIL
+    from ..utils.hostpar import map_queries
+
+    def one(qkey_cands):
+        qkey, cand_keys = qkey_cands
         qi = qkey_to_idx[int(qkey)]
-        out[int(qkey)] = align_query(
+        return int(qkey), align_query(
             qi, qdb, tdb, cand_keys, params, ev, scorer, tkey_to_idx,
             need_tm=need_tm, need_lddt=need_lddt, same_db=same_db)
-    return out
+
+    return dict(map_queries(one, prefilter.items()))
 
 
 def align_query(qi: int, qdb: StructDB, tdb: StructDB,

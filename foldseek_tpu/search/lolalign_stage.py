@@ -34,9 +34,12 @@ def lolalign_all(qdb: StructDB, tdb: StructDB,
     # 1.4 again (LoLAlign.cpp:723).
     sub_aa = blosum62(1.4).scores.astype(np.float32)
     multi_domain = True  # --lolalign-multidomain default 1 (LocalParameters.cpp:365)
-    out: Dict[int, List[AlnResult]] = {}
-    n_q = len(prefilter)
-    for qn, (qkey, cand_keys) in enumerate(prefilter.items()):
+    # thread-parallel over queries (reference: omp-for over queries); the
+    # FwBw forward matrices run in the native lib (GIL released)
+    from ..utils.hostpar import map_queries
+
+    def one(qkey_cands):
+        qkey, cand_keys = qkey_cands
         qi = qkey_to_idx[int(qkey)]
         q_len = qdb.entry_len(qi)
         lol = LoLAligner(multi_domain=multi_domain)
@@ -60,7 +63,6 @@ def lolalign_all(qdb: StructDB, tdb: StructDB,
                     and r.seq_id >= params.seq_id_thr - FLT_EPSILON):
                 results.append(res)
         results.sort(key=lambda r: (-r.evalue, -r.score, r.t_len, r.db_key))
-        out[int(qkey)] = results
-        if (qn + 1) % 5 == 0:
-            logger.info("lolalign: %d/%d queries", qn + 1, n_q)
-    return out
+        return int(qkey), results
+
+    return dict(map_queries(one, prefilter.items()))

@@ -101,12 +101,14 @@ def tmalign_all(qdb: StructDB, tdb: StructDB,
                 params: SearchParams, same_db: bool) -> Dict[int, List[AlnResult]]:
     tkey_to_idx = tdb.key_to_index()
     qkey_to_idx = qdb.key_to_index()
-    out: Dict[int, List[AlnResult]] = {}
-    n = len(prefilter)
-    for idx, (qkey, cand_keys) in enumerate(prefilter.items()):
-        out[int(qkey)] = tmalign_query(
+    # thread-parallel over queries (reference: omp-for, tmalign.cpp:219);
+    # the iterative TM search runs in the native lib (GIL released)
+    from ..utils.hostpar import map_queries
+
+    def one(qkey_cands):
+        qkey, cand_keys = qkey_cands
+        return int(qkey), tmalign_query(
             qdb, tdb, qkey_to_idx[int(qkey)], cand_keys, params,
             tkey_to_idx, same_db)
-        if (idx + 1) % 10 == 0:
-            logger.info("tmalign: %d/%d queries", idx + 1, n)
-    return out
+
+    return dict(map_queries(one, prefilter.items()))

@@ -96,12 +96,30 @@ def make_query_profile(q_ss: np.ndarray, comp_bias: bool = True):
     return prof, byte_bias
 
 
+def device_hbm_budget(fraction: float = 0.6) -> Optional[int]:
+    """Usable device-memory budget for target panels, or None when the
+    backend doesn't report memory (CPU test meshes -> no splitting). The
+    reference plans splits from available RAM the same way
+    (Prefiltering::setupSplit, Prefiltering.cpp:289-381)."""
+    try:
+        import jax
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") if stats else None
+        if limit:
+            return int(limit * fraction)
+    except Exception:
+        pass
+    return None
+
+
 class UngappedPrefilter:
     """Bucketed, device-resident target panels scanned for query batches."""
 
     def __init__(self, tdb: StructDB, budget_bytes: Optional[int] = None):
         self.tdb = tdb
         self.m3 = mat3di(2.0, 0.0)
+        if budget_bytes is None:
+            budget_bytes = device_hbm_budget()
         self.panels = PanelSet.from_db(tdb, budget_bytes)
         self.keys = np.asarray(tdb.keys, dtype=np.int64)
         n_pads = sum(b.n_pad for b in self.panels.buckets)
