@@ -1006,6 +1006,189 @@ def cmd_taxonomyreport(argv):
     return 0
 
 
+def cmd_createtsv(argv):
+    """Result DB -> 3-column TSV with entry names (reference:
+    lib/mmseqs/src/util/createtsv.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu createtsv")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output_tsv")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.resultdb import read_result_db
+    from .search.results import result_to_line
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    qname = {int(qdb.keys[i]): qdb.names[i] for i in range(qdb.size)}
+    tname = {int(tdb.keys[i]): tdb.names[i] for i in range(tdb.size)}
+    results, has_bt = read_result_db(args.result_db)
+    with open(args.output_tsv, "w") as f:
+        for qkey in sorted(results):
+            for r in results[qkey]:
+                line = result_to_line(r, has_bt).split("\t", 1)
+                f.write(f"{qname.get(qkey, qkey)}\t"
+                        f"{tname.get(r.db_key, r.db_key)}\t{line[1]}\n")
+    return 0
+
+
+def cmd_swapresults(argv):
+    """Swap query/target sides of a result DB (reference:
+    lib/mmseqs/src/util/swapresults.cpp — entries regrouped under the
+    target key with q/t columns exchanged)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu swapresults")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import read_result_db, write_result_db
+    from .search.results import AlnResult, compare_hits
+    results, has_bt = read_result_db(args.result_db)
+    out = {}
+    for qkey, rs in results.items():
+        for r in rs:
+            bt = r.backtrace
+            if bt:  # I (gap in target) <-> D (gap in query)
+                bt = bt.replace("I", "x").replace("D", "I").replace("x", "D")
+            out.setdefault(int(r.db_key), []).append(AlnResult(
+                db_key=int(qkey), score=r.score, seq_id=r.seq_id,
+                evalue=r.evalue,
+                q_start=r.t_start, q_end=r.t_end, q_len=r.t_len,
+                t_start=r.q_start, t_end=r.q_end, t_len=r.q_len,
+                backtrace=bt))
+    for rs in out.values():
+        rs.sort(key=compare_hits)
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
+def cmd_mergedbs(argv):
+    """Concatenate result DBs per query key, first DB's entries first
+    (reference: lib/mmseqs/src/util/mergedbs.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu mergedbs")
+    p.add_argument("result_dbs", nargs="+", help="two or more result DBs")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import read_result_db, write_result_db
+    merged = {}
+    any_bt = False
+    for path in args.result_dbs:
+        results, has_bt = read_result_db(path)
+        any_bt = any_bt or has_bt
+        for qkey, rs in results.items():
+            merged.setdefault(int(qkey), []).extend(rs)
+    write_result_db(merged, args.output_db, add_backtrace=any_bt)
+    return 0
+
+
+# filterdb expression evaluation: the reference embeds tinyexpr
+# (lib/mmseqs/src/util/filterdb.cpp --filter-expression); here a small safe
+# arithmetic evaluator over $N column variables.
+_FILTER_OPS = {
+    "+": (1, lambda a, b: a + b), "-": (1, lambda a, b: a - b),
+    "*": (2, lambda a, b: a * b), "/": (2, lambda a, b: a / b if b else 0.0),
+    ">": (0, lambda a, b: float(a > b)), "<": (0, lambda a, b: float(a < b)),
+    ">=": (0, lambda a, b: float(a >= b)), "<=": (0, lambda a, b: float(a <= b)),
+    "==": (0, lambda a, b: float(a == b)), "!=": (0, lambda a, b: float(a != b)),
+}
+
+
+def _filter_eval(expr: str, cols):
+    import re as _re
+    toks = _re.findall(r"\$\d+|\d+\.?\d*(?:[eE][-+]?\d+)?|>=|<=|==|!=|[-+*/()<>]",
+                       expr)
+
+    def value(tok):
+        if tok.startswith("$"):
+            return float(cols[int(tok[1:]) - 1])
+        return float(tok)
+
+    # shunting-yard to RPN, then evaluate
+    out, ops = [], []
+    for t in toks:
+        if t in _FILTER_OPS:
+            while (ops and ops[-1] in _FILTER_OPS
+                   and _FILTER_OPS[ops[-1]][0] >= _FILTER_OPS[t][0]):
+                out.append(ops.pop())
+            ops.append(t)
+        elif t == "(":
+            ops.append(t)
+        elif t == ")":
+            while ops and ops[-1] != "(":
+                out.append(ops.pop())
+            if ops:
+                ops.pop()
+        else:
+            out.append(value(t))
+    while ops:
+        out.append(ops.pop())
+    st = []
+    for t in out:
+        if isinstance(t, float):
+            st.append(t)
+        else:
+            b, a = st.pop(), st.pop()
+            st.append(_FILTER_OPS[t][1](a, b))
+    return st[0] if st else 0.0
+
+
+def cmd_filterdb(argv):
+    """Filter result-DB records by column (reference:
+    lib/mmseqs/src/util/filterdb.cpp): numeric comparator on a column, a
+    regex, or a tinyexpr-style --filter-expression over $N columns."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu filterdb")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("--filter-column", type=int, default=1,
+                   help="1-based column of the record (1=targetkey 2=score ...)")
+    p.add_argument("--comparison-operator", default="",
+                   choices=["", "ge", "le", "e"])
+    p.add_argument("--comparison-value", type=float, default=0.0)
+    p.add_argument("--filter-regex", default="")
+    p.add_argument("--filter-expression", default="",
+                   help="arithmetic over $N columns; keeps rows where != 0")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import re as _re
+
+    from .search.resultdb import read_result_db, write_result_db
+    from .search.results import result_to_line
+    results, has_bt = read_result_db(args.result_db)
+    out = {}
+    kept = total = 0
+    for qkey, rs in results.items():
+        keep = []
+        for r in rs:
+            cols = result_to_line(r, has_bt).split("\t")
+            total += 1
+            ok = True
+            if args.comparison_operator:
+                v = float(cols[args.filter_column - 1])
+                ok = {"ge": v >= args.comparison_value,
+                      "le": v <= args.comparison_value,
+                      "e": v == args.comparison_value}[args.comparison_operator]
+            if ok and args.filter_regex:
+                ok = _re.search(args.filter_regex,
+                                cols[args.filter_column - 1]) is not None
+            if ok and args.filter_expression:
+                ok = _filter_eval(args.filter_expression, cols) != 0.0
+            if ok:
+                keep.append(r)
+                kept += 1
+        out[qkey] = keep
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    logger.info("filterdb: kept %d/%d records", kept, total)
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -1052,6 +1235,10 @@ COMMANDS = {
     "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
     "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),
     "taxonomyreport": (cmd_taxonomyreport, "Kraken-style taxonomic clade report"),
+    "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),
+    "swapresults": (cmd_swapresults, "Swap query/target sides of a result DB"),
+    "mergedbs": (cmd_mergedbs, "Concatenate result DBs per query"),
+    "filterdb": (cmd_filterdb, "Filter result records by column/regex/expression"),
     "version": (cmd_version, "Show version"),
 }
 

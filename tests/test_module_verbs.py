@@ -65,3 +65,58 @@ def test_multimersearch_verb(example_dir, tmp_path):
                  "-v", "1"]) == 0
     body = open(out).read()
     assert body.startswith("#foldseek-tpu complexres") and "\t" in body
+
+
+def test_util_verbs_roundtrip(small_setup):
+    """createtsv / swapresults / mergedbs / filterdb (the reference's
+    generic util verbs, lib/mmseqs/src/util/)."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.search.resultdb import read_result_db
+    db, aln0, d = small_setup
+    base, _ = read_result_db(aln0)
+    n_total = sum(len(v) for v in base.values())
+
+    # createtsv: one line per record, names resolved
+    tsv = str(d / "res.tsv")
+    assert main(["createtsv", db, db, aln0, tsv, "-v", "1"]) == 0
+    lines = [l.split("\t") for l in open(tsv)]
+    assert len(lines) == n_total
+    assert lines[0][0].startswith("d1")
+
+    # swapresults: swapping twice restores the original record set
+    sw1 = str(d / "swapped")
+    sw2 = str(d / "swapped2")
+    assert main(["swapresults", db, db, aln0, sw1, "-v", "1"]) == 0
+    assert main(["swapresults", db, db, sw1, sw2, "-v", "1"]) == 0
+    back, _ = read_result_db(sw2)
+    orig = {(q, r.db_key, r.score, r.q_start, r.t_start)
+            for q, rs in base.items() for r in rs}
+    got = {(q, r.db_key, r.score, r.q_start, r.t_start)
+           for q, rs in back.items() for r in rs}
+    assert got == orig
+
+    # mergedbs: concatenation doubles every query's list
+    mg = str(d / "merged")
+    assert main(["mergedbs", aln0, aln0, mg, "-v", "1"]) == 0
+    merged, _ = read_result_db(mg)
+    assert sum(len(v) for v in merged.values()) == 2 * n_total
+
+    # filterdb: numeric gate on the score column (column 2)
+    flt = str(d / "filtered")
+    assert main(["filterdb", aln0, flt, "--filter-column", "2",
+                 "--comparison-operator", "ge", "--comparison-value", "500",
+                 "-v", "1"]) == 0
+    filtered, _ = read_result_db(flt)
+    for rs in filtered.values():
+        for r in rs:
+            assert r.score >= 500
+    assert 0 < sum(len(v) for v in filtered.values()) < n_total
+
+    # filterdb: tinyexpr-style expression over $N columns
+    fe = str(d / "filtered_expr")
+    assert main(["filterdb", aln0, fe, "--filter-expression",
+                 "($2 >= 500) * ($4 < 1)", "-v", "1"]) == 0
+    fexp, _ = read_result_db(fe)
+    for rs in fexp.values():
+        for r in rs:
+            assert r.score >= 500 and r.evalue < 1
