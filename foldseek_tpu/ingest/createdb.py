@@ -29,7 +29,16 @@ def collect_input_files(inputs: List[str]) -> List[str]:
     loop equivalent)."""
     files = []
     for inp in inputs:
-        if os.path.isdir(inp):
+        if inp.startswith(("gs://", "gcs://")):
+            # GCS bucket walking (structcreatedb.cpp:1058-1288)
+            import tempfile
+
+            from .gcs import fetch_gcs_inputs
+            cache = os.environ.get(
+                "FOLDSEEK_TPU_GCS_CACHE",
+                os.path.join(tempfile.gettempdir(), "foldseek_tpu_gcs"))
+            files.extend(fetch_gcs_inputs(inp, cache))
+        elif os.path.isdir(inp):
             for root, _, fnames in os.walk(inp):
                 for fn in sorted(fnames):
                     files.append(os.path.join(root, fn))
