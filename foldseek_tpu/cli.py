@@ -1006,6 +1006,97 @@ def cmd_taxonomyreport(argv):
     return 0
 
 
+def _cmd_prefilter(argv, prog: str, default_mode: int):
+    """Standalone prefilter verbs (reference: the hidden `prefilter` /
+    `ungappedprefilter` base modules the workflow scripts compose). Output:
+    a prefilter result DB of `qkey\\ttkey\\tscore` lines."""
+    p = argparse.ArgumentParser(prog=f"foldseek-tpu {prog}")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import numpy as np
+
+    from .db.storage import load_db
+    params = params_from_args(args)
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    with open(args.result_db, "w") as f:
+        f.write("#foldseek-tpu prefres v1\n")
+        if default_mode == 1:
+            from .search.ungapped import UngappedPrefilter
+            pref = UngappedPrefilter(tdb)
+            seqs = [np.asarray(qdb.get_ss(i)) for i in range(qdb.size)]
+            for qi, hits in enumerate(pref.query_batch(seqs, params)):
+                for tkey, score in hits:
+                    f.write(f"{int(qdb.keys[qi])}\t{tkey}\t{score}\n")
+        else:
+            from .search.kmer import KmerPrefilter
+            pref = KmerPrefilter(tdb, params, bias_scale=0.15)
+            same_db = qdb.path == tdb.path
+            tkeys = [int(k) for k in tdb.keys]
+            for qi in range(qdb.size):
+                identity = qi if same_db else None
+                hits = pref.query(np.asarray(qdb.get_ss(qi)),
+                                  params.max_seqs, identity)
+                for ti, score, diag in hits:
+                    f.write(f"{int(qdb.keys[qi])}\t{tkeys[ti]}\t{score}\t{diag}\n")
+    return 0
+
+
+def cmd_prefilter(argv):
+    return _cmd_prefilter(argv, "prefilter", 0)
+
+
+def cmd_ungappedprefilter(argv):
+    return _cmd_prefilter(argv, "ungappedprefilter", 1)
+
+
+def cmd_mvdb(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu mvdb")
+    p.add_argument("src")
+    p.add_argument("dst")
+    args = p.parse_args(argv)
+    import shutil
+    shutil.move(args.src, args.dst)
+    return 0
+
+
+def cmd_rmdb(argv):
+    p = argparse.ArgumentParser(prog="foldseek-tpu rmdb")
+    p.add_argument("db")
+    args = p.parse_args(argv)
+    import shutil
+    if os.path.isdir(args.db):
+        shutil.rmtree(args.db)
+    elif os.path.isfile(args.db):
+        os.unlink(args.db)
+    return 0
+
+
+def cmd_subtractdbs(argv):
+    """Remove records of result DB B from result DB A per query key
+    (reference: lib/mmseqs/src/util/subtractdbs.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu subtractdbs")
+    p.add_argument("result_db_left")
+    p.add_argument("result_db_right")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import read_result_db, write_result_db
+    left, has_bt = read_result_db(args.result_db_left)
+    right, _ = read_result_db(args.result_db_right)
+    out = {}
+    for qkey, rs in left.items():
+        drop = {r.db_key for r in right.get(qkey, [])}
+        out[qkey] = [r for r in rs if r.db_key not in drop]
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
 def cmd_createtsv(argv):
     """Result DB -> 3-column TSV with entry names (reference:
     lib/mmseqs/src/util/createtsv.cpp)."""
@@ -1210,6 +1301,7 @@ COMMANDS = {
     "easy-multimercluster": (cmd_easy_multimercluster, "Cluster complexes from files"),
     "createindex": (cmd_createindex, "Precompute the device panel + k-mer index"),
     "makepaddeddb": (cmd_createindex, "Alias of createindex (padded device layout)"),
+    "mmcreateindex": (cmd_createindex, "Alias of createindex (base-module name)"),
     "indexserver": (cmd_indexserver, "Serve a resident target index over a unix socket"),
     "gpuserver": (cmd_indexserver, "Alias of indexserver"),
     "compressca": (cmd_compressca, "Re-encode C-alpha coords as int16 diffs (6 B/residue)"),
@@ -1235,6 +1327,11 @@ COMMANDS = {
     "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
     "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),
     "taxonomyreport": (cmd_taxonomyreport, "Kraken-style taxonomic clade report"),
+    "prefilter": (cmd_prefilter, "k-mer double-diagonal prefilter to a result DB"),
+    "ungappedprefilter": (cmd_ungappedprefilter, "Device gapless prefilter to a result DB"),
+    "mvdb": (cmd_mvdb, "Move/rename a DB"),
+    "rmdb": (cmd_rmdb, "Remove a DB"),
+    "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),
     "swapresults": (cmd_swapresults, "Swap query/target sides of a result DB"),
     "mergedbs": (cmd_mergedbs, "Concatenate result DBs per query"),

@@ -203,6 +203,18 @@ def gapless_scores_batch(prof_stack: jax.Array, t_T: jax.Array,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("q", "lq_pad", "k", "use_cap"))
+def gapless_topk_batch(prof_stack: jax.Array, t_T: jax.Array,
+                       caps: jax.Array, q: int, lq_pad: int, k: int,
+                       use_cap: bool = True):
+    """Fused scan + per-query top-k in ONE dispatch (scores stay on
+    device; only [q, k] score/index pairs come home — on a remote-dispatch
+    backend the full [q, B] readback dominates for large panels)."""
+    scores = gapless_scores_batch(prof_stack, t_T, caps, q, lq_pad,
+                                  use_cap=use_cap)
+    return jax.lax.top_k(scores, k)
+
+
 def pack_profiles_batch(profs, caps, lq_pad: int = None,
                         pad_score: float = NEG):
     """Stack per-query [21, Lq] profiles into the batch kernel's layout.

@@ -24,8 +24,8 @@ import numpy as np
 from ..db.panels import PanelSet
 from ..db.storage import StructDB
 from ..ops.gapless_pallas import (PAD_LETTER, gapless_scores_batch,
-                                  gapless_scores_single, pack_profile,
-                                  pack_profiles_batch)
+                                  gapless_scores_single, gapless_topk_batch,
+                                  pack_profile, pack_profiles_batch)
 from ..ops.matrices import mat3di
 from ..ops.sw import calc_comp_bias
 from ..utils.log import logger
@@ -36,8 +36,10 @@ PREFILTER_BIAS_SCALE = 0.15
 BYTE_CAP = 255
 # DP-state rows (q * lq_pad) per kernel launch; see gapless_pallas.MAX_STATE_BYTES
 MAX_STACK_ROWS = 3072
-# bring full score rows home below this, device top-k above
-DEVICE_TOPK_MIN_ROWS = 8192
+# bring full score rows home for small panels; above this row count the
+# fused kernel+top-k dispatch returns only [q, k] candidates (measured on
+# the remote tunnel: below ~16k rows the readback is not the bottleneck)
+DEVICE_TOPK_MIN_ROWS = 16384
 
 
 # static lq_pad family: stack shapes (and so kernel compiles) stay
@@ -184,14 +186,17 @@ class UngappedPrefilter:
                 entry_idx = bucket.entry_idx[
                     piece.row_start: piece.row_start + n_real]
                 pending = []
+                use_topk = rows >= max(DEVICE_TOPK_MIN_ROWS,
+                                       2 * params.max_seqs)
                 for grp, stack, caps, q, lq_pad in stacks:
-                    scores = gapless_scores_batch(stack, t_dev, caps,
-                                                  q, lq_pad)
-                    if rows >= DEVICE_TOPK_MIN_ROWS:
+                    if use_topk:
                         k = min(rows, params.max_seqs)
-                        top_s, top_i = jax.lax.top_k(scores, k)
+                        top_s, top_i = gapless_topk_batch(
+                            stack, t_dev, caps, q, lq_pad, k)
                         pending.append((grp, top_s, top_i))
                     else:
+                        scores = gapless_scores_batch(stack, t_dev, caps,
+                                                      q, lq_pad)
                         pending.append((grp, scores, None))
                 for grp, s_dev, i_dev in pending:
                     s = np.asarray(s_dev)
