@@ -124,7 +124,6 @@ class UngappedPrefilter:
             budget_bytes = device_hbm_budget()
         self.panels = PanelSet.from_db(tdb, budget_bytes)
         self.keys = np.asarray(tdb.keys, dtype=np.int64)
-        n_pads = sum(b.n_pad for b in self.panels.buckets)
         logger.info(
             "ungapped prefilter: %d buckets (lt %s), %.1f MB device panels, "
             "%d splits", len(self.panels.buckets),
