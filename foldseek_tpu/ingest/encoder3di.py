@@ -150,14 +150,23 @@ def encode_chain(ca, n, c, cb):
     interior[1 : L - 1] = True
     cand = interior & mask
     if cand.any():
-        d2 = np.sum((vc[:, None, :] - vc[None, :, :]) ** 2, axis=-1)
-        d2[:, ~cand] = np.inf
-        np.fill_diagonal(d2, np.inf)
-        # NaN virtual centers (invalid i) propagate NaN distances; the reference
-        # compares with `<` so NaN never wins — replicate by treating NaN as inf.
-        d2 = np.where(np.isnan(d2), np.inf, d2)
-        has = d2[1 : L - 1].min(axis=1) < np.inf
-        partner[1 : L - 1] = np.where(has, d2[1 : L - 1].argmin(axis=1), -1)
+        # chunked over rows: the full [L, L] distance matrix would be
+        # O(L^2) memory (the reference's maxSeqLen is 65535 — that would be
+        # tens of GB); 512-row blocks keep it a few MB at identical results
+        blk = 512
+        has = np.zeros(L - 2, dtype=bool)
+        amin = np.zeros(L - 2, dtype=np.int64)
+        for r0 in range(1, L - 1, blk):
+            r1 = min(r0 + blk, L - 1)
+            d2 = np.sum((vc[r0:r1, None, :] - vc[None, :, :]) ** 2, axis=-1)
+            d2[:, ~cand] = np.inf
+            d2[np.arange(r1 - r0), np.arange(r0, r1)] = np.inf  # j != i
+            # NaN virtual centers (invalid i) propagate NaN distances; the
+            # reference compares with `<` so NaN never wins — treat as inf.
+            d2 = np.where(np.isnan(d2), np.inf, d2)
+            has[r0 - 1:r1 - 1] = d2.min(axis=1) < np.inf
+            amin[r0 - 1:r1 - 1] = d2.argmin(axis=1)
+        partner[1 : L - 1] = np.where(has, amin, -1)
         mask[1 : L - 1] &= has
 
     # step 4: features where the 6 flanking residues are all valid

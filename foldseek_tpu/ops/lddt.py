@@ -38,15 +38,21 @@ class LDDTResult:
 
 
 def lddt_query_context(q_ca: np.ndarray):
-    """Per-query precomputation shared across all of its hits: full pairwise
-    distances, <15 A adjacency, and per-residue neighbor degree
-    (LDDT.cpp:100-116). Rebuilding this per hit dominated the align stage."""
+    """Per-query precomputation shared across all of its hits: the query
+    coords + per-residue <15 A neighbor degree (LDDT.cpp:100-116).
+    Rebuilding this per hit dominated the align stage. Degree is computed
+    in row blocks — a full [L, L] matrix at the reference's 65535-residue
+    maxSeqLen would be tens of GB."""
     q = np.asarray(q_ca, dtype=np.float32)
-    dq_full = np.sqrt(((q[:, None, :] - q[None, :, :]) ** 2).sum(-1))
-    close_full = dq_full < 15.0
-    np.fill_diagonal(close_full, False)
-    degree = close_full.sum(axis=1).astype(np.float32)
-    return dq_full, close_full, degree
+    L = len(q)
+    degree = np.zeros(L, dtype=np.float32)
+    blk = 1024
+    for r0 in range(0, L, blk):
+        d2 = ((q[r0:r0 + blk, None, :] - q[None, :, :]) ** 2).sum(-1)
+        close = d2 < 15.0 * 15.0
+        close[np.arange(min(blk, L - r0)), np.arange(r0, min(r0 + blk, L))] = False
+        degree[r0:r0 + blk] = close.sum(axis=1)
+    return q, degree
 
 
 def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
@@ -61,10 +67,10 @@ def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
 
     if q_ctx is None:
         q_ctx = lddt_query_context(q_ca)
-    dq_full, close_full, degree = q_ctx
+    q32, degree = q_ctx
 
     from .. import native
-    qa32 = np.asarray(q_ca, dtype=np.float32)[q_idx]
+    qa32 = q32[q_idx]
     res = native.lddt_aligned(qa32, ta, degree[q_idx])
     if res is not None:
         avg, per_col, score_len = res
@@ -72,9 +78,10 @@ def compute_lddt(q_ca: np.ndarray, t_ca: np.ndarray,
         # per_col here already holds 0 for them like the nan_to_num below
         return LDDTResult(avg, per_col, score_len)
 
-    # aligned-aligned pair scores
-    dq = dq_full[np.ix_(q_idx, q_idx)]
-    close = close_full[np.ix_(q_idx, q_idx)]
+    # aligned-aligned pair scores (fallback path; aligned subset only)
+    dq = np.sqrt(((qa32[:, None, :] - qa32[None, :, :]) ** 2).sum(-1))
+    close = dq < 15.0
+    np.fill_diagonal(close, False)
     dt = np.sqrt(((ta[:, None, :] - ta[None, :, :]) ** 2).sum(-1))
     dl = np.abs(dq - dt)
     pair = 0.25 * ((dl < 0.5).astype(np.float32) + (dl < 1.0) + (dl < 2.0) + (dl < 4.0))

@@ -173,7 +173,7 @@ def test_batched_lddt_device_matches_host():
         qa[p, :n] = q
         ta[p, :n] = t
         ctx = L.lddt_query_context(q)
-        deg[p, :n] = ctx[2]
+        deg[p, :n] = ctx[1]
         refs.append(L.compute_lddt(q, t, 0, 0, "M" * n, q_ctx=ctx))
     avg, slen = L.batched_lddt_device(qa, ta, deg, ml, chunk=4)
     for p in range(P):
