@@ -203,6 +203,113 @@ def gapless_scores_batch(prof_stack: jax.Array, t_T: jax.Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Long-query path: queries too tall for one VMEM-resident DP state
+# (q*lq_pad rows > MAX_STATE_BYTES) are processed in row blocks chained
+# through an HBM boundary buffer — block k's row 0 takes its diagonal
+# predecessor from block k-1's last row at the previous column. This is
+# the standard DP tiling; the reference handles the same lengths with its
+# 65535 maxSeqLen on byte SIMD.
+
+LONG_QUERY_BLOCK = 2048
+
+
+def _make_kernel_long(use_cap: bool, blk: int, unroll: int, first: bool):
+    def kernel(prof_ref, t_ref, cap_ref, bin_ref, out_ref, bout_ref):
+        Lt = t_ref.shape[0]
+        Lq = prof_ref.shape[0]
+        prof = prof_ref[:].astype(jnp.bfloat16)
+        cap = jnp.broadcast_to(cap_ref[pl.ds(0, 1), :], (Lq, blk)) if use_cap else None
+
+        def one_col(j, h, best):
+            tcol = t_ref[pl.ds(j, 1), :]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (PROF_LANES, blk), 0)
+            oh = (iota == jnp.broadcast_to(tcol, (PROF_LANES, blk))).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(prof, oh, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if first:
+                top = jnp.zeros((1, blk), jnp.float32)
+            else:
+                # diagonal predecessor of row 0 = previous block's last row
+                # at column j-1 (0 at the first column)
+                jm = jnp.maximum(j - 1, 0)
+                top = jnp.where(j > 0, bin_ref[pl.ds(jm, 1), :], 0.0)
+            diag = jnp.concatenate([top, h[:-1, :]], axis=0)
+            h = jnp.maximum(diag + s, 0.0)
+            if use_cap:
+                h = jnp.minimum(h, cap)
+            bout_ref[pl.ds(j, 1), :] = h[Lq - 1:Lq, :]
+            return h, jnp.maximum(best, h)
+
+        def col_body(k, carry):
+            h, best = carry
+            for u in range(unroll):
+                h, best = one_col(k * unroll + u, h, best)
+            return h, best
+
+        h0 = jnp.zeros((Lq, blk), dtype=jnp.float32)
+        _, best = jax.lax.fori_loop(0, Lt // unroll, col_body, (h0, h0))
+        out_ref[:] = jnp.max(best, axis=0, keepdims=True)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("lq_block", "use_cap", "first"))
+def _gapless_long_block(prof_block: jax.Array, t_T: jax.Array,
+                        cap: jax.Array, boundary: jax.Array,
+                        lq_block: int, use_cap: bool, first: bool):
+    Lt, B = t_T.shape
+    blk = _pick_blk(B)
+    unroll = min(_pick_unroll(Lt), 16)
+    cap_arr = jnp.broadcast_to(jnp.asarray(cap, jnp.float32), (1, blk))
+    out, bout = pl.pallas_call(
+        _make_kernel_long(use_cap, blk, unroll, first),
+        interpret=_interpret(),
+        grid=(B // blk,),
+        in_specs=[
+            pl.BlockSpec((lq_block, PROF_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.float32),
+                   jax.ShapeDtypeStruct((Lt, B), jnp.float32)],
+    )(prof_block, t_T.astype(jnp.int32), cap_arr, boundary)
+    return out[0], bout
+
+
+def gapless_scores_long(prof: np.ndarray, t_T, cap: float,
+                        use_cap: bool = True):
+    """Single-query gapless scores for queries of any length: the profile
+    is processed in LONG_QUERY_BLOCK-row slabs, chaining the DP boundary
+    row between launches. prof: f32 [Lq, 32] packed lane table (pack_profile)
+    — rows beyond the real query must be NEG. Returns f32 [B]."""
+    import jax
+
+    Lq = prof.shape[0]
+    Lt, B = t_T.shape
+    n_blocks = -(-Lq // LONG_QUERY_BLOCK)
+    pad_rows = n_blocks * LONG_QUERY_BLOCK - Lq
+    if pad_rows:
+        prof = np.concatenate(
+            [prof, np.full((pad_rows, PROF_LANES), NEG, np.float32)], axis=0)
+    t_dev = jnp.asarray(t_T)
+    boundary = jnp.zeros((Lt, B), jnp.float32)
+    best = None
+    for k in range(n_blocks):
+        block = jnp.asarray(
+            prof[k * LONG_QUERY_BLOCK:(k + 1) * LONG_QUERY_BLOCK])
+        out, boundary = _gapless_long_block(
+            block, t_dev, jnp.float32(cap), boundary,
+            LONG_QUERY_BLOCK, use_cap, k == 0)
+        best = out if best is None else jnp.maximum(best, out)
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("q", "lq_pad", "k", "use_cap"))
 def gapless_topk_batch(prof_stack: jax.Array, t_T: jax.Array,
                        caps: jax.Array, q: int, lq_pad: int, k: int,

@@ -168,7 +168,15 @@ class UngappedPrefilter:
         import jax
         import jax.numpy as jnp
 
-        stacks = self._make_stacks(profs, byte_biases)
+        # queries too tall for the stacked kernel's VMEM state take the
+        # row-block-chained long path (gapless_scores_long)
+        normal = [i for i, p in enumerate(profs)
+                  if p.shape[1] + 1 <= LQ_FAMILY[-1]]
+        long_q = [i for i in range(len(profs)) if i not in set(normal)]
+        stacks = self._make_stacks([profs[i] for i in normal],
+                                   [byte_biases[i] for i in normal])
+        stacks = [([normal[g] for g in grp], stack, caps, q, lq)
+                  for grp, stack, caps, q, lq in stacks]
         nq = len(profs)
         cand_scores = [[] for _ in range(nq)]
         cand_idx = [[] for _ in range(nq)]
@@ -197,6 +205,13 @@ class UngappedPrefilter:
                         scores = gapless_scores_batch(stack, t_dev, caps,
                                                       q, lq_pad)
                         pending.append((grp, scores, None))
+                for g in long_q:
+                    from ..ops.gapless_pallas import gapless_scores_long
+                    s_long = np.asarray(gapless_scores_long(
+                        pack_profile(profs[g]), t_dev,
+                        float(BYTE_CAP - byte_biases[g])))
+                    cand_scores[g].append(s_long[:n_real])
+                    cand_idx[g].append(entry_idx)
                 for grp, s_dev, i_dev in pending:
                     s = np.asarray(s_dev)
                     if i_dev is not None:

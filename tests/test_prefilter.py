@@ -179,3 +179,64 @@ def test_batched_lddt_device_matches_host():
     for p in range(P):
         assert abs(avg[p] - refs[p].avg_lddt) < 1e-5
         assert slen[p] == refs[p].score_length
+
+
+def test_long_query_chained_blocks():
+    """Queries too tall for one VMEM DP state run in row-block-chained
+    launches; scores must equal the scalar reference (with byte cap)."""
+    import jax.numpy as jnp
+
+    from foldseek_tpu.ops.gapless_pallas import (LONG_QUERY_BLOCK,
+                                                 gapless_scores_long,
+                                                 pack_profile,
+                                                 prepare_targets_T)
+    rng = np.random.RandomState(5)
+    m3 = mat3di(2.0, 0.0)
+    Lq = 2 * LONG_QUERY_BLOCK + 517  # 3 blocks, ragged tail
+    q_ss = rng.randint(0, 20, Lq)
+    prof = m3.scores[:, q_ss].astype(np.float32)
+    seqs = [rng.randint(0, 20, int(rng.randint(30, 120))).astype(np.int8)
+            for _ in range(6)]
+    t_T = prepare_targets_T(seqs, [len(s) for s in seqs])
+    cap = 225.0
+    got = np.asarray(gapless_scores_long(pack_profile(prof),
+                                         jnp.asarray(t_T), cap))
+
+    def capped_np(seq):
+        h = np.zeros(Lq, dtype=np.int64)
+        best = 0
+        for cs in seq:
+            s = m3.scores[cs][q_ss]
+            diag = np.empty_like(h)
+            diag[0] = 0
+            diag[1:] = h[:-1]
+            h = np.minimum(np.maximum(diag + s, 0), int(cap))
+            best = max(best, int(h.max()))
+        return best
+
+    for i, seq in enumerate(seqs):
+        assert int(got[i]) == capped_np(seq), i
+
+
+def test_prefilter_long_query_integration(tmp_path):
+    """A >3072-residue query routes through the long path and still returns
+    reference-ordered hits."""
+    from foldseek_tpu.db.storage import StructDBWriter
+    rng = np.random.RandomState(6)
+    w = StructDBWriter(str(tmp_path / "db"))
+    for i in range(5):
+        L = int(rng.randint(50, 200))
+        w.add_entry(i, f"e{i}", f"e{i}", rng.randint(0, 20, L).astype(np.int8),
+                    rng.randint(0, 20, L).astype(np.int8),
+                    np.zeros((L, 3), np.float32))
+    db = w.finish()
+    pref = UngappedPrefilter(db)
+    # long query containing target 2's sequence embedded in noise
+    t2 = np.asarray(db.get_ss(2))
+    q = rng.randint(0, 20, 4000).astype(np.int8)
+    q[1000:1000 + len(t2)] = t2
+    short = np.asarray(db.get_ss(1))
+    hits_long, hits_short = pref.query_batch(
+        [q, short], SearchParams())
+    assert hits_long and hits_long[0][0] == 2  # embedded target is top hit
+    assert hits_short[0][0] == 1
