@@ -60,8 +60,8 @@ class Bucket:
 
     @property
     def nbytes(self) -> int:
-        # device cost is int32 (the kernel's one-hot compare operand)
-        return self.lt_pad * self.n_pad * 4
+        # panels stay int8 on device (the kernel upcasts in registers)
+        return self.lt_pad * self.n_pad
 
 
 def build_buckets(seqs: Sequence[np.ndarray],
@@ -104,7 +104,7 @@ def plan_splits(buckets: Sequence[Bucket],
     cur_bytes = 0
     for bi, b in enumerate(buckets):
         row = 0
-        row_bytes = b.lt_pad * 4
+        row_bytes = b.lt_pad
         while row < b.n_pad:
             room = (budget_bytes - cur_bytes) // (row_bytes * ROW_MULTIPLE)
             take = min(int(room) * ROW_MULTIPLE, b.n_pad - row)
@@ -163,7 +163,7 @@ class PanelSet:
         if arr is None:
             host = self.buckets[piece.bucket].panel_T[
                 :, piece.row_start:piece.row_end]
-            arr = jnp.asarray(np.ascontiguousarray(host), dtype=jnp.int32)
+            arr = jnp.asarray(np.ascontiguousarray(host))  # int8 on device
             if keep:
                 self._resident[key] = arr
         return arr

@@ -120,20 +120,23 @@ def _make_kernel_dual(blk: int, unroll: int):
 
 
 def _make_kernel_batch(use_cap: bool, blk: int, unroll: int, q: int,
-                       lq_pad: int):
+                       lq_pad: int, int8_targets: bool = False):
     """Multi-query variant: q query profiles stacked on the sublane axis
     ([q*lq_pad, 32]), each slice ending in >=1 pad row (NEG profile score)
     so a diagonal cannot carry across query boundaries. Output [q, blk] is
     the per-query max. Same DP as the single-query kernel; measured ~570
-    GCUPS/chip vs ~520 single (and one launch covers the whole query batch)."""
+    GCUPS/chip vs ~520 single (and one launch covers the whole query batch).
+
+    int8_targets: the panel stays int8 in HBM/VMEM (4x capacity and
+    bandwidth); the kernel loads one unroll-group of rows (32, the int8
+    sublane tile) and upcasts in registers."""
     def kernel(prof_ref, t_ref, caps_ref, out_ref):
         Lt = t_ref.shape[0]
         QL = prof_ref.shape[0]
         prof = prof_ref[:].astype(jnp.bfloat16)
         caps = caps_ref[:] if use_cap else None  # [QL, 1] per-row cap
 
-        def one_col(j, h, best):
-            tcol = t_ref[pl.ds(j, 1), :]
+        def one_col(tcol, h, best):
             iota = jax.lax.broadcasted_iota(jnp.int32, (PROF_LANES, blk), 0)
             oh = (iota == jnp.broadcast_to(tcol, (PROF_LANES, blk))).astype(jnp.bfloat16)
             s = jax.lax.dot_general(prof, oh, (((1,), (0,)), ((), ())),
@@ -146,8 +149,15 @@ def _make_kernel_batch(use_cap: bool, blk: int, unroll: int, q: int,
 
         def col_body(k, carry):
             h, best = carry
-            for u in range(unroll):
-                h, best = one_col(k * unroll + u, h, best)
+            if int8_targets:
+                # one aligned [unroll, blk] int8 load, upcast once
+                tgrp = t_ref[pl.ds(k * unroll, unroll), :].astype(jnp.int32)
+                for u in range(unroll):
+                    h, best = one_col(tgrp[u:u + 1, :], h, best)
+            else:
+                for u in range(unroll):
+                    h, best = one_col(t_ref[pl.ds(k * unroll + u, 1), :],
+                                      h, best)
             return h, best
 
         h0 = jnp.zeros((QL, blk), dtype=jnp.float32)
@@ -185,8 +195,11 @@ def gapless_scores_batch(prof_stack: jax.Array, t_T: jax.Array,
     # [QL, blk] f32 score buffers alive at once
     if q * lq_pad * blk * 8 > MAX_STATE_BYTES:
         unroll = min(unroll, 16)
+    # int8 panels need 32-row-aligned group loads (the int8 sublane tile)
+    int8_targets = t_T.dtype == jnp.int8 and unroll == 32
     out = pl.pallas_call(
-        _make_kernel_batch(use_cap, blk, unroll, q, lq_pad),
+        _make_kernel_batch(use_cap, blk, unroll, q, lq_pad,
+                           int8_targets=int8_targets),
         interpret=_interpret(),
         grid=(B // blk,),
         in_specs=[
@@ -199,7 +212,7 @@ def gapless_scores_batch(prof_stack: jax.Array, t_T: jax.Array,
         out_specs=pl.BlockSpec((q, blk), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q, B), jnp.float32),
-    )(prof_stack, t_T.astype(jnp.int32), caps)
+    )(prof_stack, t_T if int8_targets else t_T.astype(jnp.int32), caps)
     return out
 
 
