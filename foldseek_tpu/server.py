@@ -8,8 +8,10 @@ socket, amortizing DB load + kernel compilation across CLI invocations.
 
 Protocol (length-prefixed JSON + raw payload): request
 {"cmd": "query", "len": L, "max_seqs": N} followed by L int8 bytes of the
-numeric 3Di query; response {"hits": [[key, score], ...]}. "ping" and
-"shutdown" round out the surface.
+numeric 3Di query; response {"hits": [[key, score], ...]}. "query_batch"
+sends many queries in one round trip ({"lens": [...]} + concatenated int8
+payload) so the server scans them as one multi-query kernel stack. "ping"
+and "shutdown" round out the surface.
 """
 from __future__ import annotations
 
@@ -82,6 +84,17 @@ def serve(db_path: str, socket_path: str, max_seqs_default: int = 1000):
                             max_seqs=req.get("max_seqs", max_seqs_default))
                         hits = pref.query(q, params)
                         _send(conn, {"hits": hits})
+                    elif req["cmd"] == "query_batch":
+                        buf = np.frombuffer(payload, dtype=np.int8)
+                        seqs = []
+                        off = 0
+                        for L in req["lens"]:
+                            seqs.append(buf[off:off + L])
+                            off += L
+                        params = SearchParams(
+                            max_seqs=req.get("max_seqs", max_seqs_default))
+                        hits = pref.query_batch(seqs, params)
+                        _send(conn, {"hits_batch": hits})
                     else:
                         _send(conn, {"error": f"unknown cmd {req['cmd']}"})
             finally:
@@ -109,6 +122,16 @@ class IndexServerClient:
         resp, _ = _recv(self.sock)
         return [(int(k), int(s)) for k, s in resp["hits"]]
 
+    def query_batch(self, seqs, max_seqs: int = 1000):
+        arrs = [np.ascontiguousarray(s, dtype=np.int8) for s in seqs]
+        _send(self.sock, {"cmd": "query_batch",
+                          "lens": [len(a) for a in arrs],
+                          "max_seqs": max_seqs},
+              b"".join(a.tobytes() for a in arrs))
+        resp, _ = _recv(self.sock)
+        return [[(int(k), int(s)) for k, s in hits]
+                for hits in resp["hits_batch"]]
+
     def shutdown(self):
         _send(self.sock, {"cmd": "shutdown"})
         _recv(self.sock)
@@ -118,13 +141,13 @@ class IndexServerClient:
 
 
 def server_prefilter(qdb, socket_path: str, max_seqs: int):
-    """Prefilter via a running index server (client side)."""
+    """Prefilter via a running index server (client side): one round trip
+    carries the whole query batch."""
     client = IndexServerClient(socket_path)
-    out = {}
     try:
-        for qi in range(qdb.size):
-            hits = client.query(np.asarray(qdb.get_ss(qi)), max_seqs)
-            out[int(qdb.keys[qi])] = [k for k, _ in hits]
+        seqs = [np.asarray(qdb.get_ss(qi)) for qi in range(qdb.size)]
+        hits = client.query_batch(seqs, max_seqs)
+        return {int(qdb.keys[qi]): [k for k, _ in hits[qi]]
+                for qi in range(qdb.size)}
     finally:
         client.close()
-    return out

@@ -47,8 +47,12 @@ def test_index_server_roundtrip(scop_db, tmp_path):
     # parity with the in-process prefilter
     from foldseek_tpu.search.params import SearchParams
     from foldseek_tpu.search.ungapped import UngappedPrefilter
-    local = UngappedPrefilter(scop_db).query(
-        np.asarray(scop_db.get_ss(0)), SearchParams())
+    pref = UngappedPrefilter(scop_db)
+    local = pref.query(np.asarray(scop_db.get_ss(0)), SearchParams())
     assert hits == local
+    # batched round trip == per-query results
+    seqs = [np.asarray(scop_db.get_ss(i)) for i in range(scop_db.size)]
+    batch = client.query_batch(seqs)
+    assert batch == pref.query_batch(seqs, SearchParams())
     client.shutdown()
     t.join(timeout=30)
