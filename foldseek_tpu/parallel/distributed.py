@@ -126,6 +126,14 @@ class DistributedPrefilter:
             p, b = make_query_profile(q_ss)
             profs.append(p)
             biases.append(b)
+        from ..search.ungapped import LQ_FAMILY
+        too_long = [i for i, p in enumerate(profs)
+                    if p.shape[1] + 1 > LQ_FAMILY[-1]]
+        if too_long:
+            raise ValueError(
+                f"{len(too_long)} queries exceed {LQ_FAMILY[-1] - 1} residues; "
+                "route them through the single-host long-query path "
+                "(search.ungapped.UngappedPrefilter)")
         stacks = make_profile_stacks(profs, biases)
 
         k = min(params.max_seqs, self.st.keys.shape[0])

@@ -45,8 +45,11 @@ class PairScorer:
     ~2 x buckets per stack of ~8 queries — on a remote-dispatch backend the
     per-launch round-trips dominated the stage."""
 
-    # static lq_pad family bounds kernel compiles; > max: per-query fallback
-    SW_LQ_FAMILY = (128, 256, 384, 512, 768, 1024)
+    # static lq_pad family bounds kernel compiles; > max: per-query fallback.
+    # A stack always holds at least one fwd+rev pair (2 * lq_pad rows), so
+    # the family tops out at SW_MAX_STACK_ROWS / 2 — 2048-row SW states
+    # overflow the 16 MB scoped VMEM (measured).
+    SW_LQ_FAMILY = (128, 256, 384, 512, 768)
     SW_MAX_STACK_ROWS = 1536
 
     def __init__(self, qdb: StructDB, tdb: StructDB, params: SearchParams,
@@ -177,7 +180,29 @@ class PairScorer:
                                           int(te[2 * r, i]))
                     self.rev[(qk, tk)] = int(sc[2 * r + 1, i])
 
-        # oversize queries: per-query single-profile launches
+        # oversize queries: per-query single-profile launches; queries too
+        # tall even for a single-profile VMEM state score on the host
+        # (rare — the numpy column scorer handles any length)
+        from ..ops.sw import sw_score_endpos_np
+        very_long = [qk for qk in single if self.profs[qk].L > 2048]
+        for qk in very_long:
+            prof, rprof = self.profs[qk], self.rprofs[qk]
+            fpa, fps = prof.padded(prof.L)
+            rpa, rps = rprof.padded(prof.L)
+            for tk in cand_by_q[qk]:
+                ti = tkey_to_idx[tk]
+                t_aa = np.asarray(tdb.get_aa(ti), dtype=np.int64)
+                t_ss = np.asarray(tdb.get_ss(ti), dtype=np.int64)
+                fsc, fqe, fte = sw_score_endpos_np(
+                    fpa, fps, t_aa, t_ss,
+                    gap_open=params.gap_open, gap_extend=params.gap_extend)
+                rsc, _, _ = sw_score_endpos_np(
+                    rpa, rps, t_aa, t_ss,
+                    gap_open=params.gap_open, gap_extend=params.gap_extend)
+                self.fwd[(qk, tk)] = (int(fsc), int(fqe), int(fte))
+                self.rev[(qk, tk)] = int(rsc)
+        single = [qk for qk in single if qk not in set(very_long)]
+
         pending = []
         for qk in single:
             prof, rprof = self.profs[qk], self.rprofs[qk]

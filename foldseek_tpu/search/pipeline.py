@@ -119,6 +119,7 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
     if same_db is None:
         same_db = qdb.path == tdb.path
     results = search(qdb, tdb, params, same_db=same_db)
+    upref = None
     for it in range(1, num_iterations):
         with Timer(f"result2profile(iter {it})"):
             profiles = result2profile(qdb, tdb, results)
@@ -127,7 +128,8 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
         # profile prefilter: gapless scan with the 3Di PSSM on device
         from .ungapped import UngappedPrefilter
         with Timer(f"profile prefilter(iter {it})"):
-            upref = UngappedPrefilter(tdb)
+            if upref is None:
+                upref = UngappedPrefilter(tdb)
             pref = {}
             for qkey, qp in qprofiles.items():
                 hits = upref.query_profile(qp.prof_ss, params)

@@ -70,3 +70,37 @@ def test_jax_kernel_matches_scalar(golden):
         assert int(score[i]) == s2
         assert int(qend[i]) == q2
         assert int(tend[i]) == t2
+
+
+def test_pairscorer_stacked_matches_xla(tmp_path):
+    """The TPU stacked scorer (interpret mode here) and the very-long-query
+    host fallback must reproduce the XLA reference scorer exactly."""
+    import numpy as np
+
+    from foldseek_tpu.db.storage import StructDBWriter
+    from foldseek_tpu.search.align import PairScorer
+    from foldseek_tpu.search.params import SearchParams
+
+    rng = np.random.RandomState(4)
+    w = StructDBWriter(str(tmp_path / "db"))
+    lengths = [60, 2100, 50, 55, 48, 52]  # q0 short, q1 very long
+    for i, L in enumerate(lengths):
+        w.add_entry(i, f"e{i}", f"e{i}",
+                    rng.randint(0, 20, L).astype(np.int8),
+                    rng.randint(0, 20, L).astype(np.int8),
+                    np.zeros((L, 3), np.float32))
+    db = w.finish()
+    params = SearchParams(add_backtrace=True)
+    prefilter = {0: [2, 3, 4, 5], 1: [2, 3, 4, 5]}
+    idx = db.key_to_index()
+
+    ref = PairScorer(db, db, params, prefilter, idx, idx)  # CPU -> XLA path
+    got = PairScorer(db, db, params, prefilter, idx, idx)
+    got.fwd.clear()
+    got.rev.clear()
+    got._score_stacked(db, params,
+                       {qk: list(tks) for qk, tks in prefilter.items()},
+                       {tk: db.entry_len(idx[tk]) for tk in (2, 3, 4, 5)},
+                       idx)
+    assert got.fwd == ref.fwd
+    assert got.rev == ref.rev
