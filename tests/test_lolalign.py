@@ -38,8 +38,6 @@ def test_lolalign_pair_values(example_dir, tmp_path):
     assert r.score > r2.score
 
 
-@pytest.mark.skipif("RUN_SLOW" not in __import__("os").environ,
-                    reason="~2-3 min on one core; run with RUN_SLOW=1")
 def test_lolalign_scop_golden(scop_dir, golden_dir, tmp_path):
     import numpy as np
 
