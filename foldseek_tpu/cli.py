@@ -1280,6 +1280,96 @@ def cmd_filterdb(argv):
     return 0
 
 
+def cmd_result2flat(argv):
+    """Result DB -> flat FASTA-style text: per query a header line then one
+    '>header\\nsequence' block per hit (reference:
+    lib/mmseqs/src/util/result2flat.cpp; composed by easycluster.sh)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu result2flat")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.resultdb import read_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    q_idx = qdb.key_to_index()
+    t_idx = tdb.key_to_index()
+    results, _ = read_result_db(args.result_db)
+    with open(args.output, "w") as f:
+        for qkey in sorted(results):
+            f.write(f">{qdb.headers[q_idx[qkey]]}\n")
+            for r in results[qkey]:
+                ti = t_idx[r.db_key]
+                f.write(f">{tdb.headers[ti]}\n{tdb.get_aa_str(ti)}\n")
+    return 0
+
+
+def cmd_result2repseq(argv):
+    """Top hit per query as a sequence FASTA (reference:
+    lib/mmseqs/src/util/result2repseq.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu result2repseq")
+    p.add_argument("sequence_db")
+    p.add_argument("result_db")
+    p.add_argument("output")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.resultdb import read_result_db
+    db = load_db(args.sequence_db)
+    idx = db.key_to_index()
+    results, _ = read_result_db(args.result_db)
+    with open(args.output, "w") as f:
+        for qkey in sorted(results):
+            rs = results[qkey]
+            rep = rs[0].db_key if rs else qkey
+            i = idx[rep]
+            f.write(f">{db.headers[i]}\n{db.get_aa_str(i)}\n")
+    return 0
+
+
+def cmd_createseqfiledb(argv):
+    """Per-cluster concatenated member sequences (reference:
+    lib/mmseqs/src/util/createseqfiledb.cpp; feeds result2flat for
+    all_seqs.fasta)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu createseqfiledb")
+    p.add_argument("sequence_db")
+    p.add_argument("cluster_tsv", help="rep\\tmember lines (names or keys)")
+    p.add_argument("output")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    db = load_db(args.sequence_db)
+    name_to_idx = {db.names[i]: i for i in range(db.size)}
+    key_to_idx = db.key_to_index()
+
+    def resolve(tok):
+        if tok in name_to_idx:
+            return name_to_idx[tok]
+        return key_to_idx[int(tok)]
+
+    clusters = {}
+    order = []
+    for line in open(args.cluster_tsv):
+        r, m = line.rstrip("\n").split("\t")[:2]
+        ri = resolve(r)
+        if ri not in clusters:
+            clusters[ri] = []
+            order.append(ri)
+        clusters[ri].append(resolve(m))
+    with open(args.output, "w") as f:
+        for ri in order:
+            for mi in clusters[ri]:
+                f.write(f">{db.headers[mi]}\n{db.get_aa_str(mi)}\n")
+            f.write("\0\n")  # record separator like the reference's db entries
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -1336,6 +1426,9 @@ COMMANDS = {
     "swapresults": (cmd_swapresults, "Swap query/target sides of a result DB"),
     "mergedbs": (cmd_mergedbs, "Concatenate result DBs per query"),
     "filterdb": (cmd_filterdb, "Filter result records by column/regex/expression"),
+    "result2flat": (cmd_result2flat, "Result DB to flat FASTA-style text"),
+    "result2repseq": (cmd_result2repseq, "Top hit per query as sequence FASTA"),
+    "createseqfiledb": (cmd_createseqfiledb, "Per-cluster concatenated member sequences"),
     "version": (cmd_version, "Show version"),
 }
 

@@ -120,3 +120,21 @@ def test_util_verbs_roundtrip(small_setup):
     for rs in fexp.values():
         for r in rs:
             assert r.score >= 500 and r.evalue < 1
+
+
+def test_flat_output_verbs(small_setup):
+    """result2flat / result2repseq / createseqfiledb."""
+    from foldseek_tpu.cli import main
+    db, aln0, d = small_setup
+    flat = str(d / "flat.txt")
+    assert main(["result2flat", db, db, aln0, flat, "-v", "1"]) == 0
+    text = open(flat).read()
+    assert text.count(">") >= 8  # 4 query headers + hits
+    rep = str(d / "reps.fasta")
+    assert main(["result2repseq", db, aln0, rep, "-v", "1"]) == 0
+    assert open(rep).read().count(">") == 4
+    clu = str(d / "c.tsv")
+    assert main(["clust", db, aln0, clu, "-v", "1"]) == 0
+    seqf = str(d / "seqf.txt")
+    assert main(["createseqfiledb", db, clu, seqf, "-v", "1"]) == 0
+    assert open(seqf).read().count(">") == 4  # every member appears once
