@@ -7,9 +7,11 @@ E-value with the reversed-query score subtraction, recover backtraces on the
 host for survivors, apply TM-score / LDDT gates, scale the score by
 sqrt(lddt * tm) when sorting by structure bits, sort and emit.
 
-TPU mapping: the two score passes (forward + reversed query) run as batched
-`sw_score_endpos` kernels over length-bucketed padded targets; everything per
-surviving hit (backtrace, Kabsch/TM iterations, LDDT) stays on the host.
+TPU mapping: the two score passes (forward + reversed query) run as
+multi-query stacked Pallas SW kernels over length-bucketed padded targets
+(ops/sw_pallas.py sw_scores_batch); everything per surviving hit
+(backtrace, Kabsch/TM iterations, LDDT) runs on the host in the native
+library under a thread pool (the reference's omp-for shape).
 """
 from __future__ import annotations
 
