@@ -1225,6 +1225,8 @@ def _filter_eval(expr: str, cols):
         if isinstance(t, float):
             st.append(t)
         else:
+            if len(st) < 2:  # malformed expression (e.g. unary minus)
+                raise ValueError(f"bad filter expression: {expr!r}")
             b, a = st.pop(), st.pop()
             st.append(_FILTER_OPS[t][1](a, b))
     return st[0] if st else 0.0

@@ -7,7 +7,8 @@ src/strucclustutils/structurealign.cpp:318 over StructureSmithWaterman's
 sw_sse2_byte/word, StructureSmithWaterman.cpp:1790-1900). The XLA version
 round-trips the [B, Lq] H/E state through HBM every target column and
 measures <1 GCUPS/chip; holding the state in VMEM and scoring on the MXU
-reaches ~40-80 GCUPS/chip.
+reaches ~97 GCUPS/chip, and the multi-query stacked variant below shares
+one launch across a whole query batch.
 
 Layout (same scheme as gapless_pallas):
   * targets on LANES (blocks of 128), query positions on SUBLANES
