@@ -80,14 +80,14 @@ def main():
     # only real query rows count as useful cells (not the stack padding)
     cells_per_batch = B * Q * Lq * Lt
     extra = bench_e2e()
-    # two independent measurement rounds; report the best (occasional
-    # multi-second stalls on the remote tunnel poison a single round)
-    gcups = 0.0
-    for _ in range(2):
+    # median of several differenced rounds: a stall inside either run of a
+    # round inflates or deflates that round's estimate; the median is robust
+    estimates = []
+    for _ in range(4):
         t1 = run(n1)
         t2 = run(n2)
-        gcups = max(gcups,
-                    (n2 - n1) * cells_per_batch / max(t2 - t1, 1e-9) / 1e9)
+        estimates.append((n2 - n1) * cells_per_batch / max(t2 - t1, 1e-9) / 1e9)
+    gcups = float(np.median(estimates))
     out = {
         "metric": "prefilter_gcups_per_chip",
         "value": round(gcups, 2),
