@@ -83,3 +83,19 @@ def test_createdb_tar_input(example_dir, tmp_path):
     db = create_db([str(tar_path)], str(tmp_path / "db"))
     assert db.size == 3  # d1asha_ + 1tim chains A/B
     assert "d1asha_" in db.names and "1tim_A" in db.names
+
+
+def test_gpu_flag_forces_ungapped_prefilter():
+    """--gpu 1 maps to prefilter mode 1 like the reference forcing UNGAPPED
+    when gpu=1 (StructureSearch.cpp:110-112); an explicit mode wins."""
+    import argparse
+
+    from foldseek_tpu.cli import _add_search_params, params_from_args
+    p = argparse.ArgumentParser()
+    p.add_argument("x")
+    _add_search_params(p)
+    assert params_from_args(p.parse_args(["q", "--gpu", "1"])).prefilter_mode == 1
+    assert params_from_args(p.parse_args(["q"])).prefilter_mode == 0
+    assert params_from_args(
+        p.parse_args(["q", "--gpu", "1", "--prefilter-mode", "2"])
+    ).prefilter_mode == 2
