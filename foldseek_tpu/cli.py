@@ -6,6 +6,7 @@ Usage: python -m foldseek_tpu <command> [args...]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .search.params import SearchParams
@@ -158,7 +159,8 @@ def cmd_search(argv):
     tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
     # backtrace only with -a, like the reference search (its convertalis
     # derives alnlen/mismatch from spans when no backtrace is stored)
-    results = search(qdb, tdb, params)
+    os.makedirs(args.tmp_dir, exist_ok=True)
+    results = search(qdb, tdb, params, tmp_dir=args.tmp_dir)
     write_result_db(results, args.result, add_backtrace=params.add_backtrace)
     return 0
 
@@ -192,7 +194,7 @@ def cmd_convertalis(argv):
         tdb = load_db(seq_path if is_db(seq_path) else args.target_db)
     results, has_bt = read_result_db(args.result_db)
     lines = format_results(qdb, tdb, results, args.format_output,
-                           with_backtrace=has_bt and needs_backtrace(args.format_output) or has_bt)
+                           with_backtrace=has_bt and needs_backtrace(args.format_output))
     with open(args.output, "w") as f:
         for line in lines:
             f.write(line + "\n")
@@ -242,7 +244,9 @@ def cmd_cluster(argv):
     from .cluster.workflow import cluster_db
     from .db.storage import load_db
     db = load_db(args.input_db)
-    clusters = cluster_db(db, cluster_params_from_args(args))
+    os.makedirs(args.tmp_dir, exist_ok=True)
+    clusters = cluster_db(db, cluster_params_from_args(args),
+                          tmp_dir=args.tmp_dir)
     with open(args.output_db, "w") as f:
         json.dump({str(k): v for k, v in sorted(clusters.items())}, f)
     logger.info("clustered %d entries into %d clusters", db.size, len(clusters))
@@ -270,7 +274,8 @@ def cmd_easy_cluster(argv):
     else:
         create_db(args.inputs, db_path)
         db = load_db(db_path)
-    clusters = cluster_db(db, cluster_params_from_args(args))
+    clusters = cluster_db(db, cluster_params_from_args(args),
+                          tmp_dir=args.tmp_dir)
     write_cluster_tsv(db, clusters, args.output_prefix + "_cluster.tsv")
     write_rep_fasta(db, clusters, args.output_prefix + "_rep_seq.fasta")
     write_all_seqs_fasta(db, clusters, args.output_prefix + "_all_seqs.fasta")
@@ -1137,18 +1142,27 @@ def cmd_swapresults(argv):
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
+    from .db.storage import load_db
     from .search.resultdb import read_result_db, write_result_db
     from .search.results import AlnResult, compare_hits
     results, has_bt = read_result_db(args.result_db)
+    # Matcher::result_t::swapResult recomputes the e-value for the swapped
+    # direction: E = K·m·n·exp(-λ·raw) with m = new query length (the old
+    # target length) and n = the residue count of the new target DB (the
+    # old QUERY DB, swapresults.cpp:76 builds the evaluer over db1). With
+    # the bit-score definition K·exp(-λ·raw) = 2^-S this is m·n·2^-S; the
+    # reference's ALP finite-size area correction is not reproduced here.
+    swap_db_res = float(load_db(args.query_db).lengths().sum())
     out = {}
     for qkey, rs in results.items():
         for r in rs:
             bt = r.backtrace
             if bt:  # I (gap in target) <-> D (gap in query)
                 bt = bt.replace("I", "x").replace("D", "I").replace("x", "D")
+            ev = float(r.t_len) * swap_db_res * (2.0 ** -min(float(r.score), 1022.0))
             out.setdefault(int(r.db_key), []).append(AlnResult(
                 db_key=int(qkey), score=r.score, seq_id=r.seq_id,
-                evalue=r.evalue,
+                evalue=ev,
                 q_start=r.t_start, q_end=r.t_end, q_len=r.t_len,
                 t_start=r.q_start, t_end=r.q_end, t_len=r.q_len,
                 backtrace=bt))

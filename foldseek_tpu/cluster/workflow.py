@@ -137,42 +137,68 @@ def merge_clusters(all_keys: Sequence[int],
     return {k: v for k, v in lists.items() if v}
 
 
-def cluster_db(db: StructDB, params: ClusterParams) -> Dict[int, List[int]]:
+def cluster_db(db: StructDB, params: ClusterParams,
+               tmp_dir: str = "") -> Dict[int, List[int]]:
     """Full cascaded clustering; returns repKey -> ordered member keys
-    (rep first)."""
+    (rep first). With a tmp_dir, each clustering step's pair list is
+    persisted under a param-hashed stage dir and a re-invoked run resumes
+    after the last completed step (data/structurecluster.sh's notExists
+    guards)."""
+    from ..search.stages import make_cache
     p = params
+    cache = make_cache(tmp_dir, params, db)
+
+    def _step_pairs(name, fn) -> List[Tuple[int, int]]:
+        if cache is None:
+            return fn()
+        pairs = cache.run_json(name, fn)
+        return [(int(a), int(b)) for a, b in pairs]
     sens = p.sensitivity if p.sensitivity > 0 else auto_sensitivity(p.seq_id_thr)
     mode = p.cluster_mode if p.cluster_mode >= 0 else MODE_SET_COVER
     keys = [int(k) for k in db.keys]
     lens = db.lengths()
-    key_len = {int(k): int(l) for k, l in zip(db.keys, lens)}
     align_par = _align_params(p)
 
     # ---- linclust stage (structurecluster.sh:55-130) ----
-    logger.info("cluster: linclust stage (kmermatcher + diagonal rescore)")
-    km_par = KmerMatcherParams(
-        kmer_size=p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
-        spaced_kmer=p.spaced_kmer, cov_thr=p.cov_thr, cov_mode=p.cov_mode,
-        seq_id_thr=p.seq_id_thr)
-    pref = kmermatcher(db, km_par)
-
-    rescore_par = replace(align_par, include_identity=True)
-    hits = {k: [(t, d) for (t, _s, d) in lines] for k, lines in pref.items()}
-    rescored = rescore_all(db, db, hits, rescore_par, same_db=True)
-    pre_pairs = run_clust(keys, lens, _edges_from_alignments(rescored), mode,
+    def run_pre_pairs():
+        logger.info("cluster: linclust stage (kmermatcher + diagonal rescore)")
+        km_par = KmerMatcherParams(
+            kmer_size=p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
+            spaced_kmer=p.spaced_kmer, cov_thr=p.cov_thr, cov_mode=p.cov_mode,
+            seq_id_thr=p.seq_id_thr)
+        pref = kmermatcher(db, km_par)
+        rescore_par = replace(align_par, include_identity=True)
+        hits = {k: [(t, d) for (t, _s, d) in lines] for k, lines in pref.items()}
+        rescored = rescore_all(db, db, hits, rescore_par, same_db=True)
+        pairs = run_clust(keys, lens, _edges_from_alignments(rescored), mode,
                           p.max_iterations)
+        # stash the kmermatcher hit lists for the lin stage (avoids a rerun
+        # when both stages compute in one invocation)
+        run_pre_pairs.pref = pref
+        return pairs
+    pre_pairs = _step_pairs("clu_pre", run_pre_pairs)
     pre_clusters = pairs_to_clusters(pre_pairs)
     reps = sorted(pre_clusters.keys())
     logger.info("cluster: %d pre-clusters from %d entries", len(reps), db.size)
 
-    repset = set(reps)
-    pref_filtered = {r: [t for t in (line[0] for line in pref.get(r, []))
-                         if t in repset]
-                     for r in reps}
-    sub = _subdb_view(db, reps)
-    aln = align_all(sub, sub, pref_filtered, replace(align_par), same_db=True)
-    lin_pairs = run_clust([int(k) for k in sub.keys], sub.lengths(),
-                          _edges_from_alignments(aln), mode, p.max_iterations)
+    def run_lin_pairs():
+        pref = getattr(run_pre_pairs, "pref", None)
+        if pref is None:  # resumed past the pre stage: recompute hit lists
+            km_par = KmerMatcherParams(
+                kmer_size=p.kmer_size, kmers_per_sequence=p.kmers_per_sequence,
+                spaced_kmer=p.spaced_kmer, cov_thr=p.cov_thr,
+                cov_mode=p.cov_mode, seq_id_thr=p.seq_id_thr)
+            pref = kmermatcher(db, km_par)
+        repset = set(reps)
+        pref_filtered = {r: [t for t in (line[0] for line in pref.get(r, []))
+                             if t in repset]
+                         for r in reps}
+        sub = _subdb_view(db, reps)
+        aln = align_all(sub, sub, pref_filtered, replace(align_par),
+                        same_db=True)
+        return run_clust([int(k) for k in sub.keys], sub.lengths(),
+                         _edges_from_alignments(aln), mode, p.max_iterations)
+    lin_pairs = _step_pairs("clu_lin", run_lin_pairs)
     merged_steps = [pre_pairs, lin_pairs]
 
     if not p.single_step:
@@ -190,18 +216,24 @@ def cluster_db(db: StructDB, params: ClusterParams) -> Dict[int, List[int]]:
                 max_res = p.max_res_list_len // 10
             else:
                 max_res = p.max_res_list_len // (10 // (step + 1))
-            logger.info("cluster: cascade step %d sens=%.2f max-seqs=%d over %d reps",
-                        step, s, max_res, len(cur_keys))
-            sdb = _subdb_view(db, cur_keys)
-            spar = replace(align_par, sensitivity=s, max_seqs=max_res)
-            # step 0 runs without diagonal score gating, later steps restore
-            # the default --min-ungapped-score 15 (StructureCluster.cpp:146-160)
-            pref_step = kmer_prefilter(sdb, sdb, spar,
-                                       min_diag_score=0 if step == 0 else 15)
-            aln_step = align_all(sdb, sdb, pref_step, spar, same_db=True)
-            pairs = run_clust([int(k) for k in sdb.keys], sdb.lengths(),
-                              _edges_from_alignments(aln_step), mode,
-                              p.max_iterations)
+
+            def run_step(s=s, max_res=max_res, step=step,
+                         cur_keys=cur_keys) -> List[Tuple[int, int]]:
+                logger.info(
+                    "cluster: cascade step %d sens=%.2f max-seqs=%d over %d reps",
+                    step, s, max_res, len(cur_keys))
+                sdb = _subdb_view(db, cur_keys)
+                spar = replace(align_par, sensitivity=s, max_seqs=max_res)
+                # step 0 runs without diagonal score gating, later steps
+                # restore the default --min-ungapped-score 15
+                # (StructureCluster.cpp:146-160)
+                pref_step = kmer_prefilter(sdb, sdb, spar,
+                                           min_diag_score=0 if step == 0 else 15)
+                aln_step = align_all(sdb, sdb, pref_step, spar, same_db=True)
+                return run_clust([int(k) for k in sdb.keys], sdb.lengths(),
+                                 _edges_from_alignments(aln_step), mode,
+                                 p.max_iterations)
+            pairs = _step_pairs(f"clu_step{step}", run_step)
             step_pairs.append(pairs)
             cur_keys = sorted(pairs_to_clusters(pairs).keys())
         return merge_clusters(keys, [pre_pairs, lin_pairs] + step_pairs)

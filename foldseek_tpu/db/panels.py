@@ -33,8 +33,8 @@ LT_MULTIPLE = 128
 
 def bucket_boundary(length: int) -> int:
     """Padded length for a target of `length`: next multiple of 128 up to
-    512, then next power-of-2 multiple (768, 1024, 1536, 2048, ...) so the
-    bucket count stays small at AFDB-like length distributions."""
+    512, then ~1.5x growth rounded up to 128 (768, 1152, 1792, 2688, ...)
+    so the bucket count stays small at AFDB-like length distributions."""
     if length <= 512:
         return max(LT_MULTIPLE, -(-length // LT_MULTIPLE) * LT_MULTIPLE)
     b = 512

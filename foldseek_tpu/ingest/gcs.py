@@ -58,12 +58,27 @@ def download_object(bucket: str, name: str, dest: str) -> str:
     url = (f"{_endpoint()}/storage/v1/b/{urllib.parse.quote(bucket)}/o/"
            f"{urllib.parse.quote(name, safe='')}?alt=media")
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
-    with urllib.request.urlopen(url, timeout=300) as r, open(dest, "wb") as f:
+    # download to a temp file, rename into place: an interrupted transfer
+    # must not leave a truncated file that the cache check treats as done
+    tmp = dest + ".part"
+    with urllib.request.urlopen(url, timeout=300) as r, open(tmp, "wb") as f:
         while True:
             chunk = r.read(1 << 20)
             if not chunk:
                 break
             f.write(chunk)
+    os.replace(tmp, dest)
+    return dest
+
+
+def _safe_cache_dest(cache_dir: str, bucket: str, name: str) -> str:
+    """Cache path for an object, rejecting names that would escape the
+    cache dir (remote-controlled '..' or absolute components)."""
+    dest = os.path.join(cache_dir, bucket, name.replace("/", os.sep))
+    root = os.path.realpath(os.path.join(cache_dir, bucket))
+    real = os.path.realpath(dest)
+    if real != root and not real.startswith(root + os.sep):
+        raise ValueError(f"gcs object name escapes cache dir: {name!r}")
     return dest
 
 
@@ -76,7 +91,7 @@ def fetch_gcs_inputs(path: str, cache_dir: str) -> List[str]:
     logger.info("gcs: %d objects under gs://%s/%s", len(names), bucket, prefix)
     out = []
     for name in sorted(names):
-        dest = os.path.join(cache_dir, bucket, name.replace("/", os.sep))
+        dest = _safe_cache_dest(cache_dir, bucket, name)
         if not os.path.isfile(dest):
             download_object(bucket, name, dest)
         out.append(dest)

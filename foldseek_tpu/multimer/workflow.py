@@ -26,29 +26,38 @@ EVALUE_THR_EXPAND_MULTIMER = 10000.0  # LocalParameters.cpp:355
 
 def multimer_search(qdb: StructDB, tdb: StructDB,
                     params: SearchParams,
-                    filter_params=None) -> Dict[int, List[str]]:
+                    filter_params=None,
+                    tmp_dir: str = "") -> Dict[int, List[str]]:
     """Full multimer pipeline; returns scorecomplex result lines per query
-    chain key."""
+    chain key. With a tmp_dir the chain search and the expanded re-align
+    resume from stage artifacts (data/multimersearch.sh notExists guards)."""
+    from ..search.stages import make_cache
     same_db = qdb.path == tdb.path
+    cache = make_cache(tmp_dir, replace(params, add_backtrace=True), qdb, tdb)
     if params.exhaustive_search:
         # EXHAUSTIVE prefmode skips expansion; search carries backtraces
         spar = replace(params, add_backtrace=True)
         with Timer("search"):
-            alns = search(qdb, tdb, spar, same_db=same_db)
+            alns = search(qdb, tdb, spar, same_db=same_db, tmp_dir=tmp_dir)
     else:
         # initial chain-level search without backtrace, 3Di+AA
         # (MultimerSearch.cpp:104-106 resets addBacktrace/alignmentType)
         spar = replace(params, add_backtrace=False, alignment_type=2)
         with Timer("search"):
-            hits_aln = search(qdb, tdb, spar, same_db=same_db)
-        hits = {qk: [r.db_key for r in rs] for qk, rs in hits_aln.items()}
-        with Timer("expandmultimer"):
-            expanded = expand_multimer(qdb, tdb, hits)
-        # re-align every expanded chain pair with the relaxed e-value
-        apar = replace(params, add_backtrace=True,
-                       evalue_thr=EVALUE_THR_EXPAND_MULTIMER)
-        with Timer("structurealign(expand)"):
-            alns = align_all(qdb, tdb, expanded, apar, same_db=same_db)
+            hits_aln = search(qdb, tdb, spar, same_db=same_db,
+                              tmp_dir=tmp_dir)
+
+        def run_expand_align():
+            hits = {qk: [r.db_key for r in rs] for qk, rs in hits_aln.items()}
+            with Timer("expandmultimer"):
+                expanded = expand_multimer(qdb, tdb, hits)
+            # re-align every expanded chain pair with the relaxed e-value
+            apar = replace(params, add_backtrace=True,
+                           evalue_thr=EVALUE_THR_EXPAND_MULTIMER)
+            with Timer("structurealign(expand)"):
+                return align_all(qdb, tdb, expanded, apar, same_db=same_db)
+        alns = (cache.run_aln("aln_expand", run_expand_align)
+                if cache is not None else run_expand_align())
     with Timer("scoremultimer"):
         return score_multimer(qdb, tdb, alns, filter_params=filter_params)
 

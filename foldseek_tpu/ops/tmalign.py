@@ -101,13 +101,10 @@ def nw_gotoh(score: np.ndarray, gap_open: float, gap_extend: float) -> np.ndarra
     for j in range(xlen):
         H_col = np.empty(ylen + 1, dtype=np.float32)
         H_col[0] = boundary[j + 1]
-        # E for this column (query-gap: consume x[j], from column j-1)
-        e_open = (H_prev[:-1 or None][0:ylen + 1][0:ylen] if False else None)
-        # E(i,j) = max(H(i,j-1)-open, E(i,j-1)-ext)
+        # E(i,j) = max(H(i,j-1)-open, E(i,j-1)-ext); 1 = extend wins ties
         e_from_open = H_prev[1:] - open_
         e_ext = E_col - ext
         E_new = np.maximum(e_from_open, e_ext)
-        E_trace[:, j] = (e_from_open > e_ext).astype(np.int8) ^ 1  # 1=extend wins ties
         E_trace[:, j] = np.where(e_from_open > e_ext, 0, 1)
         # diagonal candidates
         diag = H_prev[:-1] + score[:, j]

@@ -134,7 +134,12 @@ def sharded_gapless_topk(st: ShardedTargets, prof_stack: jax.Array,
     replicated on all devices. Inputs come from
     ops.gapless_pallas.pack_profiles_batch; this is exactly the single-chip
     prefilter math (byte cap included), so the merged result equals an
-    unsharded UngappedPrefilter scan."""
+    unsharded UngappedPrefilter scan.
+
+    Tie order: top_k breaks equal scores by local panel row, which matches
+    the host lexsort((key, -score)) order only when DB keys ascend with
+    panel row order (true for createdb/makepadded output; callers feeding
+    reordered subdbs should re-sort candidates on the host)."""
     from ..ops.gapless_pallas import gapless_scores_batch
 
     mesh = st.mesh

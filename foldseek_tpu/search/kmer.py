@@ -449,6 +449,23 @@ def _compute_score_threshold(hist: np.ndarray, max_hits: int) -> int:
 _FORK_STATE = {}
 
 
+def _jax_backend_live() -> bool:
+    """True when a JAX/PJRT client is already initialized in this process —
+    forking a process that holds live PJRT threads can deadlock the
+    children, so the prefilter falls back to the sequential path then
+    (on the default pipeline the k-mer stage runs before any device work,
+    so the fork fast path still applies there)."""
+    import sys
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is None:
+        return False
+    try:
+        from jax._src import xla_bridge
+        return bool(xla_bridge._backends)
+    except Exception:
+        return True  # can't tell: assume live, stay safe
+
+
 def _kmer_query_worker(args):
     qi, max_seqs, identity = args
     pref, qdb = _FORK_STATE["pref"], _FORK_STATE["qdb"]
@@ -476,7 +493,8 @@ def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
     # the posting lists copy-on-write
     n_workers = min(os.cpu_count() or 1, len(jobs),
                     int(os.environ.get("FOLDSEEK_TPU_THREADS", "16")))
-    if n_workers > 1 and len(jobs) > 2 and hasattr(os, "fork"):
+    if n_workers > 1 and len(jobs) > 2 and hasattr(os, "fork") \
+            and not _jax_backend_live():
         _FORK_STATE["pref"], _FORK_STATE["qdb"] = pref, qdb
         try:
             with mp.get_context("fork").Pool(n_workers) as pool:

@@ -4,8 +4,10 @@ The reference implements workflows as generated shell scripts re-invoking the
 binary per stage, resumable via `.dbtype` existence checks
 (reference: data/structuresearch.sh, data/easystructuresearch.sh,
 src/workflow/StructureSearch.cpp). Here the same stages run in-process with
-the same idempotent-resume semantics via stage manifests in the tmp dir.
-"""
+the same idempotent-resume semantics: when a tmp dir is available, each
+heavy stage (prefilter, align) persists its artifact under a param-hashed
+subdirectory via search.stages.StageCache and a re-invoked run skips
+completed stages."""
 from __future__ import annotations
 
 import json
@@ -35,9 +37,12 @@ def ensure_db(path_or_input: str, tmp_dir: str, tag: str) -> StructDB:
 
 
 def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
-           same_db: Optional[bool] = None) -> Dict[int, List[AlnResult]]:
+           same_db: Optional[bool] = None,
+           tmp_dir: Optional[str] = None) -> Dict[int, List[AlnResult]]:
+    from .stages import make_cache
     if same_db is None:
         same_db = qdb.path == tdb.path
+    cache = make_cache(tmp_dir, params, qdb, tdb)
     if params.cluster_search:
         # search representatives, expand hits to cluster members, re-align
         # against the full _seq DB (data/structuresearch.sh:125-140)
@@ -50,34 +55,48 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
         rep_db, seq_db, clu_map = loaded
         from dataclasses import replace
         first = search(qdb, rep_db, replace(params, cluster_search=0),
-                       same_db=False)
+                       same_db=False, tmp_dir=tmp_dir)
         with Timer("expand(cluster-search)"):
             expanded = expand_hits(first, clu_map)
-        return _align_stage(qdb, seq_db, expanded, params, same_db=False)
+        return _align_stage(qdb, seq_db, expanded, params, same_db=False,
+                            cache=cache)
     if params.prefilter_mode == 3:
         # UNGAPPED_AND_GAPPED: alignment-format results straight from the
         # prefilter pass (ungappedprefilter.cpp:274-291)
         from .ungapped import ungapped_and_gapped_results
-        with Timer("ungapped+gapped prefilter"):
-            return ungapped_and_gapped_results(qdb, tdb, params, same_db)
-    with Timer("prefilter"):
-        pref = run_prefilter(qdb, tdb, params)
-    return _align_stage(qdb, tdb, pref, params, same_db=same_db)
+
+        def run():
+            with Timer("ungapped+gapped prefilter"):
+                return ungapped_and_gapped_results(qdb, tdb, params, same_db)
+        if cache is not None:
+            return cache.run_aln("prefaln", run,
+                                 add_backtrace=params.add_backtrace)
+        return run()
+
+    def run_pref():
+        with Timer("prefilter"):
+            return run_prefilter(qdb, tdb, params)
+    pref = cache.run_pref("pref", run_pref) if cache is not None else run_pref()
+    return _align_stage(qdb, tdb, pref, params, same_db=same_db, cache=cache)
 
 
 def _align_stage(qdb: StructDB, tdb: StructDB, pref: Dict[int, List[int]],
-                 params: SearchParams,
-                 same_db: bool) -> Dict[int, List[AlnResult]]:
-    if params.alignment_type == 1:  # TM-align (StructureSearch.cpp:128-135)
-        from .tmalign_stage import tmalign_all
-        with Timer("tmalign"):
-            return tmalign_all(qdb, tdb, pref, params, same_db=same_db)
-    if params.alignment_type == 3:  # LoLalign
-        from .lolalign_stage import lolalign_all
-        with Timer("lolalign"):
-            return lolalign_all(qdb, tdb, pref, params, same_db=same_db)
-    with Timer("structurealign"):
-        return align_all(qdb, tdb, pref, params, same_db=same_db)
+                 params: SearchParams, same_db: bool,
+                 cache=None) -> Dict[int, List[AlnResult]]:
+    def run():
+        if params.alignment_type == 1:  # TM-align (StructureSearch.cpp:128-135)
+            from .tmalign_stage import tmalign_all
+            with Timer("tmalign"):
+                return tmalign_all(qdb, tdb, pref, params, same_db=same_db)
+        if params.alignment_type == 3:  # LoLalign
+            from .lolalign_stage import lolalign_all
+            with Timer("lolalign"):
+                return lolalign_all(qdb, tdb, pref, params, same_db=same_db)
+        with Timer("structurealign"):
+            return align_all(qdb, tdb, pref, params, same_db=same_db)
+    if cache is not None:
+        return cache.run_aln("aln", run, add_backtrace=params.add_backtrace)
+    return run()
 
 
 def profile_search(profiles, tdb: StructDB,
@@ -153,7 +172,8 @@ def easy_search(query_input: str, target_input: str, out_path: str,
         results = iterative_search(qdb, tdb, params, params.num_iterations,
                                    same_db=same_input)
     else:
-        results = search(qdb, tdb, params, same_db=same_input)
+        results = search(qdb, tdb, params, same_db=same_input,
+                         tmp_dir=tmp_dir)
     if params.format_mode not in (0, 4):
         from .convertalis import write_output
         write_output(qdb, tdb, results, out_path, params.format_output,

@@ -1,0 +1,150 @@
+"""Idempotent stage resume for the in-process workflows.
+
+The reference's workflows are generated shell scripts where every step is
+guarded by `notExists "$OUT.dbtype"` and the tmp dir is keyed by a hash of
+the parameters (reference: data/structuresearch.sh:41-55,
+src/workflow/StructureSearch.cpp:82-87 par.hashParameter + `latest`
+symlink). The TPU build keeps the same semantics in-process: a StageCache
+owns a param-hashed subdirectory of the workflow tmp dir; each heavy stage
+writes its artifact atomically (tmp file + rename) followed by a `.done`
+marker, and a re-invoked run skips every stage whose marker exists. A
+kill -9 mid-stage leaves either a `.part` file or an artifact without its
+marker — both rerun the stage.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+from ..utils.log import logger
+
+
+def _params_blob(params) -> str:
+    if dataclasses.is_dataclass(params):
+        d = dataclasses.asdict(params)
+    elif isinstance(params, dict):
+        d = dict(params)
+    else:
+        d = {"repr": repr(params)}
+    return json.dumps(d, sort_keys=True, default=str)
+
+
+def _db_fingerprint(db) -> dict:
+    """Identity of a DB input for the hash: path + shape. Entry count and
+    residue total catch a rebuilt DB under the same path (the reference
+    keys only on parameters; this is strictly safer)."""
+    if db is None:
+        return {}
+    return {"path": getattr(db, "path", ""),
+            "n": int(getattr(db, "size", 0)),
+            "residues": int(db.total_residues)
+            if hasattr(db, "total_residues") else 0}
+
+
+def param_hash(params, *dbs) -> str:
+    h = hashlib.sha1()
+    h.update(_params_blob(params).encode())
+    for db in dbs:
+        h.update(json.dumps(_db_fingerprint(db), sort_keys=True).encode())
+    return h.hexdigest()[:16]
+
+
+class StageCache:
+    """Per-workflow stage artifact store under tmp_dir/<param-hash>/."""
+
+    def __init__(self, tmp_dir: str, params, *dbs):
+        self.hash = param_hash(params, *dbs)
+        self.dir = os.path.join(tmp_dir, self.hash)
+        os.makedirs(self.dir, exist_ok=True)
+        pj = os.path.join(self.dir, "params.json")
+        if not os.path.exists(pj):
+            self._atomic_write(pj, _params_blob(params))
+        # `latest` symlink like the reference's --reuse-latest convenience
+        latest = os.path.join(tmp_dir, "latest")
+        try:
+            if os.path.islink(latest) or os.path.exists(latest):
+                os.unlink(latest)
+            os.symlink(self.hash, latest)
+        except OSError:
+            pass
+
+    # --- low-level -------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def done(self, name: str) -> bool:
+        return os.path.exists(self.path(name) + ".done")
+
+    def mark_done(self, name: str):
+        self._atomic_write(self.path(name) + ".done", "")
+
+    @staticmethod
+    def _atomic_write(path: str, text: str):
+        tmp = path + ".part"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    # --- prefilter stage -------------------------------------------------
+    def run_pref(self, name: str,
+                 fn: Callable[[], Dict[int, List[int]]]) -> Dict[int, List[int]]:
+        """Prefilter artifact: qkey -> ordered target keys (the reference's
+        prefilter result DB without scores/diagonals — downstream stages
+        here consume only the hit identity and order)."""
+        p = self.path(name)
+        if self.done(name):
+            logger.info("resume: skipping %s (found %s)", name, p)
+            out: Dict[int, List[int]] = {}
+            with open(p) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    out[int(parts[0])] = [int(x) for x in parts[1:] if x]
+            return out
+        res = fn()
+        lines = [f"{int(q)}\t" + "\t".join(str(int(t)) for t in ts)
+                 for q, ts in sorted(res.items())]
+        self._atomic_write(p, "\n".join(lines) + ("\n" if lines else ""))
+        self.mark_done(name)
+        return res
+
+    # --- alignment stage -------------------------------------------------
+    def run_aln(self, name: str, fn: Callable[[], dict],
+                add_backtrace: bool = True) -> dict:
+        """Alignment artifact: the standard alignment result DB. Like the
+        reference, resumed records carry the 11 canonical columns (+
+        backtrace); derived quantities (TM, LDDT, u/t) are recomputed by
+        consumers from C-alpha data."""
+        from .resultdb import read_result_db, write_result_db
+        p = self.path(name)
+        if self.done(name):
+            logger.info("resume: skipping %s (found %s)", name, p)
+            return read_result_db(p)[0]
+        res = fn()
+        tmp = p + ".part"
+        write_result_db(res, tmp, add_backtrace=add_backtrace)
+        os.replace(tmp, p)
+        self.mark_done(name)
+        return res
+
+    # --- generic JSON stage ---------------------------------------------
+    def run_json(self, name: str, fn: Callable[[], object]) -> object:
+        p = self.path(name)
+        if self.done(name):
+            logger.info("resume: skipping %s (found %s)", name, p)
+            with open(p) as f:
+                return json.load(f)
+        res = fn()
+        self._atomic_write(p, json.dumps(res))
+        self.mark_done(name)
+        return res
+
+
+def make_cache(tmp_dir: Optional[str], params, *dbs) -> Optional[StageCache]:
+    """StageCache when a tmp dir is provided, else None (library callers
+    without a tmp dir run uncached, same as before)."""
+    if not tmp_dir:
+        return None
+    return StageCache(tmp_dir, params, *dbs)

@@ -124,6 +124,12 @@ class UngappedPrefilter:
             budget_bytes = device_hbm_budget()
         self.panels = PanelSet.from_db(tdb, budget_bytes)
         self.keys = np.asarray(tdb.keys, dtype=np.int64)
+        # device top-k breaks score ties by panel row; that matches the
+        # host lexsort((key, -score)) tie order only when keys ascend with
+        # entry order (true for createdb output; subdbs may differ) —
+        # otherwise a tied smaller-key hit past k could be dropped, so the
+        # per-piece top-k path is disabled then
+        self.keys_monotonic = bool(np.all(np.diff(self.keys) >= 0))
         logger.info(
             "ungapped prefilter: %d buckets (lt %s), %.1f MB device panels, "
             "%d splits", len(self.panels.buckets),
@@ -193,8 +199,8 @@ class UngappedPrefilter:
                 entry_idx = bucket.entry_idx[
                     piece.row_start: piece.row_start + n_real]
                 pending = []
-                use_topk = rows >= max(DEVICE_TOPK_MIN_ROWS,
-                                       2 * params.max_seqs)
+                use_topk = self.keys_monotonic and rows >= max(
+                    DEVICE_TOPK_MIN_ROWS, 2 * params.max_seqs)
                 for grp, stack, caps, q, lq_pad in stacks:
                     if use_topk:
                         k = min(rows, params.max_seqs)

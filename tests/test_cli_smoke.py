@@ -1,0 +1,79 @@
+"""Smoke coverage of every registered CLI verb (reference surface:
+src/FoldseekBase.cpp:17-442).
+
+Every COMMANDS entry must at least survive argument parsing (--help), and
+the simple file-management verbs are driven end-to-end on trivial inputs —
+this is the fence for bugs like the round-2 `rmdb` NameError that only
+fired on execution."""
+import os
+
+import numpy as np
+import pytest
+
+from foldseek_tpu.cli import COMMANDS, main
+
+
+@pytest.mark.parametrize("verb", sorted(COMMANDS))
+def test_verb_help_parses(verb, capsys):
+    """Each verb's parser builds and answers --help without crashing."""
+    try:
+        rc = main([verb, "--help"])
+    except SystemExit as e:  # argparse --help exits 0
+        rc = e.code
+    assert not rc
+    assert capsys.readouterr().out  # printed a usage text
+
+
+def _write_tiny_db(tmp_path, name="db"):
+    from foldseek_tpu.db.storage import StructDBWriter
+    path = str(tmp_path / name)
+    w = StructDBWriter(path)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        seq = rng.integers(0, 20, size=12).astype(np.int8)
+        ca = rng.normal(size=(12, 3)).astype(np.float32) * 5
+        w.add_entry(i, f"e{i}", f"e{i} test", seq, seq, ca)
+    w.finish()
+    return path
+
+
+def _write_result_db(tmp_path, name="res"):
+    from foldseek_tpu.search.resultdb import write_result_db
+    from foldseek_tpu.search.results import AlnResult
+    path = str(tmp_path / name)
+    r = AlnResult(db_key=1, score=42, seq_id=0.5, evalue=1e-3,
+                  q_start=0, q_end=9, q_len=12,
+                  t_start=0, t_end=9, t_len=12, backtrace="M" * 10)
+    write_result_db({0: [r]}, path, add_backtrace=True)
+    return path
+
+
+def test_mvdb_rmdb_roundtrip(tmp_path):
+    db = _write_tiny_db(tmp_path)
+    dst = str(tmp_path / "moved")
+    assert main(["mvdb", db, dst]) == 0
+    assert not os.path.exists(db) and os.path.isdir(dst)
+    assert main(["rmdb", dst]) == 0
+    assert not os.path.exists(dst)
+
+
+def test_rmdb_plain_file(tmp_path):
+    f = tmp_path / "plain.tsv"
+    f.write_text("x\n")
+    assert main(["rmdb", str(f)]) == 0
+    assert not f.exists()
+
+
+def test_swapresults_recomputes_evalue(tmp_path):
+    db = _write_tiny_db(tmp_path)
+    res = _write_result_db(tmp_path)
+    out = str(tmp_path / "swapped")
+    assert main(["swapresults", db, db, res, out]) == 0
+    from foldseek_tpu.search.resultdb import read_result_db
+    swapped, has_bt = read_result_db(out)
+    assert has_bt
+    [r] = swapped[1]
+    assert r.db_key == 0
+    # E = m·n·2^-S with m = new query length 12, n = 36 DB residues
+    assert r.evalue == pytest.approx(12.0 * 36.0 * 2.0 ** -42)
+    assert r.backtrace == "M" * 10  # M-only backtrace unchanged by I<->D swap

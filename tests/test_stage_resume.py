@@ -1,0 +1,136 @@
+"""Stage-level resume (reference: data/structuresearch.sh:41-55 `notExists
+"$OUT.dbtype"` guards + param-hashed tmp dirs, StructureSearch.cpp:82-87).
+
+A re-invoked search with the same parameters must skip completed stages
+(prefilter, align) and still produce identical output; changed parameters
+must NOT reuse stale artifacts; a run killed mid-align must redo the align
+stage but reuse the finished prefilter."""
+import os
+import signal
+import subprocess
+import sys
+
+import pytest
+
+from foldseek_tpu.db.storage import load_db
+from foldseek_tpu.ingest.createdb import create_db
+from foldseek_tpu.search.params import SearchParams
+from foldseek_tpu.search.pipeline import search
+from foldseek_tpu.search.stages import StageCache, param_hash
+
+EXAMPLE = "/root/reference/example"
+DOMAINS = ["d1asha_", "d1b0ba_", "d1cg5a_", "d1cg5b_"]
+
+
+@pytest.fixture(scope="module")
+def small_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_db")
+    return create_db([os.path.join(EXAMPLE, n) for n in DOMAINS],
+                     str(d / "db"))
+
+
+def _fmt(results):
+    return [(q, r.db_key, r.score, r.q_start, r.q_end, r.t_start, r.t_end,
+             r.backtrace)
+            for q in sorted(results) for r in results[q]]
+
+
+def test_search_resumes_and_matches(small_db, tmp_path, caplog):
+    params = SearchParams(add_backtrace=True)
+    tmp = str(tmp_path / "tmp")
+    os.makedirs(tmp)
+    first = search(small_db, small_db, params, tmp_dir=tmp)
+    # both stage artifacts + markers exist under the param-hash dir
+    h = param_hash(params, small_db, small_db)
+    stage_dir = os.path.join(tmp, h)
+    for name in ("pref", "aln"):
+        assert os.path.exists(os.path.join(stage_dir, name + ".done")), name
+    assert os.path.islink(os.path.join(tmp, "latest"))
+
+    import logging
+    with caplog.at_level(logging.INFO, logger="foldseek_tpu"):
+        second = search(small_db, small_db, params, tmp_dir=tmp)
+    skips = [r for r in caplog.records if "resume: skipping" in r.getMessage()]
+    assert len(skips) == 2  # pref + aln both skipped
+    assert _fmt(second) == _fmt(first)
+
+
+def test_changed_params_get_fresh_stage_dir(small_db, tmp_path):
+    p1 = SearchParams(add_backtrace=True)
+    p2 = SearchParams(add_backtrace=True, evalue_thr=0.001)
+    assert param_hash(p1, small_db) != param_hash(p2, small_db)
+    tmp = str(tmp_path / "tmp")
+    os.makedirs(tmp)
+    r1 = search(small_db, small_db, p1, tmp_dir=tmp)
+    r2 = search(small_db, small_db, p2, tmp_dir=tmp)
+    assert all(r.evalue <= 0.001 for rs in r2.values() for r in rs)
+    assert len(os.listdir(tmp)) >= 3  # two hash dirs + latest
+
+
+def test_incomplete_artifact_reruns(small_db, tmp_path):
+    """An artifact without its .done marker (crash between write and mark)
+    must be recomputed, not trusted."""
+    params = SearchParams(add_backtrace=True)
+    tmp = str(tmp_path / "tmp")
+    os.makedirs(tmp)
+    first = search(small_db, small_db, params, tmp_dir=tmp)
+    h = param_hash(params, small_db, small_db)
+    # simulate a crash that left a corrupt aln artifact and no marker
+    aln = os.path.join(tmp, h, "aln")
+    os.unlink(aln + ".done")
+    with open(aln, "w") as f:
+        f.write("#foldseek-tpu alnres v1 backtrace=1\n9999\tgarbage\n")
+    second = search(small_db, small_db, params, tmp_dir=tmp)
+    assert _fmt(second) == _fmt(first)
+
+
+KILL_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+import foldseek_tpu.search.align as align_mod
+
+orig = align_mod.align_all
+def dying_align_all(*a, **k):
+    os.kill(os.getpid(), 9)  # hard kill mid-stage, like a preempted host
+align_mod.align_all = dying_align_all
+import foldseek_tpu.search.pipeline as pl
+pl.align_all = dying_align_all
+
+from foldseek_tpu.db.storage import load_db
+from foldseek_tpu.search.params import SearchParams
+db = load_db(sys.argv[1])
+pl.search(db, db, SearchParams(add_backtrace=True), tmp_dir=sys.argv[2])
+"""
+
+
+def test_kill9_mid_align_resumes_from_prefilter(small_db, tmp_path):
+    tmp = str(tmp_path / "tmp")
+    os.makedirs(tmp)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", KILL_SCRIPT, small_db.path, tmp],
+        env=env, capture_output=True, timeout=300)
+    assert proc.returncode == -signal.SIGKILL
+    params = SearchParams(add_backtrace=True)
+    h = param_hash(params, small_db, small_db)
+    stage_dir = os.path.join(tmp, h)
+    assert os.path.exists(os.path.join(stage_dir, "pref.done"))
+    assert not os.path.exists(os.path.join(stage_dir, "aln.done"))
+    # resume completes and matches a from-scratch run
+    resumed = search(small_db, small_db, params, tmp_dir=tmp)
+    fresh = search(small_db, small_db, params)
+    assert _fmt(resumed) == _fmt(fresh)
+
+
+def test_cluster_resume_matches(small_db, tmp_path, caplog):
+    from foldseek_tpu.cluster.workflow import ClusterParams, cluster_db
+    params = ClusterParams()
+    tmp = str(tmp_path / "ctmp")
+    os.makedirs(tmp)
+    first = cluster_db(small_db, params, tmp_dir=tmp)
+    import logging
+    with caplog.at_level(logging.INFO, logger="foldseek_tpu"):
+        second = cluster_db(small_db, params, tmp_dir=tmp)
+    skips = [r for r in caplog.records if "resume: skipping" in r.getMessage()]
+    assert skips  # at least the clustering steps were skipped
+    assert second == first
