@@ -80,6 +80,10 @@ def main():
     # only real query rows count as useful cells (not the stack padding)
     cells_per_batch = B * Q * Lq * Lt
     extra = bench_e2e()
+    try:
+        extra.update(bench_scale())
+    except Exception as e:  # scale is auxiliary; never fail the bench line
+        extra["scale_error"] = str(e)[:200]
     # median of several differenced rounds: a stall inside either run of a
     # round inflates or deflates that round's estimate; the median is robust
     estimates = []
@@ -140,6 +144,62 @@ def bench_e2e():
         }
     except Exception as e:  # e2e is auxiliary; never fail the bench line
         return {"e2e_error": str(e)[:200]}
+
+
+def bench_scale():
+    """BASELINE config 5 analogue on one chip: a synthetic 100k-entry DB
+    (SCOP-derived length/composition mix, db/synth.py) searched end-to-end
+    — 64 queries through the device gapless prefilter (the --gpu mode,
+    StructureSearch.cpp:110-112) + full structurealign, plus a
+    prefilter-only rate and peak host RSS. FOLDSEEK_TPU_BENCH_1M=1 adds a
+    1M-target prefilter scan."""
+    import os
+    import tempfile
+    import time as _t
+
+    example = "/root/reference/example"
+    if not os.path.isdir(example):
+        return {}
+    from foldseek_tpu.db.synth import peak_rss_mb, synth_db
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import search
+    from foldseek_tpu.search.ungapped import UngappedPrefilter
+
+    out = {}
+    files = [os.path.join(example, f) for f in sorted(os.listdir(example))
+             if "tim" not in f]
+    with tempfile.TemporaryDirectory() as td:
+        base = create_db(files, os.path.join(td, "base"))
+        tdb = synth_db(base, 100_000, os.path.join(td, "t100k"), seed=1)
+        qdb = synth_db(base, 64, os.path.join(td, "q64"), seed=2)
+        params = SearchParams(prefilter_mode=1, add_backtrace=True)
+
+        pref = UngappedPrefilter(tdb)
+        seqs = [np.asarray(qdb.get_ss(i)) for i in range(qdb.size)]
+        pref.query_batch(seqs[:4], params)  # warm/compile
+        t0 = _t.perf_counter()
+        pref.query_batch(seqs, params)
+        dt = _t.perf_counter() - t0
+        out["scale_100k_prefilter_qps"] = round(qdb.size / dt, 2)
+
+        t0 = _t.perf_counter()
+        res = search(qdb, tdb, params, same_db=False)
+        dt = _t.perf_counter() - t0
+        out["scale_100k_e2e_qps"] = round(qdb.size / dt, 2)
+        out["scale_100k_e2e_seconds"] = round(dt, 2)
+        out["scale_100k_hits"] = int(sum(len(v) for v in res.values()))
+
+        if os.environ.get("FOLDSEEK_TPU_BENCH_1M"):
+            tdb1m = synth_db(base, 1_000_000, os.path.join(td, "t1m"), seed=3)
+            pref1m = UngappedPrefilter(tdb1m)
+            pref1m.query_batch(seqs[:4], params)
+            t0 = _t.perf_counter()
+            pref1m.query_batch(seqs, params)
+            dt = _t.perf_counter() - t0
+            out["scale_1m_prefilter_qps"] = round(qdb.size / dt, 2)
+        out["scale_peak_host_mb"] = round(peak_rss_mb(), 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -104,6 +104,68 @@ def shard_targets_per_host(tdb, mesh, lt_pad: Optional[int] = None):
                           n_total=n, lt_pad=lt_pad)
 
 
+def distributed_search(qdb, tdb, params, mesh=None,
+                       same_db: Optional[bool] = None):
+    """Multi-host end-to-end search: the prefilter scans the host-sharded
+    target panel on every chip (DistributedPrefilter), then the align
+    stage — PairScorer, backtrace, TM/LDDT — is sharded by QUERY across
+    processes (each host aligns queries process_id::num_processes against
+    its full mmap of the target DB, the reference's omp-for over queries
+    lifted to hosts; $RUNNER on structurealign, data/structuresearch.sh:50)
+    and the per-host alignment records are merged with one
+    process_allgather. Single-process meshes take the same code path with
+    the gather a no-op, so the driver dryrun exercises exactly this.
+
+    Returns the full {qkey: [AlnResult]} on every process."""
+    import jax
+
+    from ..search.align import align_all
+    from ..search.results import result_to_line
+    from ..search.resultdb import parse_result_line
+
+    if same_db is None:
+        same_db = qdb.path == tdb.path
+    pref_obj = DistributedPrefilter(tdb, mesh)
+    seqs = [np.asarray(qdb.get_ss(i)) for i in range(qdb.size)]
+    hits = pref_obj.query_batch(seqs, params)
+    pref = {int(qdb.keys[qi]): [t for t, _ in hits[qi]]
+            for qi in range(qdb.size)}
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    my_pref = {qk: cands for i, (qk, cands) in enumerate(sorted(pref.items()))
+               if i % nproc == pid}
+    mine = align_all(qdb, tdb, my_pref, params, same_db=same_db)
+    if nproc == 1:
+        return mine
+
+    # merge: serialize this host's records, allgather the byte buffers
+    # (bulk data rides the DCN collective, not a shared filesystem)
+    from jax.experimental import multihost_utils
+    lines = []
+    for qk in sorted(mine):
+        for r in mine[qk]:
+            lines.append(f"{qk}\t{result_to_line(r, True)}")
+    blob = ("\n".join(lines)).encode()
+    n = np.zeros(nproc, dtype=np.int64)
+    n[pid] = len(blob)
+    sizes = np.asarray(multihost_utils.process_allgather(n)).sum(axis=0)
+    cap = int(sizes.max()) if len(sizes) else 0
+    buf = np.zeros((1, max(cap, 1)), dtype=np.uint8)
+    buf[0, :len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    gathered = gathered.reshape(nproc, -1)
+    out = {int(k): [] for k in qdb.keys}
+    for p in range(nproc):
+        text = bytes(gathered[p][: int(sizes[p])]).decode()
+        for line in text.splitlines():
+            if not line:
+                continue
+            qk, r = parse_result_line(line)
+            out[qk].append(r)
+    return out
+
+
 class DistributedPrefilter:
     """Ungapped prefilter over a host-sharded target DB: identical gating
     and ordering to search.ungapped.UngappedPrefilter, with the scan
@@ -117,34 +179,44 @@ class DistributedPrefilter:
         self.st = shard_targets_per_host(tdb, self.mesh)
 
     def query_batch(self, seqs, params) -> List[List[tuple]]:
-        from ..search.ungapped import (MIN_DIAG_SCORE, make_profile_stacks,
+        from ..ops.gapless_pallas import pack_profile
+        from ..search.ungapped import (BYTE_CAP, LQ_FAMILY, MIN_DIAG_SCORE,
+                                       make_profile_stacks,
                                        make_query_profile)
-        from .mesh import sharded_gapless_topk
+        from .mesh import sharded_gapless_long, sharded_gapless_topk
 
         profs, biases = [], []
         for q_ss in seqs:
             p, b = make_query_profile(q_ss)
             profs.append(p)
             biases.append(b)
-        from ..search.ungapped import LQ_FAMILY
-        too_long = [i for i, p in enumerate(profs)
-                    if p.shape[1] + 1 > LQ_FAMILY[-1]]
-        if too_long:
-            raise ValueError(
-                f"{len(too_long)} queries exceed {LQ_FAMILY[-1] - 1} residues; "
-                "route them through the single-host long-query path "
-                "(search.ungapped.UngappedPrefilter)")
-        stacks = make_profile_stacks(profs, biases)
+        # queries taller than the stacked kernel's VMEM family go through
+        # the row-block-chained long kernel per shard (same split as the
+        # single-host UngappedPrefilter)
+        normal = [i for i, p in enumerate(profs)
+                  if p.shape[1] + 1 <= LQ_FAMILY[-1]]
+        long_q = [i for i in range(len(profs)) if i not in set(normal)]
+        stacks = make_profile_stacks([profs[i] for i in normal],
+                                     [biases[i] for i in normal])
+        stacks = [([normal[g] for g in grp], stack, caps, q, lq)
+                  for grp, stack, caps, q, lq in stacks]
 
         k = min(params.max_seqs, self.st.keys.shape[0])
         out: List[List[tuple]] = [None] * len(seqs)
         pending = []
         for grp, stack, caps, q, lq_pad in stacks:
             res = sharded_gapless_topk(self.st, stack, caps, q, lq_pad, k)
-            pending.append((grp, res))
-        for grp, (s_dev, k_dev) in pending:
+            pending.append(("topk", grp, res))
+        for g in long_q:
+            res = sharded_gapless_long(
+                self.st, pack_profile(profs[g]),
+                float(BYTE_CAP - biases[g]))
+            pending.append(("long", [g], res))
+        for kind, grp, (s_dev, k_dev) in pending:
             s = np.asarray(s_dev).astype(np.int64)
             keys = np.asarray(k_dev)
+            if kind == "long":
+                s, keys = s[None, :], keys[None, :]
             for r, g in enumerate(grp):
                 ok = (s[r] > MIN_DIAG_SCORE) & (keys[r] >= 0)
                 sr, kr = s[r][ok], keys[r][ok]

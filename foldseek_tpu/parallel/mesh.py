@@ -123,6 +123,34 @@ def prostt5_sharded_forward(mesh: Mesh, cfg, params, tokens, mask):
     return f(params, tokens, mask)
 
 
+def sharded_gapless_long(st: ShardedTargets, prof_packed: np.ndarray,
+                         cap: float):
+    """Gapless scores of ONE long query (> the stacked kernel's VMEM
+    family) against the full sharded DB: per device the row-block-chained
+    long kernel (ops/gapless_pallas.gapless_scores_long) over the local
+    panel shard, then an all_gather of the per-shard score vectors.
+    Returns (scores [n_pad], keys [n_pad]) replicated — the multi-host
+    long-query path that lifts DistributedPrefilter's former length cap."""
+    from ..ops.gapless_pallas import gapless_scores_long
+
+    mesh = st.mesh
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None, DB_AXIS), P(DB_AXIS)),
+        out_specs=(P(None), P(None)),
+        check_vma=False,  # all_gather replicates; vma can't prove it
+    )
+    def run(prof, ss_T, keys):
+        scores = gapless_scores_long(prof, ss_T, cap)
+        scores = jnp.where(keys >= 0, scores, -1.0)
+        all_s = jax.lax.all_gather(scores, DB_AXIS, axis=0).reshape(-1)
+        all_k = jax.lax.all_gather(keys, DB_AXIS, axis=0).reshape(-1)
+        return all_s, all_k
+
+    return run(jnp.asarray(prof_packed), st.ss_T, st.keys)
+
+
 def sharded_gapless_topk(st: ShardedTargets, prof_stack: jax.Array,
                          caps: jax.Array, q: int, lq_pad: int, k: int):
     """Score a stacked query batch against the full sharded DB; return the

@@ -35,6 +35,33 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _drain_outputs(pending_arrays):
+    """Fetch many device arrays with ONE host round trip.
+
+    Each np.asarray(device_array) blocks on its own D2H transfer; on a
+    remote-dispatch backend that is a full round trip per array (measured
+    ~44 ms each — 27 of them dominated the align stage). Concatenating the
+    raveled outputs on device and reading back once turns N round trips
+    into 1."""
+    import jax.numpy as jnp
+    if not pending_arrays:
+        return []
+    # one concatenated transfer per distinct dtype (usually 1-2)
+    groups: dict = {}
+    for i, a in enumerate(pending_arrays):
+        groups.setdefault(str(a.dtype), []).append(i)
+    out = [None] * len(pending_arrays)
+    for idxs in groups.values():
+        allflat = np.asarray(
+            jnp.concatenate([pending_arrays[i].ravel() for i in idxs]))
+        off = 0
+        for i in idxs:
+            a = pending_arrays[i]
+            out[i] = allflat[off:off + a.size].reshape(a.shape)
+            off += a.size
+    return out
+
+
 class PairScorer:
     """All-pairs batched SW scoring: every (query, candidate) pair of the
     whole stage goes to the device in a handful of launches.
@@ -169,9 +196,11 @@ class PairScorer:
                         jnp.asarray(t_len), 2 * per_stack, lq_pad,
                         gap_open=params.gap_open, gap_extend=params.gap_extend)
                     pending.append((grp, tks, out))
-        # drain after all launches are queued (async dispatch)
-        for grp, tks, out in pending:
-            sc, qe, te = (np.asarray(x) for x in out)
+        # drain after all launches are queued (async dispatch); one
+        # concatenated readback for every launch's outputs
+        drained = _drain_outputs([x for _, _, out in pending for x in out])
+        for j, (grp, tks, _) in enumerate(pending):
+            sc, qe, te = drained[3 * j: 3 * j + 3]
             col = {tk: i for i, tk in enumerate(tks)}
             for r, qk in enumerate(grp):
                 for tk in cand_by_q[qk]:
@@ -237,9 +266,10 @@ class PairScorer:
                                       gap_open=params.gap_open,
                                       gap_extend=params.gap_extend)
                 pending.append((qk, tks, fwd, rev))
-        for qk, tks, fwd, rev in pending:
-            fsc, fqe, fte = (np.asarray(x) for x in fwd)
-            rsc = np.asarray(rev[0])
+        drained = _drain_outputs(
+            [x for _, _, fwd, rev in pending for x in (*fwd, rev[0])])
+        for j, (qk, tks, _, _) in enumerate(pending):
+            fsc, fqe, fte, rsc = drained[4 * j: 4 * j + 4]
             for i, tk in enumerate(tks):
                 self.fwd[(qk, tk)] = (int(fsc[i]), int(fqe[i]), int(fte[i]))
                 self.rev[(qk, tk)] = int(rsc[i])
@@ -316,20 +346,131 @@ def align_all(qdb: StructDB, tdb: StructDB,
     # lib which releases the GIL
     from ..utils.hostpar import map_queries
 
+    # device survivor gating (structurealign.cpp:377-407 on TPU): when TM
+    # and LDDT are pure scoring inputs (thresholds 0 — the default
+    # structure-bit path), the accept/reject loop is independent of their
+    # values, so phase A runs gates+backtraces on host threads and phase B
+    # computes TM+LDDT for the whole survivor fleet in a few batched device
+    # launches. Host per-hit native calls remain the parity path off-TPU
+    # and for small fleets / active TM/LDDT thresholds.
+    import jax
+    defer_gates = (
+        (need_tm or need_lddt)
+        and params.tmscore_threshold <= 0 and params.lddt_threshold <= 0
+        and params.alt_alignment == 0
+        and jax.default_backend() == "tpu"
+        and sum(len(v) for v in prefilter.values()) >= 64)
+
     def one(qkey_cands):
         qkey, cand_keys = qkey_cands
         qi = qkey_to_idx[int(qkey)]
         return int(qkey), align_query(
             qi, qdb, tdb, cand_keys, params, ev, scorer, tkey_to_idx,
-            need_tm=need_tm, need_lddt=need_lddt, same_db=same_db)
+            need_tm=need_tm, need_lddt=need_lddt, same_db=same_db,
+            defer_gates=defer_gates)
 
-    return dict(map_queries(one, prefilter.items()))
+    out = dict(map_queries(one, prefilter.items()))
+    if defer_gates:
+        _device_gates(qdb, tdb, out, params, qkey_to_idx, tkey_to_idx,
+                      need_tm, need_lddt)
+        key = (compare_hits_by_structure_bits
+               if params.sort_by_structure_bits else compare_hits)
+        for rs in out.values():
+            rs.sort(key=key)
+    return out
+
+
+def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
+                  need_tm, need_lddt):
+    """Phase B: batched TM (ops/tm_device) + LDDT (ops/lddt
+    batched_lddt_device) over every survivor, then the structure-bit score
+    scaling. Tiny alignments (<8 columns) keep the host path — degenerate
+    superpositions are where f32 and the reference's f64 could drift."""
+    from ..ops.lddt import backtrace_indices, batched_lddt_device
+    from ..ops.tm_device import batched_tm_device
+
+    lddt_ctx_cache: Dict[int, tuple] = {}
+    buckets: Dict[int, list] = {}  # m_pad -> [(res, qa, ta, deg, m, norm)]
+    for qkey, rs in results.items():
+        qi = qkey_to_idx[int(qkey)]
+        q_ca = qdb.get_ca(qi)
+        q_len = qdb.entry_len(qi)
+        if need_lddt and int(qkey) not in lddt_ctx_cache:
+            lddt_ctx_cache[int(qkey)] = lddt_ops.lddt_query_context(q_ca)
+        ctx = lddt_ctx_cache.get(int(qkey))
+        for res in rs:
+            ti = tkey_to_idx[res.db_key]
+            t_ca = tdb.get_ca(ti)
+            q_idx, t_idx = backtrace_indices(res.backtrace, res.q_start,
+                                             res.t_start)
+            m = len(q_idx)
+            if m < 8:
+                _host_gates_one(res, q_ca, t_ca, ctx, params, q_len,
+                                tdb.entry_len(ti), need_tm, need_lddt)
+                continue
+            norm = tm_ops.normalization(
+                params.tmscore_threshold_mode,
+                min(res.q_end - res.q_start, res.t_end - res.t_start),
+                q_len, res.t_len)
+            m_pad = 64
+            while m_pad < m:
+                m_pad *= 4  # small family {64, 256, 1024, ...}: few compiles
+            qa = np.zeros((m_pad, 3), np.float32)
+            ta = np.zeros((m_pad, 3), np.float32)
+            qa[:m] = q_ca[q_idx]
+            ta[:m] = t_ca[t_idx]
+            deg = np.zeros(m_pad, np.float32)
+            if need_lddt:
+                deg[:m] = ctx[1][q_idx]
+            buckets.setdefault(m_pad, []).append((res, qa, ta, deg, m, norm))
+
+    for m_pad, items in sorted(buckets.items()):
+        qa = np.stack([it[1] for it in items])
+        ta = np.stack([it[2] for it in items])
+        deg = np.stack([it[3] for it in items])
+        m_len = np.array([it[4] for it in items], np.int32)
+        norm = np.array([it[5] for it in items], np.int32)
+        if need_tm:
+            # x = target superposed onto y = query (TMaligner convention)
+            tm = batched_tm_device(ta, qa, m_len, norm)
+        if need_lddt:
+            chunk = max(8, min(256, (1 << 26) // max(1, m_pad * m_pad * 4)))
+            lddt, _ = batched_lddt_device(qa, ta, deg, m_len, chunk=chunk)
+        for j, (res, *_rest) in enumerate(items):
+            if need_tm:
+                res.tm = float(tm[j])
+            if need_lddt:
+                res.lddt = float(lddt[j])
+            if params.sort_by_structure_bits and need_tm and need_lddt:
+                res.score = int(res.score * math.sqrt(res.lddt * res.tm))
+
+
+def _host_gates_one(res, q_ca, t_ca, lddt_ctx, params, q_len, t_len,
+                    need_tm, need_lddt):
+    """Host-native TM/LDDT for one survivor (the phase-B fallback)."""
+    if need_tm:
+        norm_len = tm_ops.normalization(
+            params.tmscore_threshold_mode,
+            min(res.q_end - res.q_start, res.t_end - res.t_start),
+            q_len, t_len)
+        tmres = tm_ops.compute_tm_score(q_ca, t_ca, res.q_start, res.t_start,
+                                        res.backtrace, norm_len)
+        res.tm = tmres.tmscore
+        res.u = tmres.u
+        res.t = tmres.t
+    if need_lddt:
+        lr = lddt_ops.compute_lddt(q_ca, t_ca, res.q_start, res.t_start,
+                                   res.backtrace, q_ctx=lddt_ctx)
+        res.lddt = lr.avg_lddt
+    if params.sort_by_structure_bits and need_tm and need_lddt:
+        res.score = int(res.score * math.sqrt(res.lddt * res.tm))
 
 
 def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 cand_keys: Sequence[int], params: SearchParams,
                 ev: EvalueComputer, scorer: PairScorer, tkey_to_idx,
-                need_tm: bool, need_lddt: bool, same_db: bool) -> List[AlnResult]:
+                need_tm: bool, need_lddt: bool, same_db: bool,
+                defer_gates: bool = False) -> List[AlnResult]:
     q_aa = qdb.get_aa(qi)
     q_ss = qdb.get_ss(qi)
     q_len = len(q_aa)
@@ -409,7 +550,7 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
             rejected += 1
             continue
 
-        if need_tm or need_lddt:
+        if (need_tm or need_lddt) and not defer_gates:
             t_ca = tdb.get_ca(ti)
             if need_tm:
                 norm_len = tm_ops.normalization(
@@ -484,6 +625,8 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 results.append(alt)
                 prev = alt
 
+    if defer_gates:
+        return results  # caller sorts after the batched TM/LDDT scaling
     if params.sort_by_structure_bits:
         results.sort(key=compare_hits_by_structure_bits)
     else:

@@ -44,6 +44,10 @@ SPACED_PATTERNS = {
 }
 X = 20
 MIN_DIAG_SCORE = 30  # prefilter --min-ungapped-score default
+
+# process-global sorted sub-kmer score lists, keyed by (matrix, sub-kmer)
+# — see KmerPrefilter._sub_lists
+_GLOBAL_SUB_CACHE: dict = {}
 MASK_N_REPEATS = 6
 
 
@@ -108,9 +112,9 @@ class KmerPrefilter:
         # (Prefiltering::getSubstitutionMatrix, Prefiltering.cpp:999-1006)
         self.m8 = mat3di(8.0, -0.2)
         self.m2 = mat3di(2.0, -0.2)
-        self._sub_cache = {}
         self.mat8 = self.m8.scores.astype(np.int32)
         self.mat2 = self.m2.scores.astype(np.int32)
+        self._mat8_key = hash(self.mat8.tobytes())
         self._build_index()
 
     def _build_index(self):
@@ -133,54 +137,66 @@ class KmerPrefilter:
         k, span = self.k, self.span
         pows = 20 ** np.arange(k, dtype=np.int64)
         diag8 = np.diag(self.mat8)
-        postings: Dict[int, List[Tuple[int, int]]] = {}
-        masked_seqs = []
         masked_total = 0
-        for ti in range(self.tdb.size):
+        # masking pass into one flat array; masked_seqs are views into it
+        # (a python list-of-arrays at AFDB scale wasted GBs)
+        n = self.tdb.size
+        offs = np.asarray(self.tdb.offsets)
+        lens = np.diff(offs)
+        flat = np.empty(int(offs[-1]), dtype=np.int8)
+        for ti in range(n):
             seq = np.asarray(self.tdb.get_ss(ti), dtype=np.int64)
-            lc = self.tdb.mask[self.tdb.offsets[ti]:self.tdb.offsets[ti + 1]]
+            lc = self.tdb.mask[offs[ti]:offs[ti + 1]]
             seq = np.where(lc > 0, X, seq)
             before = int((seq == X).sum())
             seq = mask_repeats(seq)
             masked_total += int((seq == X).sum()) - before
-            masked_seqs.append(seq.astype(np.int8))
-            L = len(seq)
-            if L < span:
-                continue
-            # all spaced windows
-            starts = np.arange(L - span + 1)
-            wins = seq[starts[:, None] + self.offsets[None, :]]  # [n, k]
+            flat[offs[ti]:offs[ti + 1]] = seq
+        self.masked_seqs = [flat[offs[i]:offs[i + 1]] for i in range(n)]
+
+        # vectorized window pass over the whole DB in bounded chunks
+        # (Prefiltering::setupSplit's memory-based splitting analogue: the
+        # transient per-chunk buffers stay ~O(chunk * k), independent of DB
+        # size; reference: lib/mmseqs/src/prefiltering/IndexBuilder.cpp)
+        entry_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos_in = np.arange(int(offs[-1]), dtype=np.int64) - offs[entry_of]
+        ok_start = pos_in <= lens[entry_of] - span
+        all_starts = np.nonzero(ok_start)[0]
+        parts_k, parts_t, parts_p = [], [], []
+        CHUNK = 1 << 23
+        flat64 = flat.astype(np.int64)
+        for c0 in range(0, len(all_starts), CHUNK):
+            st = all_starts[c0:c0 + CHUNK]
+            wins = flat64[st[:, None] + self.offsets[None, :]]  # [c, k]
             valid = ~(wins == X).any(axis=1)
-            self_scores = diag8[wins].sum(axis=1)
-            valid &= self_scores >= self.kmer_thr
-            idxs = wins @ pows
-            # only the first occurrence of each unique k-mer per sequence is
-            # indexed (IndexTable::addSequence dedups after sorting by
-            # (kmer, position), IndexTable.h:386-400)
-            seen = {}
-            for p, kidx in zip(starts[valid], idxs[valid]):
-                if int(kidx) not in seen:
-                    seen[int(kidx)] = int(p)
-            for kidx, p in seen.items():
-                postings.setdefault(kidx, []).append((ti, p))
-        self.masked_seqs = masked_seqs
-        # flatten into sorted posting arrays (the on-disk index layout) so
-        # query-time lookups are one batched searchsorted
-        kmer_ids = np.array(sorted(postings.keys()), dtype=np.int64)
-        off = np.zeros(len(kmer_ids) + 1, dtype=np.int64)
-        tids, poss = [], []
-        for i, kid in enumerate(kmer_ids):
-            plist = postings[int(kid)]
-            off[i + 1] = off[i] + len(plist)
-            for ti, p in plist:
-                tids.append(ti)
-                poss.append(p)
-        self.post_ids = kmer_ids
+            valid &= diag8[wins].sum(axis=1) >= self.kmer_thr
+            parts_k.append((wins[valid] @ pows))
+            parts_t.append(entry_of[st[valid]].astype(np.int32))
+            parts_p.append(pos_in[st[valid]].astype(np.int32))
+        kmer_a = np.concatenate(parts_k) if parts_k else np.zeros(0, np.int64)
+        tid_a = np.concatenate(parts_t) if parts_t else np.zeros(0, np.int32)
+        pos_a = np.concatenate(parts_p) if parts_p else np.zeros(0, np.int32)
+        del parts_k, parts_t, parts_p, entry_of, pos_in, ok_start, flat64
+
+        # only the first occurrence of each k-mer per sequence is indexed
+        # (IndexTable::addSequence dedups after sorting by (kmer, position),
+        # IndexTable.h:386-400)
+        order = np.lexsort((pos_a, kmer_a, tid_a))
+        kmer_a, tid_a, pos_a = kmer_a[order], tid_a[order], pos_a[order]
+        first = np.ones(len(kmer_a), dtype=bool)
+        first[1:] = (tid_a[1:] != tid_a[:-1]) | (kmer_a[1:] != kmer_a[:-1])
+        kmer_a, tid_a, pos_a = kmer_a[first], tid_a[first], pos_a[first]
+        # final layout: kmer-major, target-id-minor (the on-disk order)
+        order = np.lexsort((tid_a, kmer_a))
+        kmer_a, tid_a, pos_a = kmer_a[order], tid_a[order], pos_a[order]
+        self.post_ids, counts = np.unique(kmer_a, return_counts=True)
+        off = np.zeros(len(self.post_ids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
         self.post_off = off
-        self.post_tid = np.asarray(tids, dtype=np.int64)
-        self.post_pos = np.asarray(poss, dtype=np.int64)
+        self.post_tid = tid_a.astype(np.int64)
+        self.post_pos = pos_a.astype(np.int64)
         logger.info("kmer index: k=%d thr=%d, %d kmers, %d masked residues",
-                    self.k, self.kmer_thr, len(postings), masked_total)
+                    self.k, self.kmer_thr, len(self.post_ids), masked_total)
 
     # --- similar k-mer generation (KmerGenerator semantics) ---
 
@@ -188,9 +204,11 @@ class KmerPrefilter:
         """Candidates for one query sub-kmer: (scores desc, little-endian
         indices), tie order lexicographic by tuple. Cached per sub-kmer —
         the sorted list depends only on its content (the reference
-        precomputes these as ExtendedSubstitutionMatrix score lists)."""
-        key = bytes(np.asarray(sub, dtype=np.int8))
-        cached = self._sub_cache.get(key)
+        precomputes these as ExtendedSubstitutionMatrix score lists). The
+        cache is process-global keyed by the substitution matrix so repeated
+        searches (and new KmerPrefilter instances) reuse the sorted lists."""
+        key = (self._mat8_key, bytes(np.asarray(sub, dtype=np.int8)))
+        cached = _GLOBAL_SUB_CACHE.get(key)
         if cached is not None:
             return cached
         k_sub = len(sub)
@@ -201,7 +219,7 @@ class KmerPrefilter:
             scores += self.mat8[sub[i], digits[:, i]]
         order = np.argsort(-scores, kind="stable")
         out = (scores[order], tuple_index[order])
-        self._sub_cache[key] = out
+        _GLOBAL_SUB_CACHE[key] = out
         return out
 
     def similar_kmers(self, window: np.ndarray, threshold: int) -> np.ndarray:

@@ -206,22 +206,35 @@ class UngappedPrefilter:
                         k = min(rows, params.max_seqs)
                         top_s, top_i = gapless_topk_batch(
                             stack, t_dev, caps, q, lq_pad, k)
-                        pending.append((grp, top_s, top_i))
+                        pending.append(("topk", grp, top_s, top_i))
                     else:
                         scores = gapless_scores_batch(stack, t_dev, caps,
                                                       q, lq_pad)
-                        pending.append((grp, scores, None))
+                        pending.append(("all", grp, scores, None))
                 for g in long_q:
                     from ..ops.gapless_pallas import gapless_scores_long
-                    s_long = np.asarray(gapless_scores_long(
+                    pending.append(("long", [g], gapless_scores_long(
                         pack_profile(profs[g]), t_dev,
-                        float(BYTE_CAP - byte_biases[g])))
-                    cand_scores[g].append(s_long[:n_real])
-                    cand_idx[g].append(entry_idx)
-                for grp, s_dev, i_dev in pending:
-                    s = np.asarray(s_dev)
+                        float(BYTE_CAP - byte_biases[g])), None))
+                # one concatenated readback per piece: each np.asarray of a
+                # device array is a blocking round trip on remote-dispatch
+                # backends (align.py _drain_outputs rationale); the panel
+                # itself can be released right after, preserving the HBM
+                # split-streaming budget
+                from .align import _drain_outputs
+                flat_in = []
+                for _, _, s_dev, i_dev in pending:
+                    flat_in.append(s_dev)
                     if i_dev is not None:
-                        ti = np.asarray(i_dev)
+                        flat_in.append(i_dev)
+                drained = iter(_drain_outputs(flat_in))
+                for kind, grp, s_dev, i_dev in pending:
+                    s = next(drained)
+                    if kind == "long":
+                        cand_scores[grp[0]].append(s[:n_real])
+                        cand_idx[grp[0]].append(entry_idx)
+                    elif kind == "topk":
+                        ti = next(drained).astype(np.int64)
                         for r, g in enumerate(grp):
                             ok = ti[r] < n_real
                             cand_scores[g].append(s[r][ok])

@@ -27,6 +27,18 @@ def main():
     from foldseek_tpu.search.params import SearchParams
 
     db = load_db(db_path)
+    mode = sys.argv[6] if len(sys.argv) > 6 else "prefilter"
+    if mode == "search":
+        from foldseek_tpu.parallel.distributed import distributed_search
+        from foldseek_tpu.search.results import result_to_line
+        res = distributed_search(
+            db, db, SearchParams(add_backtrace=True, prefilter_mode=1,
+                                 max_seqs=16))
+        lines = [f"{qk}\t{result_to_line(r, True)}"
+                 for qk in sorted(res) for r in res[qk]]
+        with open(out_path, "w") as f:
+            json.dump(lines, f)
+        return
     pref = DistributedPrefilter(db)
     seqs = [np.asarray(db.get_ss(i)) for i in range(min(db.size, 8))]
     hits = pref.query_batch(seqs, SearchParams())
