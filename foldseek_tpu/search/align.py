@@ -353,13 +353,21 @@ def align_all(qdb: StructDB, tdb: StructDB,
     # computes TM+LDDT for the whole survivor fleet in a few batched device
     # launches. Host per-hit native calls remain the parity path off-TPU
     # and for small fleets / active TM/LDDT thresholds.
+    import os
+
     import jax
+    gate_env = os.environ.get("FOLDSEEK_TPU_DEVICE_GATES", "")
+    # crossover measured on SCOP ava (672 pairs): host native TM+LDDT
+    # ~0.8 ms/pair on one core beats the batched device path's fixed
+    # launch+readback cost; fleets amortize it and free the host core
+    gate_min = 4096 if gate_env == "" else (0 if gate_env == "1" else 1 << 62)
     defer_gates = (
         (need_tm or need_lddt)
         and params.tmscore_threshold <= 0 and params.lddt_threshold <= 0
         and params.alt_alignment == 0
+        and gate_env != "0"
         and jax.default_backend() == "tpu"
-        and sum(len(v) for v in prefilter.values()) >= 64)
+        and sum(len(v) for v in prefilter.values()) >= gate_min)
 
     def one(qkey_cands):
         qkey, cand_keys = qkey_cands

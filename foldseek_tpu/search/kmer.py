@@ -102,7 +102,11 @@ class KmerPrefilter:
         self.bias_scale = bias_scale
         self.min_diag_score = min_diag_score
         if k == 0:
-            k = 6  # memory-conservative auto choice (reference picks by RAM)
+            # IndexTable::computeKmerSize (IndexTable.h:439-441): k=6 below
+            # 3.35e9 residues, k=7 above (the memory-short branch's
+            # optimizeSplit retry is subsumed — this index has no dense
+            # 21^k offset array, so k=7 fits wherever k=6 does)
+            k = 6 if tdb.total_residues < 3_350_000_000 else 7
         self.k = k
         self.pattern = SPACED_PATTERNS[k]
         self.span = len(self.pattern)
@@ -228,11 +232,16 @@ class KmerPrefilter:
         inner desc). Returns little-endian base-20 indices."""
         k = self.k
         if k == 6:
+            # divideStep [3,3] (KmerGenerator::setDivideStrategy case 0)
             splits = [window[:3], window[3:]]
             mults = [1, 20 ** 3]
         elif k == 7:
-            splits = [window[:3], window[3:5], window[5:]]
-            mults = [1, 20 ** 3, 20 ** 5]
+            # case 1 builds [3,2,2] then std::reverse -> [2,2,3]
+            # (KmerGenerator.cpp:55-68,86); emit order follows the
+            # reversed schedule, which the double-diagonal arrival
+            # order depends on
+            splits = [window[:2], window[2:4], window[4:]]
+            mults = [1, 20 ** 2, 20 ** 4]
         else:
             raise ValueError(k)
         lists = [self._sub_lists(s) for s in splits]

@@ -26,3 +26,37 @@ def test_kmer_prefilter_parity(exdb, golden_dir):
         mine = [[name_by_idx[t], s, d if d < 32768 else d - 65536]
                 for t, s, d in hits]
         assert mine == golden[exdb.names[qi]], exdb.names[qi]
+
+
+def test_kmer_prefilter_parity_k7(exdb, golden_dir):
+    """k=7 path (the reference's big-DB auto choice and its documented
+    threshold model thr = 197.0 - 11.22*s, FoldseekBase.cpp:444).
+    Fixture: prefilter exdb_ss exdb_ss pref7 --threads 1 -s 9.5 -k 7."""
+    with open(golden_dir / "kpref7.json") as f:
+        golden = json.load(f)
+    pref = KmerPrefilter(exdb, SearchParams(sensitivity=9.5), k=7,
+                         bias_scale=1.0)
+    name_by_idx = {i: exdb.names[i] for i in range(exdb.size)}
+    for qi in range(exdb.size):
+        hits = pref.query(np.asarray(exdb.get_ss(qi)), 300, identity_id=qi)
+        mine = [[name_by_idx[t], s, d if d < 32768 else d - 65536]
+                for t, s, d in hits]
+        assert mine == golden[exdb.names[qi]], exdb.names[qi]
+
+
+def test_auto_k_rule(exdb):
+    """IndexTable::computeKmerSize: k=6 under 3.35e9 residues, k=7 above."""
+    assert KmerPrefilter(exdb, SearchParams()).k == 6
+    from foldseek_tpu.search.kmer import KmerPrefilter as KP
+    class Fake:
+        pass
+    # don't build an index for the threshold check — only the k choice
+    import foldseek_tpu.search.kmer as km
+    orig = KP._build_index
+    KP._build_index = lambda self: None
+    try:
+        fake = Fake()
+        fake.total_residues = 4_000_000_000
+        assert KP(fake, SearchParams()).k == 7
+    finally:
+        KP._build_index = orig
