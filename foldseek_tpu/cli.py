@@ -950,6 +950,183 @@ def cmd_result2profile(argv):
     return 0
 
 
+def _load_taxonomy(taxdump_arg: str):
+    from .db.taxonomy import NcbiTaxonomy
+    taxdump = taxdump_arg or os.environ.get("FOLDSEEK_TPU_TAXDUMP", "")
+    if not (taxdump and os.path.isdir(taxdump)):
+        raise SystemExit("taxonomy verbs need --taxdump DIR (nodes.dmp/"
+                         "names.dmp) or FOLDSEEK_TPU_TAXDUMP")
+    return NcbiTaxonomy(taxdump)
+
+
+def cmd_lca(argv):
+    """Per-query LCA / weighted-majority taxonomic assignment
+    (reference: lib/mmseqs/src/taxonomy/lca.cpp; --vote-mode 0 uniform /
+    1 -log(evalue) / 2 score, --majority threshold enables weighted
+    majority voting, NcbiTaxonomy::weightedMajorityLCA)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu lca")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output_tsv")
+    p.add_argument("--taxdump", default="")
+    p.add_argument("--vote-mode", type=int, default=1)
+    p.add_argument("--majority", type=float, default=0.0)
+    p.add_argument("--blacklist", default="",
+                   help="comma-separated ancestor taxids to drop")
+    p.add_argument("--lca-ranks", default="",
+                   help="comma-separated rank names for an extra column")
+    p.add_argument("--tax-lineage", type=int, default=0,
+                   help="1: named lineage column, 2: taxid lineage column")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .db.taxonomy import VOTE_SCORE, lca_assign, load_db_mapping
+    from .search.resultdb import read_result_db
+    tax = _load_taxonomy(args.taxdump)
+    tdb = load_db(args.target_db)
+    mapping = load_db_mapping(tdb.path) or {}
+    results, _ = read_result_db(args.result_db)
+    hits = {q: [(r.db_key,
+                 r.score if args.vote_mode == VOTE_SCORE else r.evalue)
+                for r in rs]
+            for q, rs in results.items()}
+    blacklist = [int(b) for b in args.blacklist.split(",") if b.strip()]
+    ranks = [r for r in args.lca_ranks.split(",") if r.strip()]
+    lines = lca_assign(tax, hits, mapping, vote_mode=args.vote_mode,
+                       majority=args.majority, blacklist=blacklist,
+                       ranks=ranks, show_lineage=args.tax_lineage)
+    with open(args.output_tsv, "w") as f:
+        for q in sorted(lines):
+            f.write(f"{q}\t{lines[q]}\n")
+    logger.info("lca: %d queries assigned -> %s", len(lines), args.output_tsv)
+    return 0
+
+
+def cmd_filtertaxdb(argv):
+    """Keep result records whose target taxon satisfies a taxonomy
+    expression (reference: lib/mmseqs/src/taxonomy/filtertaxdb.cpp +
+    TaxonomyExpression.h — plain taxid, comma = OR, !/&&/|| boolean)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu filtertaxdb")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("--taxon-list", required=True)
+    p.add_argument("--taxdump", default="")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .db.taxonomy import TaxonomyExpression, load_db_mapping
+    from .search.resultdb import read_result_db, write_result_db
+    tax = _load_taxonomy(args.taxdump)
+    tdb = load_db(args.target_db)
+    mapping = load_db_mapping(tdb.path) or {}
+    expr = TaxonomyExpression(args.taxon_list, tax)
+    results, has_bt = read_result_db(args.result_db)
+    out = {q: [r for r in rs if expr.matches(mapping.get(r.db_key, 0))]
+           for q, rs in results.items()}
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    n_in = sum(len(v) for v in results.values())
+    n_out = sum(len(v) for v in out.values())
+    logger.info("filtertaxdb: kept %d/%d records", n_out, n_in)
+    return 0
+
+
+def cmd_easy_taxonomy(argv):
+    """createdb -> search -> lca -> per-query TSV + kraken-style report +
+    top-hit m8 (reference: lib/mmseqs/src/workflow/EasyTaxonomy.cpp,
+    data/easytaxonomy.sh — outputs <prefix>_lca.tsv, <prefix>_report,
+    <prefix>_tophit_aln)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu easy-taxonomy")
+    p.add_argument("query")
+    p.add_argument("target_db", help="structure DB with a taxid mapping "
+                                     "(createdb --tax-mapping-file)")
+    p.add_argument("output_prefix")
+    p.add_argument("tmp_dir")
+    p.add_argument("--taxdump", default="")
+    p.add_argument("--vote-mode", type=int, default=1)
+    p.add_argument("--majority", type=float, default=0.5)
+    p.add_argument("--lca-mode", type=int, default=3,
+                   help="1: single-search LCA over all hits, 3/4: weighted "
+                        "majority (default)")
+    _add_search_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .db.taxonomy import VOTE_SCORE, lca_assign, load_db_mapping
+    from .search.convertalis import format_results
+    from .search.pipeline import ensure_db, search
+    tax = _load_taxonomy(args.taxdump)
+    os.makedirs(args.tmp_dir, exist_ok=True)
+    qdb = ensure_db(args.query, args.tmp_dir, "query")
+    tdb = load_db(args.target_db)
+    mapping = load_db_mapping(tdb.path) or {}
+    params = params_from_args(args)
+    results = search(qdb, tdb, params, same_db=False, tmp_dir=args.tmp_dir)
+
+    majority = args.majority if args.lca_mode != 1 else 0.0
+    hits = {q: [(r.db_key,
+                 r.score if args.vote_mode == VOTE_SCORE else r.evalue)
+                for r in rs]
+            for q, rs in results.items()}
+    lines = lca_assign(tax, hits, mapping, vote_mode=args.vote_mode,
+                       majority=majority, show_lineage=0)
+    key_to_name = {int(k): qdb.names[i] for i, k in enumerate(qdb.keys)}
+    with open(args.output_prefix + "_lca.tsv", "w") as f:
+        for q in sorted(lines):
+            f.write(f"{key_to_name.get(q, q)}\t{lines[q]}\n")
+
+    # kraken-style clade report over the assignments
+    from collections import Counter
+    counts = Counter()
+    for q in key_to_name:
+        line = lines.get(q, "0\tno rank\tunclassified")
+        counts[int(line.split("\t")[0])] += 1
+    _write_tax_report(tax, counts, len(key_to_name),
+                      args.output_prefix + "_report")
+
+    # top-hit alignment m8
+    top = {q: rs[:1] for q, rs in results.items() if rs}
+    m8 = format_results(qdb, tdb, top, params.format_output,
+                        with_backtrace=False)
+    with open(args.output_prefix + "_tophit_aln", "w") as f:
+        for line in m8:
+            f.write(line + "\n")
+    logger.info("easy-taxonomy: %d queries -> %s_{lca.tsv,report,tophit_aln}",
+                qdb.size, args.output_prefix)
+    return 0
+
+
+def _write_tax_report(tax, counts, total, path):
+    """Kraken-style clade report (taxonomyreport.cpp taxReport)."""
+    clade = {}
+    for tid, n in counts.items():
+        if tid == 0:
+            continue
+        for anc in tax.lineage(tid):
+            clade[anc] = clade.get(anc, 0) + n
+    with open(path, "w") as f:
+        unc = counts.get(0, 0)
+        f.write(f"{100.0 * unc / max(total, 1):.4f}\t{unc}\t{unc}\t"
+                f"no rank\t0\tunclassified\n")
+
+        def walk(tid, depth):
+            n_clade = clade.get(tid, 0)
+            if n_clade == 0:
+                return
+            f.write(f"{100.0 * n_clade / max(total, 1):.4f}\t{n_clade}\t"
+                    f"{counts.get(tid, 0)}\t{tax.rank.get(tid, 'no rank')}\t"
+                    f"{tid}\t{'  ' * depth}{tax.name.get(tid, str(tid))}\n")
+            children = sorted(
+                (t for t, p in tax.parent.items() if p == tid and t != tid),
+                key=lambda t: -clade.get(t, 0))
+            for c in children:
+                walk(c, depth + 1)
+        walk(1, 0)
+    return path
+
+
 def cmd_taxonomyreport(argv):
     """Kraken-style clade report over result taxids
     (reference: lib/mmseqs/src/taxonomy/taxonomyreport.cpp taxReport)."""
@@ -1386,6 +1563,172 @@ def cmd_createseqfiledb(argv):
     return 0
 
 
+def cmd_summarizeresult(argv):
+    """Per query keep highest-ranked alignments whose query interval is not
+    already covered more than --overlap by accepted ones
+    (reference: lib/mmseqs/src/util/summarizeresult.cpp:60-92)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu summarizeresult")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("--overlap", type=float, default=0.0)
+    p.add_argument("-c", "--cov", dest="cov_thr", type=float, default=0.0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import numpy as np
+
+    from .search.resultdb import read_result_db, write_result_db
+    results, has_bt = read_result_db(args.result_db)
+    out = {}
+    for qkey, rs in results.items():
+        kept = []
+        covered = None
+        for r in rs:
+            if covered is None:
+                covered = np.zeros(max(r.q_len, 1), dtype=bool)
+            lo, hi = sorted((r.q_start, r.q_end))
+            if hi > r.q_len:
+                continue
+            dbcov = (abs(r.t_end - r.t_start) + 1) / max(r.t_len, 1)
+            if dbcov < args.cov_thr:
+                continue
+            seg = covered[lo:hi]
+            pct = float(seg.sum()) / max(hi - lo + 1, 1)
+            if pct <= args.overlap:
+                covered[lo:hi] = True
+                kept.append(r)
+        out[qkey] = kept
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
+def cmd_apply(argv):
+    """Run a command per query block of a result DB; its stdout becomes the
+    block's new records (reference: lib/mmseqs/src/util/apply.cpp — the
+    program reads entry data on stdin, MMSEQS_ENTRY_NAME in env)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu apply")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("program", nargs=argparse.REMAINDER)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    if not args.program:
+        raise SystemExit("apply: need a program (-- cmd args...)")
+    prog = args.program[1:] if args.program[0] == "--" else args.program
+    import subprocess
+
+    from .search.resultdb import parse_result_line, read_result_db, write_result_db
+    from .search.results import result_to_line
+    results, has_bt = read_result_db(args.result_db)
+    out = {}
+    for qkey in sorted(results):
+        blob = "".join(f"{result_to_line(r, has_bt)}\n" for r in results[qkey])
+        env = dict(os.environ, MMSEQS_ENTRY_NAME=str(qkey))
+        proc = subprocess.run(prog, input=blob.encode(), env=env,
+                              capture_output=True)
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"apply: {' '.join(prog)} failed on entry {qkey}: "
+                f"{proc.stderr.decode()[-500:]}")
+        rs = []
+        for line in proc.stdout.decode().splitlines():
+            if line.strip():
+                _, r = parse_result_line(f"{qkey}\t{line}")
+                rs.append(r)
+        out[qkey] = rs
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
+def cmd_db2tar(argv):
+    """Export every DB entry as a PDB member of a tar archive
+    (reference: lib/mmseqs/src/util/db2tar.cpp — entry bytes as files)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu db2tar")
+    p.add_argument("db")
+    p.add_argument("output_tar")
+    p.add_argument("--tar-include", default=".*")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import io
+    import re
+    import tarfile
+
+    from .db.storage import load_db
+    from .ingest.convert2pdb import _atom_lines, _chain_letter, _title_lines
+    db = load_db(args.db)
+    pat = re.compile(args.tar_include)
+    n = 0
+    with tarfile.open(args.output_tar, "w") as tar:
+        for i in range(db.size):
+            name = db.names[i]
+            if not pat.search(name):
+                continue
+            lines = _title_lines(db.headers[i]) + \
+                _atom_lines(db, i, _chain_letter(db, i)) + ["END"]
+            blob = ("\n".join(lines) + "\n").encode()
+            info = tarfile.TarInfo(name=f"{name}.pdb")
+            info.size = len(blob)
+            tar.addfile(info, io.BytesIO(blob))
+            n += 1
+    logger.info("db2tar: %d entries -> %s", n, args.output_tar)
+    return 0
+
+
+def cmd_setextendeddbtype(argv):
+    """Tag a DB with an extended dbtype flag (reference:
+    lib/mmseqs/src/util/setextendeddbtype.cpp — ORs flag bits into the
+    .dbtype; here recorded in the manifest)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu setextendeddbtype")
+    p.add_argument("db")
+    p.add_argument("--extended-dbtype", type=int, required=True)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import json
+    mpath = os.path.join(args.db, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["extended_dbtype"] = (manifest.get("extended_dbtype", 0)
+                                   | args.extended_dbtype)
+    with open(mpath + ".part", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".part", mpath)
+    return 0
+
+
+def cmd_mergeresultsbyset(argv):
+    """Expand per-representative results to every member of its set
+    (reference: lib/mmseqs/src/util/mergeresultsbyset.cpp, the
+    cluster-search expansion; set membership from a createclusearchdb
+    clu.tsv rep->member mapping)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu mergeresultsbyset")
+    p.add_argument("result_db")
+    p.add_argument("set_tsv", help="repKey<TAB>memberKey per line")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import read_result_db, write_result_db
+    members = {}
+    for line in open(args.set_tsv):
+        parts = line.rstrip("\n").split("\t")
+        if len(parts) >= 2:
+            members.setdefault(int(parts[0]), []).append(int(parts[1]))
+    results, has_bt = read_result_db(args.result_db)
+    out = {}
+    for qkey, rs in results.items():
+        expanded = []
+        for r in rs:
+            for m in members.get(r.db_key, [r.db_key]):
+                from dataclasses import replace as _replace
+                expanded.append(_replace(r, db_key=m))
+        out[qkey] = expanded
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -1433,6 +1776,14 @@ COMMANDS = {
     "samplemulambda": (cmd_samplemulambda, "Fit Gumbel mu/lambda from shuffled-target scores"),
     "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),
     "taxonomyreport": (cmd_taxonomyreport, "Kraken-style taxonomic clade report"),
+    "lca": (cmd_lca, "Per-query LCA / weighted-majority taxonomic assignment"),
+    "filtertaxdb": (cmd_filtertaxdb, "Filter results by a taxonomy expression"),
+    "easy-taxonomy": (cmd_easy_taxonomy, "Taxonomic assignment from files (search+lca+report)"),
+    "summarizeresult": (cmd_summarizeresult, "Keep non-overlapping top alignments per query"),
+    "apply": (cmd_apply, "Run a program per result entry (stdin/stdout)"),
+    "db2tar": (cmd_db2tar, "Export DB entries as PDB files in a tar archive"),
+    "setextendeddbtype": (cmd_setextendeddbtype, "Tag a DB with an extended dbtype flag"),
+    "mergeresultsbyset": (cmd_mergeresultsbyset, "Expand per-representative results to set members"),
     "prefilter": (cmd_prefilter, "k-mer double-diagonal prefilter to a result DB"),
     "ungappedprefilter": (cmd_ungappedprefilter, "Device gapless prefilter to a result DB"),
     "mvdb": (cmd_mvdb, "Move/rename a DB"),

@@ -116,3 +116,187 @@ def load_db_mapping(db_path: str) -> Optional[Dict[int, int]]:
         k, t = line.split("\t")
         out[int(k)] = int(t)
     return out
+
+
+# --- LCA assignment (lib/mmseqs/src/taxonomy/lca.cpp, NcbiTaxonomy.cpp) ---
+
+# NcbiRanks (NcbiTaxonomy.h:52-79): ordinal per named rank, used to pick
+# the lowest-rank majority candidate
+NCBI_RANKS = {
+    "forma": 1, "varietas": 2, "subspecies": 3, "species": 4,
+    "species subgroup": 5, "species group": 6, "subgenus": 7, "genus": 8,
+    "subtribe": 9, "tribe": 10, "subfamily": 11, "family": 12,
+    "superfamily": 13, "parvorder": 14, "infraorder": 15, "suborder": 16,
+    "order": 17, "superorder": 18, "infraclass": 19, "subclass": 20,
+    "class": 21, "superclass": 22, "subphylum": 23, "phylum": 24,
+    "superphylum": 25, "subkingdom": 26, "kingdom": 27, "superkingdom": 28}
+ROOT_RANK = 1 << 31
+MAX_TAX_WEIGHT = 1000.0
+
+VOTE_UNIFORM = 0       # AGG_TAX_UNIFORM
+VOTE_MINUS_LOG_EVAL = 1
+VOTE_SCORE = 2
+
+
+def hit_weight(value: float, vote_mode: int) -> float:
+    """WeightedTaxHit (NcbiTaxonomy.cpp:598-620)."""
+    if vote_mode == VOTE_UNIFORM:
+        return 1.0
+    if vote_mode == VOTE_MINUS_LOG_EVAL:
+        import math
+        if value > 0:
+            return -math.log(value)
+        return MAX_TAX_WEIGHT
+    return value
+
+
+class _AncNode:
+    __slots__ = ("weight", "is_candidate", "child")
+
+    def __init__(self, weight, is_candidate, child):
+        self.weight = weight
+        self.is_candidate = is_candidate
+        self.child = child
+
+    def update(self, w, child):
+        if self.child != child:
+            self.is_candidate = True
+            self.child = child
+        self.weight += w
+
+
+def _min_rank_index(tax: NcbiTaxonomy, taxid: int) -> int:
+    """Lowest named-rank ordinal on the path from taxid to the root
+    (weightedMajorityLCA's currMinRank walk)."""
+    cur = taxid
+    while True:
+        idx = NCBI_RANKS.get(tax.rank.get(cur, ""), -1)
+        if idx > 0:
+            return idx
+        parent = tax.parent.get(cur, cur)
+        if parent == cur:
+            return ROOT_RANK
+        cur = parent
+
+
+def weighted_majority_lca(tax: NcbiTaxonomy, taxa_weights, majority_thr: float) -> int:
+    """NcbiTaxonomy::weightedMajorityLCA (NcbiTaxonomy.cpp:622-719):
+    accumulate each hit's weight on its full ancestor path; among CANDIDATE
+    nodes (nodes reached from more than one child, or hit directly) meeting
+    the majority cutoff, pick the lowest named rank (ties: higher share)."""
+    counts = {}
+    total = 0.0
+    for taxid, w in taxa_weights:
+        if taxid == 0 or taxid not in tax.parent:
+            continue
+        total += w
+        cur = taxid
+        node = counts.get(cur)
+        if node is not None:
+            node.update(w, 0)
+        else:
+            counts[cur] = _AncNode(w, True, 0)
+        parent = tax.parent.get(cur, cur)
+        while parent != cur:
+            node = counts.get(parent)
+            if node is not None:
+                node.update(w, cur)
+            else:
+                counts[parent] = _AncNode(w, False, cur)
+            cur = parent
+            parent = tax.parent.get(cur, cur)
+    if total == 0:
+        return 0
+    selected = 0
+    min_rank = ROOT_RANK + 1
+    sel_pct = 0.0
+    for taxid, node in counts.items():
+        if not node.is_candidate:
+            continue
+        pct = node.weight / total
+        if pct >= majority_thr:
+            r = _min_rank_index(tax, taxid)
+            if r < min_rank or (r == min_rank and pct > sel_pct):
+                selected = taxid
+                min_rank = r
+                sel_pct = pct
+    return selected
+
+
+def is_ancestor(tax: NcbiTaxonomy, anc: int, taxid: int) -> bool:
+    cur = taxid
+    seen = set()
+    while cur in tax.parent and cur not in seen:
+        if cur == anc:
+            return True
+        seen.add(cur)
+        cur = tax.parent[cur]
+    return cur == anc
+
+
+class TaxonomyExpression:
+    """--taxon-list expressions (TaxonomyExpression.h): a plain taxid, a
+    comma list (OR), or a boolean expression over taxids with !, &&, ||,
+    parentheses — each number means "is the hit's taxon under this
+    ancestor"."""
+
+    def __init__(self, expression: str, tax: NcbiTaxonomy):
+        self.tax = tax
+        self.expr = expression.strip()
+
+    def matches(self, taxid: int) -> bool:
+        import re
+        e = self.expr
+        if e.isdigit():
+            return is_ancestor(self.tax, int(e), taxid)
+        e = e.replace(",", " or ")
+        e = e.replace("&&", " and ").replace("||", " or ").replace("!", " not ")
+        e = re.sub(r"\d+",
+                   lambda m: str(is_ancestor(self.tax, int(m.group()), taxid)),
+                   e)
+        if not re.fullmatch(r"[ ()TFaedlnorstu]+", e):
+            raise ValueError(f"invalid taxon expression: {self.expr!r}")
+        return bool(eval(e, {"__builtins__": {}}, {}))  # sanitized above
+
+
+def lca_assign(tax: NcbiTaxonomy, hits_per_query, mapping,
+               vote_mode: int = VOTE_UNIFORM, majority: float = 0.0,
+               blacklist=(), ranks=(), show_lineage: int = 0):
+    """Per-query taxonomic assignment lines (lca.cpp main loop).
+
+    hits_per_query: qkey -> [(target_key, weight_value)] where weight_value
+    is the e-value (vote mode 1) or score (mode 2); mapping: target key ->
+    taxid. Returns qkey -> TSV line `taxid\\trank\\tname[...]`."""
+    out = {}
+    for qkey, hits in hits_per_query.items():
+        weighted = []
+        taxa = []
+        for tkey, val in hits:
+            taxon = mapping.get(int(tkey), 0)
+            if taxon == 0:
+                continue
+            if any(b and is_ancestor(tax, b, taxon) for b in blacklist):
+                continue
+            if majority > 0:
+                weighted.append((taxon, hit_weight(val, vote_mode)))
+            else:
+                taxa.append(taxon)
+        if majority > 0:
+            node = weighted_majority_lca(tax, weighted, majority)
+        else:
+            node = tax.lca(taxa) if taxa else 0
+        if node == 0 or node not in tax.parent:
+            out[int(qkey)] = "0\tno rank\tunclassified"
+            continue
+        cols = [str(node), tax.rank.get(node, "no rank"),
+                tax.name.get(node, str(node))]
+        if ranks:
+            at = {tax.rank.get(t, ""): tax.name.get(t, str(t))
+                  for t in tax.lineage(node)}
+            cols.append(";".join(at.get(r, "-") for r in ranks))
+        if show_lineage == 1:
+            cols.append(tax.lineage_str(node))
+        elif show_lineage == 2:
+            cols.append(";".join(str(t) for t in tax.lineage(node)))
+        out[int(qkey)] = "\t".join(cols)
+    return out

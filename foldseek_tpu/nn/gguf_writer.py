@@ -121,8 +121,10 @@ def write_prostt5_gguf(path: str, cfg: ProstT5Config, params,
         tensors[prefix + "ffn_down.weight"] = layer["ffn_down"].T
         if i == 0:
             tensors[prefix + "attn_rel_b.weight"] = params["rel_bias"]
-    tensors["conv1d.0.weight"] = params["conv0_w"]
-    tensors["conv1d.0.bias"] = params["conv0_b"]
-    tensors["conv1d.3.weight"] = params["conv3_w"]
-    tensors["conv1d.3.bias"] = params["conv3_b"]
+    # the release layout names the CNN head "classifier.%d"
+    # (lib/prostt5 llama.cpp t5encoder tensor table :1520)
+    tensors["classifier.0.weight"] = params["conv0_w"]
+    tensors["classifier.0.bias"] = params["conv0_b"]
+    tensors["classifier.3.weight"] = params["conv3_w"]
+    tensors["classifier.3.bias"] = params["conv3_b"]
     write_gguf(path, meta, tensors)

@@ -155,6 +155,12 @@ def load_params_gguf(path: str):
             "ffn_up": t[prefix + "ffn_up.weight"].T,
             "ffn_down": t[prefix + "ffn_down.weight"].T,
         }
+        # flan-style gated FFN when present (the graph builder switches on
+        # it: ffn_gate_enc ? GELU/PAR : RELU/SEQ, lib/prostt5 llama.cpp
+        # :16557-16565); plain ProstT5 (T5-3B lineage) has no gate
+        gate = t.get(prefix + "ffn_gate.weight")
+        if gate is not None:
+            layer["ffn_gate"] = gate.T
         rb = t.get(prefix + "attn_rel_b.weight")
         if rb is not None:
             rel_bias = rb  # [buckets, heads] after reversal -> check below
@@ -164,10 +170,19 @@ def load_params_gguf(path: str):
     # gguf dims {n_head, n_buckets} reversed -> [n_buckets, n_head]
     params["rel_bias"] = rel_bias
     params["layers"] = layers
-    params["conv0_w"] = t["conv1d.0.weight"]   # [32, 1024, 1, 7] after reversal
-    params["conv0_b"] = t["conv1d.0.bias"]
-    params["conv3_w"] = t["conv1d.3.weight"]   # [20, 32, 1, 7]
-    params["conv3_b"] = t["conv1d.3.bias"]
+
+    def cnn(which, idx):
+        # the released GGUF names the CNN head "classifier.%d" (llama.cpp
+        # LLM_TENSOR_CONV1D table for t5encoder, :1520); accept the older
+        # synthetic "conv1d.%d" spelling too
+        for stem in (f"classifier.{idx}.{which}", f"conv1d.{idx}.{which}"):
+            if stem in t:
+                return t[stem]
+        raise KeyError(f"classifier.{idx}.{which} missing from GGUF")
+    params["conv0_w"] = cnn("weight", 0)   # [32, 1024, 1, 7] after reversal
+    params["conv0_b"] = cnn("bias", 0)
+    params["conv3_w"] = cnn("weight", 3)   # [20, 32, 1, 7]
+    params["conv3_b"] = cnn("bias", 3)
 
     vocab = meta.get("tokenizer.ggml.tokens", [])
     token_id = {tok: i for i, tok in enumerate(vocab)}
@@ -267,7 +282,13 @@ def encoder_forward(params, cfg: ProstT5Config, tokens, mask,
         x = x + (ctx @ jnp.asarray(layer["wo"], compute_dtype)).astype(compute_dtype)
 
         h = rms(x, layer["ffn_norm"])
-        up = jax.nn.relu(h @ jnp.asarray(layer["ffn_up"], compute_dtype))
+        if "ffn_gate" in layer:
+            # flan-style gated GELU (llm_build_ffn GELU/PAR branch)
+            up = (jax.nn.gelu(h @ jnp.asarray(layer["ffn_gate"], compute_dtype),
+                              approximate=False)
+                  * (h @ jnp.asarray(layer["ffn_up"], compute_dtype)))
+        else:
+            up = jax.nn.relu(h @ jnp.asarray(layer["ffn_up"], compute_dtype))
         x = x + (up @ jnp.asarray(layer["ffn_down"], compute_dtype)).astype(compute_dtype)
 
     x = rms(x, params["final_norm"]).astype(jnp.float32)

@@ -1,4 +1,6 @@
 """ProstT5: T5-encoder numerics vs the transformers reference, head shapes."""
+import os
+
 import numpy as np
 import pytest
 
@@ -138,3 +140,27 @@ def test_createdb_prostt5_synthetic_gguf(tmp_path):
     assert db.get_aa_str(idx["a"]) == "MKVLAWW"
     ss = db.get_ss_str(idx["a"])
     assert len(ss) == 7 and ss.isupper()
+
+
+@pytest.mark.skipif(not os.environ.get("PROSTT5_GGUF"),
+                    reason="set PROSTT5_GGUF=/path/to/prostt5-*.gguf to run "
+                           "the released-weight end-to-end test")
+def test_prostt5_real_weights_e2e(tmp_path):
+    """Turnkey real-weight flow (reference: structcreatedb.cpp:741-872):
+    drop the released GGUF in, run createdb --prostt5-model, get 3Di.
+
+    Layout assumptions verified against lib/prostt5 llama.cpp: t5encoder
+    arch, enc.blk.%d.* attention/FFN names, classifier.%d CNN head,
+    optional per-layer attn_rel_b (first layer carries it), optional
+    ffn_gate (gated-GELU when present), sentencepiece tokens with
+    <AA2fold> prefix and per-residue "▁C" pieces."""
+    from foldseek_tpu.nn.prostt5 import ProstT5
+    model = ProstT5(model_file=os.environ["PROSTT5_GGUF"])
+    # d1asha_'s N-terminal 40 residues; prediction must be 3Di-alphabet
+    seq = "ANKTRELCMKSLEHAKVDTSNEARQDGIDLYKHMFENYP"
+    [pred] = model.predict([seq])
+    assert len(pred) == len(seq)
+    assert set(pred) <= set("ACDEFGHIKLMNPQRSTVWY")
+    # the real model predicts mostly-helical states for this helix bundle;
+    # sanity: not a constant string
+    assert len(set(pred)) > 2
