@@ -350,16 +350,87 @@ th {{ cursor: pointer; background: #f0f0f5; position: sticky; top: 0; }}
 tr:hover {{ background: #f6f6ff; }}
 .aln {{ font-family: monospace; white-space: pre; font-size: 0.75rem;
        display: none; background: #fafafa; padding: 6px; }}
+.v3d {{ font-size: 0.75rem; cursor: pointer; }}
+.viewer canvas {{ border: 1px solid #ccc; background: #101018;
+                  cursor: grab; display: block; margin: 4px 0; }}
+.legend {{ font-size: 0.75rem; color: #555; }}
 </style></head><body>
 <h1>foldseek-tpu search results</h1>
-<p>{n_hits} hits, {n_queries} queries. Click a row to toggle the alignment.</p>
+<p>{n_hits} hits, {n_queries} queries. Click a row to toggle the alignment;
+the 3D button shows the TM-superposed C-alpha traces
+(<span style="color:#4aa3ff">query</span> /
+<span style="color:#ffb347">target</span>, drag to rotate, wheel to zoom).</p>
 <table id="t"><thead><tr>
 <th>query</th><th>target</th><th>fident</th><th>alnlen</th>
-<th>qstart-qend</th><th>tstart-tend</th><th>evalue</th><th>bits</th>
+<th>qstart-qend</th><th>tstart-tend</th><th>evalue</th><th>bits</th><th></th>
 </tr></thead><tbody>
 {rows}
 </tbody></table>
 <script>
+var COORDS = {coords};
+function show3d(btn) {{
+  var holder = btn.closest("tr").nextElementSibling
+                  .firstElementChild.children[1];
+  if (holder.firstChild) {{ holder.innerHTML = ""; return; }}
+  var d = COORDS[parseInt(btn.dataset.v)];
+  var cv = document.createElement("canvas");
+  cv.width = 520; cv.height = 400;
+  holder.appendChild(cv);
+  var ctx = cv.getContext("2d");
+  var pts = d.q.concat(d.t);
+  var c = [0, 1, 2].map(function(k) {{
+    return pts.reduce(function(s, p) {{ return s + p[k]; }}, 0) / pts.length;
+  }});
+  var span = Math.max.apply(null, pts.map(function(p) {{
+    return Math.hypot(p[0] - c[0], p[1] - c[1], p[2] - c[2]); }}));
+  var rx = 0.5, ry = 0.6, zoom = 180 / Math.max(span, 1);
+  function rot(p) {{
+    var x = p[0] - c[0], y = p[1] - c[1], z = p[2] - c[2];
+    var x1 = x * Math.cos(ry) + z * Math.sin(ry);
+    var z1 = -x * Math.sin(ry) + z * Math.cos(ry);
+    var y1 = y * Math.cos(rx) - z1 * Math.sin(rx);
+    var z2 = y * Math.sin(rx) + z1 * Math.cos(rx);
+    return [x1, y1, z2];
+  }}
+  function draw() {{
+    ctx.clearRect(0, 0, cv.width, cv.height);
+    [[d.q, "#4aa3ff"], [d.t, "#ffb347"]].forEach(function(trace) {{
+      var ca = trace[0], col = trace[1];
+      for (var i = 1; i < ca.length; i++) {{
+        var a = rot(ca[i - 1]), b = rot(ca[i]);
+        // skip chain breaks (> 5 A between consecutive C-alphas)
+        var dx = ca[i][0]-ca[i-1][0], dy = ca[i][1]-ca[i-1][1],
+            dz = ca[i][2]-ca[i-1][2];
+        if (dx*dx + dy*dy + dz*dz > 25) continue;
+        var depth = (a[2] + b[2]) / (2 * Math.max(span, 1));
+        ctx.strokeStyle = col;
+        ctx.globalAlpha = Math.min(1, Math.max(0.25, 0.7 + 0.5 * depth));
+        ctx.lineWidth = Math.max(1, 2.2 + 1.5 * depth);
+        ctx.beginPath();
+        ctx.moveTo(cv.width / 2 + a[0] * zoom, cv.height / 2 - a[1] * zoom);
+        ctx.lineTo(cv.width / 2 + b[0] * zoom, cv.height / 2 - b[1] * zoom);
+        ctx.stroke();
+      }}
+    }});
+    ctx.globalAlpha = 1;
+  }}
+  var drag = null;
+  cv.addEventListener("mousedown", function(e) {{ drag = [e.clientX, e.clientY]; }});
+  window.addEventListener("mouseup", function() {{ drag = null; }});
+  window.addEventListener("mousemove", function(e) {{
+    if (!drag) return;
+    ry += (e.clientX - drag[0]) * 0.01;
+    rx += (e.clientY - drag[1]) * 0.01;
+    drag = [e.clientX, e.clientY];
+    draw();
+  }});
+  cv.addEventListener("wheel", function(e) {{
+    e.preventDefault();
+    zoom *= e.deltaY < 0 ? 1.1 : 0.9;
+    draw();
+  }});
+  draw();
+}}
 document.querySelectorAll("tr[data-aln]").forEach(function(tr) {{
   tr.addEventListener("click", function() {{
     var d = tr.nextElementSibling.firstElementChild.firstElementChild;
@@ -386,12 +457,18 @@ document.querySelectorAll("th").forEach(function(th, i) {{
 
 def _write_html(qdb, tdb, results, out_path, with_backtrace):
     """Self-contained interactive HTML report (the reference embeds its web
-    app, structureconvertalis.cpp:505-537; this is an original viewer with
-    a sortable hit table + expandable alignments)."""
+    app with a superposed-structure display, structureconvertalis.cpp:
+    505-537; this is an original viewer — sortable hit table, expandable
+    alignments, and a per-hit 3D C-alpha superposition rendered by a small
+    embedded canvas engine). Coordinates: the query trace plus the target
+    trace TM-superposed onto it (same transform as format-mode 5)."""
     import html as html_mod
+    import json
     qidx = qdb.key_to_index()
     tidx = tdb.key_to_index()
+    has_ca = qdb.ca is not None and tdb.ca is not None
     rows = []
+    coords = []
     n = 0
     for qkey in sorted(results):
         qi = qidx[int(qkey)]
@@ -407,18 +484,37 @@ def _write_html(qdb, tdb, results, out_path, with_backtrace):
                                       f"T {r.t_start + 1:>5} {ta}")
             else:
                 aln = "(run with -a for alignments)"
+            view_id = -1
+            if has_ca and r.backtrace:
+                tmres = tm_ops.compute_tm_score(
+                    qdb.get_ca(qi), tdb.get_ca(ti), r.q_start, r.t_start,
+                    r.backtrace, r.t_len)
+                u = np.asarray(tmres.u, dtype=np.float64)
+                tt = np.asarray(tmres.t, dtype=np.float64)
+                t_sup = np.asarray(tdb.get_ca(ti), np.float64) @ u.T + tt
+                q_ca = np.asarray(qdb.get_ca(qi), np.float64)
+                view_id = len(coords)
+                coords.append({
+                    "q": np.round(q_ca, 1).tolist(),
+                    "t": np.round(t_sup, 1).tolist()})
+            view_btn = (f'<button class="v3d" data-v="{view_id}" '
+                        f'onclick="event.stopPropagation();show3d(this)">3D'
+                        f"</button>" if view_id >= 0 else "")
             rows.append(
                 f'<tr data-aln="1"><td>{html_mod.escape(qname)}</td>'
                 f"<td>{html_mod.escape(_names(tdb, ti))}</td>"
                 f"<td>{_fmt_f(r.seq_id)}</td><td>{aln_len}</td>"
                 f"<td>{r.q_start + 1}-{r.q_end + 1}</td>"
                 f"<td>{r.t_start + 1}-{r.t_end + 1}</td>"
-                f"<td>{_fmt_e(r.evalue)}</td><td>{int(r.score)}</td></tr>"
-                f'<tr><td colspan="8"><div class="aln">{aln}</div></td></tr>')
+                f"<td>{_fmt_e(r.evalue)}</td><td>{int(r.score)}</td>"
+                f"<td>{view_btn}</td></tr>"
+                f'<tr><td colspan="9"><div class="aln">{aln}</div>'
+                f'<div class="viewer"></div></td></tr>')
             n += 1
     with open(out_path, "w") as f:
         f.write(_HTML_TEMPLATE.format(n_hits=n, n_queries=len(results),
-                                      rows="\n".join(rows)))
+                                      rows="\n".join(rows),
+                                      coords=json.dumps(coords)))
 
 
 def calc_prob_tp(score: float) -> float:

@@ -99,3 +99,32 @@ def test_gpu_flag_forces_ungapped_prefilter():
     assert params_from_args(
         p.parse_args(["q", "--gpu", "1", "--prefilter-mode", "2"])
     ).prefilter_mode == 2
+
+
+def test_html_3d_superposition(tim_db, tmp_path):
+    """Format-mode-3 HTML embeds per-hit TM-superposed C-alpha traces +
+    the canvas viewer (reference: structureconvertalis.cpp:505-537's
+    interactive report)."""
+    import json
+    import re
+
+    from foldseek_tpu.search.convertalis import write_output
+    from foldseek_tpu.search.pipeline import search
+    from foldseek_tpu.search.params import SearchParams
+    results = search(tim_db, tim_db, SearchParams(add_backtrace=True,
+                                                  exhaustive_search=True))
+    out = tmp_path / "view.html"
+    write_output(tim_db, tim_db, results, str(out), format_mode=3,
+                 with_backtrace=True)
+    html = open(out).read()
+    m = re.search(r"var COORDS = (\[.*?\]);\n", html, re.S)
+    coords = json.loads(m.group(1))
+    n_hits = sum(len(v) for v in results.values())
+    assert len(coords) == n_hits
+    for c in coords:
+        assert len(c["q"]) > 0 and len(c["t"]) > 0
+        assert len(c["q"][0]) == 3
+    assert html.count('class="v3d"') == n_hits
+    assert "show3d" in html and "getContext" in html
+    script = html[html.index("<script>"):html.index("</script>")]
+    assert script.count("{") == script.count("}")
