@@ -177,7 +177,7 @@ def bench_scale():
 
         pref = UngappedPrefilter(tdb)
         seqs = [np.asarray(qdb.get_ss(i)) for i in range(qdb.size)]
-        pref.query_batch(seqs[:4], params)  # warm/compile
+        pref.query_batch(seqs, params)  # warm/compile the full stack set
         t0 = _t.perf_counter()
         pref.query_batch(seqs, params)
         dt = _t.perf_counter() - t0

@@ -895,14 +895,17 @@ def cmd_databases(argv):
         return 1
     desc, url = DATABASES[args.name]
     import urllib.error
-    import urllib.request
+
+    from .db.databases import download_database
     try:
-        logger.info("downloading %s from %s", args.name, url)
-        urllib.request.urlretrieve(url, args.output + ".tar.gz")
+        download_database(args.name, url, args.output,
+                          args.tmp_dir or args.output + "_tmp",
+                          prostt5_model=getattr(args, "prostt5_model", ""))
     except (urllib.error.URLError, OSError) as e:
         logger.error("download failed (%s). This environment has no "
                      "network egress; download the archive elsewhere, then "
-                     "run `createdb` on the extracted structures.", e)
+                     "run `createdb` on the extracted structures (set "
+                     "FOLDSEEK_TPU_DB_MIRROR to use a mirror).", e)
         return 1
     return 0
 

@@ -47,3 +47,24 @@ def test_search_on_synth_2k(base_db, tmp_path):
             assert 0 <= r.db_key < 2000
             assert r.evalue <= params.evalue_thr or r.seq_id == 1.0
             assert r.backtrace
+
+
+def test_kmer_index_build_ram_bounded(base_db, tmp_path):
+    """The vectorized posting-index builder keeps transients O(chunk), not
+    O(DB): at 20k entries (~2.5M residues) the build must stay well under
+    a 1.5 GB RSS delta (the round-2 per-sequence dict builder would churn
+    far past this at scale; reference analogue:
+    Prefiltering.cpp:289-381 memory-based split planning)."""
+    import resource
+
+    from foldseek_tpu.search.kmer import KmerPrefilter
+    db = synth_db(base_db, 20_000, str(tmp_path / "t20k"), seed=9)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    pref = KmerPrefilter(db, SearchParams())
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    assert len(pref.post_ids) > 1000
+    assert rss1 - rss0 < 1500.0, f"index build RSS delta {rss1 - rss0:.0f} MB"
+    # and it answers queries
+    import numpy as np
+    hits = pref.query(np.asarray(db.get_ss(0)), 50, identity_id=0)
+    assert hits and hits[0][0] == 0
