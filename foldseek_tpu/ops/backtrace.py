@@ -189,7 +189,12 @@ def recover_alignment(prof, t_aa: np.ndarray, t_ss: np.ndarray,
     Runs through the native host library when available (native.py; same
     semantics, ~50x faster per hit), falling back to the numpy paths."""
     from .. import native
-    fprof = prof.flipped()
+    # the flipped profile is per-QUERY state; rebuilding it per hit cost
+    # ~0.1 ms x fleet size
+    fprof = getattr(prof, "_flipped_cache", None)
+    if fprof is None:
+        fprof = prof.flipped()
+        prof._flipped_cache = fprof
     lib = native.get_lib()
     if lib is not None:
         offset = prof.L - q_end - 1
@@ -206,17 +211,16 @@ def recover_alignment(prof, t_aa: np.ndarray, t_ss: np.ndarray,
                + prof.prof_ss[:, q_start:q_end + 1][t_ss[t_start:t_end + 1]]).T
         bt = native.banded_sw_bt(sub.astype(np.int32), score,
                                  prof.gap_open, prof.gap_extend)
-        qi, ti = q_start, t_start
-        ident = 0
-        for op in bt:
-            if op == "M":
-                ident += int(prof.q_aa[qi] == t_aa[ti])
-                qi += 1
-                ti += 1
-            elif op == "I":
-                qi += 1
-            else:
-                ti += 1
+        # vectorized identity count over M columns (a python char loop here
+        # was ~13M iterations per 64k-hit fleet)
+        arr = np.frombuffer(bt.encode("ascii"), dtype=np.uint8)
+        qstep = arr != ord("D")
+        tstep = arr != ord("I")
+        qpos = q_start + np.cumsum(qstep) - qstep
+        tpos = t_start + np.cumsum(tstep) - tstep
+        m = arr == ord("M")
+        ident = int((np.asarray(prof.q_aa)[qpos[m]]
+                     == np.asarray(t_aa)[tpos[m]]).sum())
         return Traceback(q_start=q_start, t_start=t_start, backtrace=bt,
                          identical_aa=ident)
 

@@ -185,14 +185,24 @@ def _tm_search_one(x, y, l_ali, d0_pair, d0_search_pair, score_d8, s_max):
     sc, cut = score_and_cut(R, t, d0_search - 1.0)
     best = sc.reshape(2, n_half).max(-1)
 
-    def refine(carry, _):
-        best, cut = carry
+    # refinement as a while_loop with a convergence predicate: once every
+    # slot's cut set is a fixed point, further iterations reproduce the
+    # same superposition/score (the reference breaks per-fragment on
+    # new_cut == cut; under vmap the loop runs until the whole batch
+    # converges — typically 3-8 of the 20 allowed iterations)
+    def cond(carry):
+        _, _, i, changed = carry
+        return (i < REFINE_ITERS) & changed
+
+    def refine(carry):
+        best, cut, i, _ = carry
         R, t = _horn_masked_batch(x, y, cut)
         sc, new_cut = score_and_cut(R, t, d0_search + 1.0)
+        changed = jnp.any(new_cut != cut)
         return (jnp.maximum(best, sc.reshape(2, n_half).max(-1)),
-                new_cut), None
-    (best, _), _ = jax.lax.scan(refine, (best, cut), None,
-                                length=REFINE_ITERS)
+                new_cut, i + 1, changed)
+    best, _, _, _ = jax.lax.while_loop(
+        cond, refine, (best, cut, jnp.int32(0), jnp.bool_(True)))
     return best
 
 
@@ -261,6 +271,8 @@ def batched_tm_device(xa: np.ndarray, ya: np.ndarray, m_len: np.ndarray,
     m_len = np.asarray(m_len, dtype=np.int32)
     pad = (-P) % chunk
     def padp(a):
+        if pad == 0:
+            return a  # already chunk-padded by the caller: no 100s-MB copy
         return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
     run = _compiled(M, chunk)
     out = run(jnp.asarray(padp(np.asarray(xa, np.float32))),

@@ -35,6 +35,35 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _pack_targets(tdb, tks, tkey_to_idx, t_lens, lt_pad, b_multiple=128):
+    """Padded [b_pad, lt_pad] int32 AA/3Di panels + lengths for a candidate
+    list, built with vectorized gathers — the per-target slice-assignment
+    loop was ~30 s of pure python at a 64k-pair fleet."""
+    n = len(tks)
+    b_pad = max(b_multiple, -(-n // b_multiple) * b_multiple)
+    t_aa = np.full((b_pad, lt_pad), 21, dtype=np.int32)
+    t_ss = np.full((b_pad, lt_pad), 21, dtype=np.int32)
+    t_len = np.zeros(b_pad, dtype=np.int32)
+    if n == 0:
+        return t_aa, t_ss, t_len
+    idx = np.fromiter((tkey_to_idx[tk] for tk in tks), dtype=np.int64,
+                      count=n)
+    lens = np.minimum(
+        np.fromiter((t_lens[tk] for tk in tks), dtype=np.int64, count=n),
+        lt_pad)
+    offs = np.asarray(tdb.offsets)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    total = int(lens.sum())
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    col = np.arange(total, dtype=np.int64) - starts[row]
+    src = offs[idx][row] + col
+    t_aa[row, col] = np.asarray(tdb.aa)[src]
+    t_ss[row, col] = np.asarray(tdb.ss)[src]
+    t_len[:n] = lens
+    return t_aa, t_ss, t_len
+
+
 def _drain_outputs(pending_arrays):
     """Fetch many device arrays with ONE host round trip.
 
@@ -179,16 +208,8 @@ class PairScorer:
                             lt_pad = max(8, _next_pow2(t_lens[tk]))
                             buckets.setdefault(lt_pad, []).append(tk)
                 for lt_pad, tks in sorted(buckets.items()):
-                    b_pad = max(128, -(-len(tks) // 128) * 128)
-                    t_aa = np.full((b_pad, lt_pad), 21, dtype=np.int32)
-                    t_ss = np.full((b_pad, lt_pad), 21, dtype=np.int32)
-                    t_len = np.zeros(b_pad, dtype=np.int32)
-                    for i, tk in enumerate(tks):
-                        ti = tkey_to_idx[tk]
-                        L = t_lens[tk]
-                        t_aa[i, :L] = tdb.get_aa(ti)
-                        t_ss[i, :L] = tdb.get_ss(ti)
-                        t_len[i] = L
+                    t_aa, t_ss, t_len = _pack_targets(tdb, tks, tkey_to_idx,
+                                                      t_lens, lt_pad)
                     out = sw_scores_batch(
                         paa, pss, radd, rsub,
                         jnp.asarray(np.ascontiguousarray(t_aa.T)),
@@ -246,16 +267,8 @@ class PairScorer:
             for tk in cand_by_q[qk]:
                 buckets.setdefault(max(8, _next_pow2(t_lens[tk])), []).append(tk)
             for lt_pad, tks in sorted(buckets.items()):
-                b_pad = max(128, -(-len(tks) // 128) * 128)
-                t_aa = np.full((b_pad, lt_pad), 21, dtype=np.int32)
-                t_ss = np.full((b_pad, lt_pad), 21, dtype=np.int32)
-                t_len = np.zeros(b_pad, dtype=np.int32)
-                for i, tk in enumerate(tks):
-                    ti = tkey_to_idx[tk]
-                    L = t_lens[tk]
-                    t_aa[i, :L] = tdb.get_aa(ti)
-                    t_ss[i, :L] = tdb.get_ss(ti)
-                    t_len[i] = L
+                t_aa, t_ss, t_len = _pack_targets(tdb, tks, tkey_to_idx,
+                                                  t_lens, lt_pad)
                 ta = jnp.asarray(np.ascontiguousarray(t_aa.T))
                 ts = jnp.asarray(np.ascontiguousarray(t_ss.T))
                 tl = jnp.asarray(t_len)
@@ -290,16 +303,9 @@ class PairScorer:
             fpa, fps = self.profs[qk].padded(lq_pad)
             rpa, rps = self.rprofs[qk].padded(lq_pad)
             for lt_pad, tks in sorted(groups.items()):
-                B = len(tks)
-                t_aa = np.full((B, lt_pad), 21, dtype=np.int32)
-                t_ss = np.full((B, lt_pad), 21, dtype=np.int32)
-                t_len = np.zeros(B, dtype=np.int32)
-                for i, tk in enumerate(tks):
-                    ti = tkey_to_idx[tk]
-                    L = t_lens[tk]
-                    t_aa[i, :L] = tdb.get_aa(ti)
-                    t_ss[i, :L] = tdb.get_ss(ti)
-                    t_len[i] = L
+                t_aa, t_ss, t_len = _pack_targets(tdb, tks, tkey_to_idx,
+                                                  t_lens, lt_pad,
+                                                  b_multiple=1)
                 ta, ts, tl = jnp.asarray(t_aa), jnp.asarray(t_ss), jnp.asarray(t_len)
                 fwd = sw_score_endpos(jnp.asarray(fpa), jnp.asarray(fps), ta, ts, tl,
                                       gap_open=params.gap_open,
@@ -398,7 +404,7 @@ def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
     from ..ops.tm_device import batched_tm_device
 
     lddt_ctx_cache: Dict[int, tuple] = {}
-    buckets: Dict[int, list] = {}  # m_pad -> [(res, qa, ta, deg, m, norm)]
+    buckets: Dict[int, list] = {}  # m_pad -> [(res, q_idx, t_idx, qi, ti, norm)]
     for qkey, rs in results.items():
         qi = qkey_to_idx[int(qkey)]
         q_ca = qdb.get_ca(qi)
@@ -408,13 +414,12 @@ def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
         ctx = lddt_ctx_cache.get(int(qkey))
         for res in rs:
             ti = tkey_to_idx[res.db_key]
-            t_ca = tdb.get_ca(ti)
             q_idx, t_idx = backtrace_indices(res.backtrace, res.q_start,
                                              res.t_start)
             m = len(q_idx)
             if m < 8:
-                _host_gates_one(res, q_ca, t_ca, ctx, params, q_len,
-                                tdb.entry_len(ti), need_tm, need_lddt)
+                _host_gates_one(res, q_ca, tdb.get_ca(ti), ctx, params,
+                                q_len, tdb.entry_len(ti), need_tm, need_lddt)
                 continue
             norm = tm_ops.normalization(
                 params.tmscore_threshold_mode,
@@ -423,24 +428,34 @@ def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
             m_pad = 64
             while m_pad < m:
                 m_pad *= 4  # small family {64, 256, 1024, ...}: few compiles
-            qa = np.zeros((m_pad, 3), np.float32)
-            ta = np.zeros((m_pad, 3), np.float32)
-            qa[:m] = q_ca[q_idx]
-            ta[:m] = t_ca[t_idx]
-            deg = np.zeros(m_pad, np.float32)
-            if need_lddt:
-                deg[:m] = ctx[1][q_idx]
-            buckets.setdefault(m_pad, []).append((res, qa, ta, deg, m, norm))
+            buckets.setdefault(m_pad, []).append(
+                (res, q_idx, t_idx, int(qkey), ti, norm))
 
     for m_pad, items in sorted(buckets.items()):
-        qa = np.stack([it[1] for it in items])
-        ta = np.stack([it[2] for it in items])
-        deg = np.stack([it[3] for it in items])
-        m_len = np.array([it[4] for it in items], np.int32)
-        norm = np.array([it[5] for it in items], np.int32)
+        # preallocate chunk-padded batch arrays and fill rows in place
+        # (list-of-arrays + np.stack + np.pad tripled a ~500 MB copy at
+        # 64k-survivor fleets)
+        from ..ops.tm_device import SIMPLIFY_STEP
+        s_max = max(1, (m_pad - 1) // SIMPLIFY_STEP + 2)
+        chunk_tm = int(max(8, min(512, (1 << 25) // max(1, 12 * s_max * m_pad))))
+        P = len(items)
+        p_pad = -(-P // chunk_tm) * chunk_tm
+        qa = np.zeros((p_pad, m_pad, 3), np.float32)
+        ta = np.zeros((p_pad, m_pad, 3), np.float32)
+        deg = np.zeros((p_pad, m_pad), np.float32)
+        m_len = np.zeros(p_pad, np.int32)
+        norm = np.ones(p_pad, np.int32)
+        for j, (res, q_idx, t_idx, qk, ti, nl) in enumerate(items):
+            m = len(q_idx)
+            qa[j, :m] = qdb.get_ca(qkey_to_idx[qk])[q_idx]
+            ta[j, :m] = tdb.get_ca(ti)[t_idx]
+            if need_lddt:
+                deg[j, :m] = lddt_ctx_cache[qk][1][q_idx]
+            m_len[j] = m
+            norm[j] = nl
         if need_tm:
             # x = target superposed onto y = query (TMaligner convention)
-            tm = batched_tm_device(ta, qa, m_len, norm)
+            tm = batched_tm_device(ta, qa, m_len, norm, chunk=chunk_tm)
         if need_lddt:
             chunk = max(8, min(256, (1 << 26) // max(1, m_pad * m_pad * 4)))
             lddt, _ = batched_lddt_device(qa, ta, deg, m_len, chunk=chunk)

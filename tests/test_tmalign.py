@@ -53,3 +53,17 @@ def test_easy_search_tmalign_scop_golden(scop_dir, golden_dir, tmp_path):
                 if abs(mine[k][0] - ref[k][0]) < 0.01
                 and abs(mine[k][1] - ref[k][1]) <= 1)
     assert close >= len(shared) * 0.97, f"{close}/{len(shared)} TM values close"
+
+
+def test_nw_gotoh_reference_matches_fast():
+    """The plain-python nw_gotoh is the specification the vectorized /
+    native implementations are held to — keep them bit-identical."""
+    import numpy as np
+
+    from foldseek_tpu.ops.tmalign import _nw_gotoh_fast, nw_gotoh
+    rng = np.random.default_rng(5)
+    for ylen, xlen in ((7, 9), (33, 21), (64, 64)):
+        score = rng.normal(scale=3.0, size=(ylen, xlen)).astype(np.float32)
+        a = nw_gotoh(score, 10.0, 1.0)
+        b = _nw_gotoh_fast(score, 10.0, 1.0)
+        assert (a == b).all()
