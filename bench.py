@@ -76,7 +76,12 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n1, n2 = 2, 10
+    # the tunnel stalls for seconds at random; r02's n=(2,10) differencing
+    # measured ~0.2 s of real compute, so stalls swung the estimate by
+    # +-25% (recorded 419 vs 520-560 measured on a healthy tunnel). Sizing
+    # the differenced work to seconds of device time bounds a stall's
+    # relative error instead.
+    n1, n2 = 60, 180
     # only real query rows count as useful cells (not the stack padding)
     cells_per_batch = B * Q * Lq * Lt
     extra = bench_e2e()

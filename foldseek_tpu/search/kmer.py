@@ -48,6 +48,13 @@ MIN_DIAG_SCORE = 30  # prefilter --min-ungapped-score default
 # process-global sorted sub-kmer score lists, keyed by (matrix, sub-kmer)
 # — see KmerPrefilter._sub_lists
 _GLOBAL_SUB_CACHE: dict = {}
+
+# memo of full similar-k-mer lists keyed by (matrix, window, threshold) —
+# deterministic, so repeat searches (iterative search rounds, the same
+# query set against several target DBs) skip the cartesian expansion.
+# Bounded: cleared wholesale past the cap (lists average a few KB).
+_GLOBAL_KMER_LIST_CACHE: dict = {}
+_KMER_LIST_CACHE_CAP = 50_000
 MASK_N_REPEATS = 6
 
 
@@ -230,6 +237,19 @@ class KmerPrefilter:
         """All k-mers scoring >= threshold vs the query window, in the exact
         order KmerGenerator emits them (first sub-kmer outer desc, second
         inner desc). Returns little-endian base-20 indices."""
+        memo_key = (self._mat8_key, self.k,
+                    bytes(np.asarray(window, dtype=np.int8)), int(threshold))
+        cached = _GLOBAL_KMER_LIST_CACHE.get(memo_key)
+        if cached is not None:
+            return cached
+        out = self._similar_kmers_uncached(window, threshold)
+        if len(_GLOBAL_KMER_LIST_CACHE) >= _KMER_LIST_CACHE_CAP:
+            _GLOBAL_KMER_LIST_CACHE.clear()
+        _GLOBAL_KMER_LIST_CACHE[memo_key] = out
+        return out
+
+    def _similar_kmers_uncached(self, window: np.ndarray,
+                                threshold: int) -> np.ndarray:
         k = self.k
         if k == 6:
             # divideStep [3,3] (KmerGenerator::setDivideStrategy case 0)
