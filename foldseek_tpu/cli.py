@@ -1732,6 +1732,90 @@ def cmd_mergeresultsbyset(argv):
     return 0
 
 
+def cmd_kmermatcher(argv):
+    """Standalone linclust k-mer grouping stage (reference:
+    lib/mmseqs/src/linclust/kmermatcher.cpp; otherwise internal to the
+    cluster workflow). Writes `qkey\\ttkey\\tscore\\tdiag` lines."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu kmermatcher")
+    p.add_argument("input_db")
+    p.add_argument("output_tsv")
+    p.add_argument("--kmers-per-sequence", type=int, default=300)
+    p.add_argument("-k", "--kmer-size", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .cluster.kmermatcher import KmerMatcherParams, kmermatcher
+    from .db.storage import load_db
+    db = load_db(args.input_db)
+    pref = kmermatcher(db, KmerMatcherParams(
+        kmer_size=args.kmer_size,
+        kmers_per_sequence=args.kmers_per_sequence))
+    with open(args.output_tsv, "w") as f:
+        for q in sorted(pref):
+            for t, s, d in pref[q]:
+                f.write(f"{q}\t{t}\t{s}\t{d}\n")
+    return 0
+
+
+def cmd_mergeclusters(argv):
+    """Compose cascaded clustering steps (reference:
+    lib/mmseqs/src/util/mergeclusters.cpp): each input is a
+    `rep\\tmember` TSV; later steps splice earlier steps' member lists."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu mergeclusters")
+    p.add_argument("steps", nargs="+",
+                   help="two or more rep<TAB>member TSVs, cascade order")
+    p.add_argument("output_tsv")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .cluster.workflow import merge_clusters
+    step_pairs = []
+    keys = set()
+    for path in args.steps:
+        pairs = []
+        for line in open(path):
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                rep, mem = int(parts[0]), int(parts[1])
+                pairs.append((rep, mem))
+                keys.add(rep)
+                keys.add(mem)
+        step_pairs.append(pairs)
+    merged = merge_clusters(sorted(keys), step_pairs)
+    with open(args.output_tsv, "w") as f:
+        for rep in sorted(merged):
+            for m in merged[rep]:
+                f.write(f"{rep}\t{m}\n")
+    return 0
+
+
+def cmd_result2rbh(argv):
+    """Extract reciprocal best hits from a merged A->B + swapped-B->A
+    result DB (reference: lib/mmseqs/src/util/result2rbh.cpp:33-75 — the
+    first line per query is A's best; following lines tying its score are
+    the RBH partners)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu result2rbh")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import read_result_db, write_result_db
+    results, has_bt = read_result_db(args.result_db)
+    out = {}
+    for qkey, rs in results.items():
+        kept = []
+        if rs:
+            best = rs[0].score
+            for r in rs[1:]:
+                if r.score != best:
+                    break
+                kept.append(r)
+        out[qkey] = kept
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
 def cmd_version(argv):
     print("foldseek-tpu 0.1.0 (TPU-native rebuild of foldseek)")
     return 0
@@ -1787,6 +1871,9 @@ COMMANDS = {
     "db2tar": (cmd_db2tar, "Export DB entries as PDB files in a tar archive"),
     "setextendeddbtype": (cmd_setextendeddbtype, "Tag a DB with an extended dbtype flag"),
     "mergeresultsbyset": (cmd_mergeresultsbyset, "Expand per-representative results to set members"),
+    "kmermatcher": (cmd_kmermatcher, "Linclust k-mer grouping to a TSV"),
+    "mergeclusters": (cmd_mergeclusters, "Compose cascaded clustering steps"),
+    "result2rbh": (cmd_result2rbh, "Reciprocal best hits from a merged result DB"),
     "prefilter": (cmd_prefilter, "k-mer double-diagonal prefilter to a result DB"),
     "ungappedprefilter": (cmd_ungappedprefilter, "Device gapless prefilter to a result DB"),
     "mvdb": (cmd_mvdb, "Move/rename a DB"),

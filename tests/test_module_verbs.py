@@ -138,3 +138,34 @@ def test_flat_output_verbs(small_setup):
     seqf = str(d / "seqf.txt")
     assert main(["createseqfiledb", db, clu, seqf, "-v", "1"]) == 0
     assert open(seqf).read().count(">") == 4  # every member appears once
+
+
+def test_mergeclusters_verb(tmp_path):
+    from foldseek_tpu.cli import main
+    s1 = tmp_path / "s1.tsv"
+    s1.write_text("0\t0\n0\t1\n2\t2\n2\t3\n")
+    s2 = tmp_path / "s2.tsv"
+    s2.write_text("0\t0\n0\t2\n")  # step 2 merges cluster 2 into 0
+    out = tmp_path / "merged.tsv"
+    assert main(["mergeclusters", str(s1), str(s2), str(out)]) == 0
+    lines = sorted(out.read_text().splitlines())
+    assert lines == ["0\t0", "0\t1", "0\t2", "0\t3"]
+
+
+def test_result2rbh_verb(tmp_path):
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.search.resultdb import read_result_db, write_result_db
+    from foldseek_tpu.search.results import AlnResult
+
+    def r(tkey, score):
+        return AlnResult(db_key=tkey, score=score, seq_id=0.5, evalue=1e-3,
+                         q_start=0, q_end=9, q_len=10,
+                         t_start=0, t_end=9, t_len=10)
+    res = tmp_path / "res"
+    write_result_db({0: [r(5, 100), r(6, 100), r(7, 90)],
+                     1: [r(8, 50), r(9, 40)]}, str(res), add_backtrace=False)
+    out = tmp_path / "rbh"
+    assert main(["result2rbh", str(res), str(out)]) == 0
+    rbh, _ = read_result_db(str(out))
+    assert [x.db_key for x in rbh[0]] == [6]  # ties A's best score
+    assert rbh.get(1, []) == []
