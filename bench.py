@@ -188,10 +188,15 @@ def bench_scale():
         dt = _t.perf_counter() - t0
         out["scale_100k_prefilter_qps"] = round(qdb.size / dt, 2)
 
+        # e2e over a 16-query slice (the 64-query version is ~5 min of
+        # which most is per-process compile/load through the tunnel; the
+        # per-query rate is what matters and the fleet still exceeds the
+        # device-gate threshold)
+        qdb16 = synth_db(base, 16, os.path.join(td, "q16"), seed=4)
         t0 = _t.perf_counter()
-        res = search(qdb, tdb, params, same_db=False)
+        res = search(qdb16, tdb, params, same_db=False)
         dt = _t.perf_counter() - t0
-        out["scale_100k_e2e_qps"] = round(qdb.size / dt, 2)
+        out["scale_100k_e2e_qps"] = round(qdb16.size / dt, 2)
         out["scale_100k_e2e_seconds"] = round(dt, 2)
         out["scale_100k_hits"] = int(sum(len(v) for v in res.values()))
 

@@ -106,9 +106,22 @@ class PairScorer:
     # static lq_pad family bounds kernel compiles; > max: per-query fallback.
     # A stack always holds at least one fwd+rev pair (2 * lq_pad rows), so
     # the family tops out at SW_MAX_STACK_ROWS / 2 — 2048-row SW states
-    # overflow the 16 MB scoped VMEM (measured).
-    SW_LQ_FAMILY = (128, 256, 384, 512, 768)
+    # overflow the 16 MB scoped VMEM (measured). The family is deliberately
+    # coarse ({128,384,768} x lt {64,256,1024,2048}): each (lq, lt, stack)
+    # combination is a fresh kernel compile (~20-40 s through the
+    # remote-compile tunnel), and the wasted pad compute is noise next to
+    # launch overhead — r02's first-contact easy-search sat in 336 s of
+    # compiles mostly from this family being too fine.
+    SW_LQ_FAMILY = (128, 384, 768)
     SW_MAX_STACK_ROWS = 1536
+    SW_LT_FAMILY = (64, 256, 1024, 2048)
+
+    @classmethod
+    def _sw_lt(cls, lt_need: int) -> int:
+        for b in cls.SW_LT_FAMILY:
+            if lt_need <= b:
+                return b
+        return max(8, _next_pow2(lt_need))
 
     def __init__(self, qdb: StructDB, tdb: StructDB, params: SearchParams,
                  prefilter: Dict[int, Sequence[int]], qkey_to_idx, tkey_to_idx,
@@ -205,7 +218,7 @@ class PairScorer:
                     for tk in cand_by_q[qk]:
                         if tk not in seen:
                             seen.add(tk)
-                            lt_pad = max(8, _next_pow2(t_lens[tk]))
+                            lt_pad = self._sw_lt(t_lens[tk])
                             buckets.setdefault(lt_pad, []).append(tk)
                 for lt_pad, tks in sorted(buckets.items()):
                     t_aa, t_ss, t_len = _pack_targets(tdb, tks, tkey_to_idx,
@@ -265,7 +278,7 @@ class PairScorer:
             ra, rs_ = jnp.asarray(pack_sw_profile(rpa)), jnp.asarray(pack_sw_profile(rps))
             buckets: Dict[int, list] = {}
             for tk in cand_by_q[qk]:
-                buckets.setdefault(max(8, _next_pow2(t_lens[tk])), []).append(tk)
+                buckets.setdefault(self._sw_lt(t_lens[tk]), []).append(tk)
             for lt_pad, tks in sorted(buckets.items()):
                 t_aa, t_ss, t_len = _pack_targets(tdb, tks, tkey_to_idx,
                                                   t_lens, lt_pad)
