@@ -129,33 +129,46 @@ def profile_search(profiles, tdb: StructDB,
 
 def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
                      num_iterations: int,
-                     same_db: Optional[bool] = None) -> Dict[int, List[AlnResult]]:
+                     same_db: Optional[bool] = None,
+                     tmp_dir: Optional[str] = None) -> Dict[int, List[AlnResult]]:
     """Profile-boosted iterative search (the reference's --num-iterations
     path, StructureSearch.cpp:158-208): plain search, then re-search with
-    AA+3Di PSSMs built from the previous round's alignments."""
+    AA+3Di PSSMs built from the previous round's alignments. Each
+    iteration's alignment DB is a resumable stage artifact when a tmp dir
+    is given."""
     from .align import align_all
     from .profile import profile_query, result2profile
+    from .stages import make_cache
     if same_db is None:
         same_db = qdb.path == tdb.path
-    results = search(qdb, tdb, params, same_db=same_db)
+    cache = make_cache(tmp_dir, params, qdb, tdb)
+    results = search(qdb, tdb, params, same_db=same_db, tmp_dir=tmp_dir)
     upref = None
     for it in range(1, num_iterations):
-        with Timer(f"result2profile(iter {it})"):
-            profiles = result2profile(qdb, tdb, results)
-            qprofiles = {k: profile_query(p, params.gap_open, params.gap_extend)
-                         for k, p in profiles.items()}
-        # profile prefilter: gapless scan with the 3Di PSSM on device
-        from .ungapped import UngappedPrefilter
-        with Timer(f"profile prefilter(iter {it})"):
-            if upref is None:
-                upref = UngappedPrefilter(tdb)
-            pref = {}
-            for qkey, qp in qprofiles.items():
-                hits = upref.query_profile(qp.prof_ss, params)
-                pref[qkey] = [k for k, _ in hits]
-        with Timer(f"structurealign(iter {it})"):
-            results = align_all(qdb, tdb, pref, params, same_db=same_db,
-                                query_profiles=qprofiles)
+        def run_iter(results=results, it=it):
+            nonlocal upref
+            with Timer(f"result2profile(iter {it})"):
+                profiles = result2profile(qdb, tdb, results)
+                qprofiles = {k: profile_query(p, params.gap_open,
+                                              params.gap_extend)
+                             for k, p in profiles.items()}
+            # profile prefilter: gapless scan with the 3Di PSSM on device
+            from .ungapped import UngappedPrefilter
+            with Timer(f"profile prefilter(iter {it})"):
+                if upref is None:
+                    upref = UngappedPrefilter(tdb)
+                pref = {}
+                for qkey, qp in qprofiles.items():
+                    hits = upref.query_profile(qp.prof_ss, params)
+                    pref[qkey] = [k for k, _ in hits]
+            with Timer(f"structurealign(iter {it})"):
+                return align_all(qdb, tdb, pref, params, same_db=same_db,
+                                 query_profiles=qprofiles)
+        if cache is not None:
+            results = cache.run_aln(f"aln_iter{it}", run_iter,
+                                    add_backtrace=params.add_backtrace)
+        else:
+            results = run_iter()
     return results
 
 
@@ -170,7 +183,7 @@ def easy_search(query_input: str, target_input: str, out_path: str,
                             or params.format_mode in (1, 3, 5))
     if params.num_iterations > 1:
         results = iterative_search(qdb, tdb, params, params.num_iterations,
-                                   same_db=same_input)
+                                   same_db=same_input, tmp_dir=tmp_dir)
     else:
         results = search(qdb, tdb, params, same_db=same_input,
                          tmp_dir=tmp_dir)
