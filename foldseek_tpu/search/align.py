@@ -106,21 +106,28 @@ class PairScorer:
     # static lq_pad family bounds kernel compiles; > max: per-query fallback.
     # A stack always holds at least one fwd+rev pair (2 * lq_pad rows), so
     # the family tops out at SW_MAX_STACK_ROWS / 2 — 2048-row SW states
-    # overflow the 16 MB scoped VMEM (measured). The family is deliberately
-    # coarse ({128,384,768} x lt {64,256,1024,2048}): each (lq, lt, stack)
-    # combination is a fresh kernel compile (~20-40 s through the
-    # remote-compile tunnel), and the wasted pad compute is noise next to
-    # launch overhead — r02's first-contact easy-search sat in 336 s of
-    # compiles mostly from this family being too fine.
-    SW_LQ_FAMILY = (128, 384, 768)
+    # overflow the 16 MB scoped VMEM (measured).
+    # FOLDSEEK_TPU_SW_COARSE=1 switches to a deliberately coarse family
+    # ({128,384,768} x lt {64,256,1024,2048}): ~3x fewer first-contact
+    # kernel compiles (each ~20-40 s on the remote-compile backend) at the
+    # cost of pad compute that is noise next to launch overhead. The finer
+    # default matches the executables already in the persistent cache.
+    SW_LQ_FAMILY = (128, 256, 384, 512, 768)
+    SW_LQ_FAMILY_COARSE = (128, 384, 768)
     SW_MAX_STACK_ROWS = 1536
-    SW_LT_FAMILY = (64, 256, 1024, 2048)
+    SW_LT_FAMILY_COARSE = (64, 256, 1024, 2048)
+
+    @classmethod
+    def _coarse(cls) -> bool:
+        import os
+        return os.environ.get("FOLDSEEK_TPU_SW_COARSE", "") == "1"
 
     @classmethod
     def _sw_lt(cls, lt_need: int) -> int:
-        for b in cls.SW_LT_FAMILY:
-            if lt_need <= b:
-                return b
+        if cls._coarse():
+            for b in cls.SW_LT_FAMILY_COARSE:
+                if lt_need <= b:
+                    return b
         return max(8, _next_pow2(lt_need))
 
     def __init__(self, qdb: StructDB, tdb: StructDB, params: SearchParams,
@@ -168,7 +175,8 @@ class PairScorer:
 
     @classmethod
     def _sw_lq(cls, lq_need: int):
-        for b in cls.SW_LQ_FAMILY:
+        fam = cls.SW_LQ_FAMILY_COARSE if cls._coarse() else cls.SW_LQ_FAMILY
+        for b in fam:
             if lq_need <= b:
                 return b
         return None
