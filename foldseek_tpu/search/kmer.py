@@ -104,8 +104,15 @@ def _sorted_submer_lists(k_sub: int):
 
 class KmerPrefilter:
     def __init__(self, tdb: StructDB, params: SearchParams, k: int = 0,
-                 bias_scale: float = 1.0, min_diag_score: int = MIN_DIAG_SCORE):
+                 bias_scale: float = 1.0, min_diag_score: int = MIN_DIAG_SCORE,
+                 entry_range=None):
+        """entry_range: optional (start, end) target-entry slice — the
+        memory-based TARGET_DB_SPLIT analogue (Prefiltering.cpp:289-381
+        setupSplit): the posting index covers only the range, and query()
+        returns GLOBAL target indices."""
         self.tdb = tdb
+        self.entry_range = ((0, tdb.size) if entry_range is None
+                            else (int(entry_range[0]), int(entry_range[1])))
         self.bias_scale = bias_scale
         self.min_diag_score = min_diag_score
         if k == 0:
@@ -130,7 +137,9 @@ class KmerPrefilter:
 
     def _build_index(self):
         from ..db.index import load_index
-        idx = load_index(self.tdb)
+        r0, r1 = self.entry_range
+        idx = (load_index(self.tdb)
+               if (r0, r1) == (0, self.tdb.size) else None)
         if (idx is not None
                 and idx["manifest"].get("k") == self.k
                 and idx["manifest"].get("kmer_thr") == self.kmer_thr):
@@ -150,25 +159,30 @@ class KmerPrefilter:
         diag8 = np.diag(self.mat8)
         masked_total = 0
         # masking pass into one flat array; masked_seqs are views into it
-        # (a python list-of-arrays at AFDB scale wasted GBs)
-        n = self.tdb.size
-        offs = np.asarray(self.tdb.offsets)
+        # (a python list-of-arrays at AFDB scale wasted GBs). With an
+        # entry_range, only the range's residues are masked/indexed
+        # (TARGET_DB_SPLIT); LOCAL target ids live in the postings, query()
+        # converts to global on output.
+        n = r1 - r0
+        offs_g = np.asarray(self.tdb.offsets)
+        base = int(offs_g[r0])
+        offs = offs_g[r0:r1 + 1] - base
         lens = np.diff(offs)
         flat = np.empty(int(offs[-1]), dtype=np.int8)
-        for ti in range(n):
+        for li in range(n):
+            ti = r0 + li
             seq = np.asarray(self.tdb.get_ss(ti), dtype=np.int64)
-            lc = self.tdb.mask[offs[ti]:offs[ti + 1]]
+            lc = self.tdb.mask[offs_g[ti]:offs_g[ti + 1]]
             seq = np.where(lc > 0, X, seq)
             before = int((seq == X).sum())
             seq = mask_repeats(seq)
             masked_total += int((seq == X).sum()) - before
-            flat[offs[ti]:offs[ti + 1]] = seq
+            flat[offs[li]:offs[li + 1]] = seq
         self.masked_seqs = [flat[offs[i]:offs[i + 1]] for i in range(n)]
 
-        # vectorized window pass over the whole DB in bounded chunks
-        # (Prefiltering::setupSplit's memory-based splitting analogue: the
-        # transient per-chunk buffers stay ~O(chunk * k), independent of DB
-        # size; reference: lib/mmseqs/src/prefiltering/IndexBuilder.cpp)
+        # vectorized window pass over the whole range in bounded chunks
+        # (transient per-chunk buffers stay ~O(chunk * k), independent of
+        # DB size; reference: lib/mmseqs/src/prefiltering/IndexBuilder.cpp)
         entry_of = np.repeat(np.arange(n, dtype=np.int64), lens)
         pos_in = np.arange(int(offs[-1]), dtype=np.int64) - offs[entry_of]
         ok_start = pos_in <= lens[entry_of] - span
@@ -300,7 +314,15 @@ class KmerPrefilter:
     def query(self, q_ss: np.ndarray, max_seqs: int,
               identity_id: int = None) -> List[Tuple[int, int, int]]:
         """Returns [(target_index, pref_score, diagonal)] in final output
-        order (identity first when given, then score desc / id asc)."""
+        order (identity first when given, then score desc / id asc).
+        Target indices and identity_id are GLOBAL DB entry indices even
+        under an entry_range split."""
+        r0 = self.entry_range[0]
+        if identity_id is not None:
+            # identity target may live in another split
+            identity_id = (identity_id - r0
+                           if self.entry_range[0] <= identity_id
+                           < self.entry_range[1] else None)
         q = np.asarray(q_ss, dtype=np.int64)
         L = len(q)
         comp_bias = _calc_bias_float(q, self.mat8, self.m8.p_back, self.bias_scale)
@@ -382,7 +404,7 @@ class KmerPrefilter:
         hist = np.zeros(256, dtype=np.int64)
         for _, c, _ in items:
             hist[c] += 1
-        max_hits = min(max_seqs, self.tdb.size)
+        max_hits = min(max_seqs, self.entry_range[1] - self.entry_range[0])
         thr = _compute_score_threshold(hist, max_hits)
         thr = max(self.min_diag_score, thr)
 
@@ -425,7 +447,10 @@ class KmerPrefilter:
         head = results[:1] if identity_id is not None else []
         tail = results[1:] if identity_id is not None else results
         tail.sort(key=lambda x: (-x[1], x[0]))
-        return head + tail
+        out = head + tail
+        if r0:
+            out = [(t + r0, s, d) for t, s, d in out]
+        return out
 
     def _ungapped_profile(self, q: np.ndarray, comp_bias: np.ndarray) -> np.ndarray:
         """[L, 21] int profile: mat2[q[pos]][a] + round(bias/4). The /4 and
@@ -516,28 +541,20 @@ def _jax_backend_live() -> bool:
 def _kmer_query_worker(args):
     qi, max_seqs, identity = args
     pref, qdb = _FORK_STATE["pref"], _FORK_STATE["qdb"]
-    hits = pref.query(np.asarray(qdb.get_ss(qi)), max_seqs, identity)
-    return qi, [t for t, _, _ in hits]
+    return qi, pref.query(np.asarray(qdb.get_ss(qi)), max_seqs, identity)
 
 
-def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
-                   k: int = 0, bias_scale: float = 0.15,
-                   min_diag_score: int = MIN_DIAG_SCORE) -> Dict[int, List[int]]:
-    # the search workflow runs the prefilter at bias scale 0.15
-    # (src/workflow/StructureSearch.cpp:101)
+def _query_split(pref, qdb, params, same_db):
+    """All queries against one (possibly range-limited) posting index;
+    returns qi -> [(tid, score, diag)] with global tids."""
     import multiprocessing as mp
     import os
-
-    pref = KmerPrefilter(tdb, params, k=k, bias_scale=bias_scale,
-                         min_diag_score=min_diag_score)
-    same_db = qdb.path == tdb.path
-    tidx_to_key = {i: int(tdb.keys[i]) for i in range(tdb.size)}
     jobs = [(qi, params.max_seqs, qi if same_db else None)
             for qi in range(qdb.size)]
-    out: Dict[int, List[int]] = {}
-    # fork-parallel over queries — the reference's `#pragma omp parallel for`
-    # in Prefiltering (Prefiltering.cpp:589-700); the forked workers share
-    # the posting lists copy-on-write
+    out = {}
+    # fork-parallel over queries — the reference's `#pragma omp parallel
+    # for` in Prefiltering; the forked workers share the posting lists
+    # copy-on-write
     n_workers = min(os.cpu_count() or 1, len(jobs),
                     int(os.environ.get("FOLDSEEK_TPU_THREADS", "16")))
     if n_workers > 1 and len(jobs) > 2 and hasattr(os, "fork") \
@@ -545,13 +562,85 @@ def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
         _FORK_STATE["pref"], _FORK_STATE["qdb"] = pref, qdb
         try:
             with mp.get_context("fork").Pool(n_workers) as pool:
-                for qi, tids in pool.imap_unordered(
+                for qi, hits in pool.imap_unordered(
                         _kmer_query_worker, jobs, chunksize=2):
-                    out[int(qdb.keys[qi])] = [tidx_to_key[t] for t in tids]
+                    out[qi] = hits
         finally:
             _FORK_STATE.clear()
         return out
     for qi, max_seqs, identity in jobs:
-        hits = pref.query(np.asarray(qdb.get_ss(qi)), max_seqs, identity)
-        out[int(qdb.keys[qi])] = [tidx_to_key[t] for t, _, _ in hits]
+        out[qi] = pref.query(np.asarray(qdb.get_ss(qi)), max_seqs, identity)
+    return out
+
+
+def plan_kmer_splits(tdb: StructDB, budget_bytes: int) -> List[tuple]:
+    """Residue-balanced target entry ranges whose posting index fits the
+    RAM budget (the reference's memory-based TARGET_DB_SPLIT,
+    Prefiltering.cpp:289-381). ~28 B of index per residue measured
+    (flat masked seqs + final int64 posting arrays + sort transients)."""
+    PER_RESIDUE = 28.0
+    need = tdb.total_residues * PER_RESIDUE
+    n_splits = max(1, int(-(-need // max(budget_bytes, 1 << 20))))
+    if n_splits <= 1:
+        return [(0, tdb.size)]
+    offs = np.asarray(tdb.offsets)
+    per = int(offs[-1]) / n_splits
+    bounds = [int(np.searchsorted(offs, per * i)) for i in range(n_splits)]
+    bounds.append(tdb.size)
+    out = []
+    for i in range(n_splits):
+        s, e = bounds[i], bounds[i + 1]
+        if e > s:
+            out.append((s, e))
+    return out
+
+
+def _kmer_ram_budget() -> int:
+    import os
+    env = os.environ.get("FOLDSEEK_TPU_KMER_RAM_MB", "")
+    if env:
+        return int(env) * (1 << 20)
+    try:
+        avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        return int(avail * 0.5)
+    except (ValueError, OSError):
+        return 8 << 30
+
+
+def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
+                   k: int = 0, bias_scale: float = 0.15,
+                   min_diag_score: int = MIN_DIAG_SCORE) -> Dict[int, List[int]]:
+    # the search workflow runs the prefilter at bias scale 0.15
+    # (src/workflow/StructureSearch.cpp:101)
+    same_db = qdb.path == tdb.path
+    tidx_to_key = {i: int(tdb.keys[i]) for i in range(tdb.size)}
+    splits = plan_kmer_splits(tdb, _kmer_ram_budget())
+    if len(splits) == 1:
+        pref = KmerPrefilter(tdb, params, k=k, bias_scale=bias_scale,
+                             min_diag_score=min_diag_score)
+        hits = _query_split(pref, qdb, params, same_db)
+        return {int(qdb.keys[qi]): [tidx_to_key[t] for t, _, _ in hits[qi]]
+                for qi in range(qdb.size)}
+
+    # target splits: per-split index build + query, per-query k-way merge
+    # by (identity first, score desc, id asc) — the reference's
+    # mergeTargetSplits order
+    logger.info("kmer prefilter: %d target splits under the RAM budget",
+                len(splits))
+    merged: Dict[int, list] = {qi: [] for qi in range(qdb.size)}
+    for rng in splits:
+        pref = KmerPrefilter(tdb, params, k=k, bias_scale=bias_scale,
+                             min_diag_score=min_diag_score, entry_range=rng)
+        hits = _query_split(pref, qdb, params, same_db)
+        for qi, rows in hits.items():
+            merged[qi].extend(rows)
+        del pref
+    out: Dict[int, List[int]] = {}
+    for qi in range(qdb.size):
+        rows = merged[qi]
+        ident = [r for r in rows if same_db and r[0] == qi]
+        rest = sorted((r for r in rows if not (same_db and r[0] == qi)),
+                      key=lambda x: (-x[1], x[0]))
+        keep = (ident[:1] + rest)[: params.max_seqs]
+        out[int(qdb.keys[qi])] = [tidx_to_key[t] for t, _, _ in keep]
     return out
