@@ -85,6 +85,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fwbw_forward_m.argtypes = [dp, ctypes.c_int, ctypes.c_int,
                                        ctypes.c_double, ctypes.c_double, dp]
         lib.fwbw_forward_m.restype = ctypes.c_int
+        lib.batch_recover.argtypes = [
+            i32p, i32p, i32p, i32p, i8p, ctypes.c_int, i8p, i8p,
+            i64p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, i32p, i32p, i32p, ctypes.c_char_p, i64p, i32p]
+        lib.batch_recover.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -214,3 +219,53 @@ def fwbw_forward_m(s: np.ndarray, go: float, ge: float):
     if rc != 0:
         return None
     return M
+
+
+def batch_recover(fprof_aa, fprof_ss, prof_aa, prof_ss, q_aa,
+                  db_aa, db_ss, t_off, t_end, score, q_end,
+                  gap_open: int, gap_extend: int):
+    """Batched start+traceback recovery for one query's survivor list —
+    ONE ctypes call instead of two per hit. Returns (q_start, t_start,
+    ident, ops_list) arrays; ops_list[i] is None where the C side failed
+    (band overflow) and the caller falls back per-hit."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(t_off)
+    if n == 0:
+        return (np.zeros(0, np.int32),) * 3 + ([],)
+    fpa = np.ascontiguousarray(fprof_aa, dtype=np.int32)
+    fps = np.ascontiguousarray(fprof_ss, dtype=np.int32)
+    pa = np.ascontiguousarray(prof_aa, dtype=np.int32)
+    ps = np.ascontiguousarray(prof_ss, dtype=np.int32)
+    qa = np.ascontiguousarray(q_aa, dtype=np.int8)
+    t_off = np.ascontiguousarray(t_off, dtype=np.int64)
+    t_end = np.ascontiguousarray(t_end, dtype=np.int32)
+    score = np.ascontiguousarray(score, dtype=np.int32)
+    q_end = np.ascontiguousarray(q_end, dtype=np.int32)
+    caps = (q_end.astype(np.int64) + t_end + 3)
+    ops_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(caps[:-1], out=ops_off[1:])
+    total = int(caps.sum())
+    out_qs = np.zeros(n, dtype=np.int32)
+    out_ts = np.zeros(n, dtype=np.int32)
+    out_id = np.zeros(n, dtype=np.int32)
+    out_len = np.zeros(n, dtype=np.int32)
+    ops_buf = ctypes.create_string_buffer(total)
+    lib.batch_recover(
+        _ptr(fpa, ctypes.c_int32), _ptr(fps, ctypes.c_int32),
+        _ptr(pa, ctypes.c_int32), _ptr(ps, ctypes.c_int32),
+        _ptr(qa, ctypes.c_int8), fpa.shape[1],
+        _ptr(np.ascontiguousarray(db_aa, dtype=np.int8), ctypes.c_int8),
+        _ptr(np.ascontiguousarray(db_ss, dtype=np.int8), ctypes.c_int8),
+        _ptr(t_off, ctypes.c_int64), _ptr(t_end, ctypes.c_int32),
+        _ptr(score, ctypes.c_int32), _ptr(q_end, ctypes.c_int32),
+        n, int(gap_open), int(gap_extend),
+        _ptr(out_qs, ctypes.c_int32), _ptr(out_ts, ctypes.c_int32),
+        _ptr(out_id, ctypes.c_int32), ops_buf,
+        _ptr(ops_off, ctypes.c_int64), _ptr(out_len, ctypes.c_int32))
+    raw = ops_buf.raw
+    ops = [raw[ops_off[i]: ops_off[i] + out_len[i]].decode("ascii")
+           if out_len[i] >= 0 else None
+           for i in range(n)]
+    return out_qs, out_ts, out_id, ops

@@ -510,6 +510,55 @@ def _host_gates_one(res, q_ca, t_ca, lddt_ctx, params, q_len, t_len,
         res.score = int(res.score * math.sqrt(res.lddt * res.tm))
 
 
+def _batch_tracebacks(prof, tdb, tids, cand_keys, params, q_len,
+                      fwd, qend, tend, ev_fwd, ev_corr):
+    """ci -> Traceback for every candidate the serial loop would backtrace,
+    recovered in one native batch_recover call. Empty when batching can't
+    reproduce the loop exactly (non-default accept/reject budgets: an
+    early break could skip candidates) or the native lib is absent."""
+    from .params import INT_MAX
+    if (params.max_accept < INT_MAX or params.max_rejected < INT_MAX
+            or len(tids) == 0):
+        return {}
+    from .. import native
+    if native.get_lib() is None or not isinstance(tdb, StructDB):
+        return {}
+    surv = []
+    for ci in range(len(tids)):
+        t_len = tdb.entry_len(tids[ci])
+        if not can_be_covered(params.cov_thr, params.cov_mode, q_len, t_len):
+            continue
+        q_cov0 = min(1.0, (qend[ci] + 1) / q_len)
+        t_cov0 = min(1.0, (tend[ci] + 1) / t_len)
+        if not has_coverage(params.cov_thr, params.cov_mode, q_cov0, t_cov0):
+            continue
+        if ev_fwd[ci] > params.evalue_thr or ev_corr[ci] > params.evalue_thr:
+            continue
+        surv.append(ci)
+    if not surv:
+        return {}
+    fprof = getattr(prof, "_flipped_cache", None)
+    if fprof is None:
+        fprof = prof.flipped()
+        prof._flipped_cache = fprof
+    offs = np.asarray(tdb.offsets)
+    res = native.batch_recover(
+        fprof.prof_aa, fprof.prof_ss, prof.prof_aa, prof.prof_ss,
+        np.asarray(prof.q_aa), np.asarray(tdb.aa), np.asarray(tdb.ss),
+        offs[tids[surv]], tend[surv], fwd[surv], qend[surv],
+        prof.gap_open, prof.gap_extend)
+    if res is None:
+        return {}
+    q_start, t_start, ident, ops = res
+    out = {}
+    for j, ci in enumerate(surv):
+        if ops[j] is not None:
+            out[ci] = bt_ops.Traceback(
+                q_start=int(q_start[j]), t_start=int(t_start[j]),
+                backtrace=ops[j], identical_aa=int(ident[j]))
+    return out
+
+
 def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 cand_keys: Sequence[int], params: SearchParams,
                 ev: EvalueComputer, scorer: PairScorer, tkey_to_idx,
@@ -535,6 +584,14 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
     scores = fwd.astype(np.int64) - rev.astype(np.int64)
     ev_fwd = ev.evalue_corr_batch(fwd, lam, mu)
     ev_corr = ev.evalue_corr_batch(scores, lam, mu)
+
+    # batched native start+traceback recovery: with the default INT_MAX
+    # accept/reject budgets no candidate is skipped by an early break, so
+    # every candidate passing the pre-backtrace gates gets its traceback
+    # from ONE native call (vs 2 ctypes round trips per hit)
+    pre_tb = _batch_tracebacks(
+        prof, tdb, tids, cand_keys, params, q_len, fwd, qend, tend,
+        ev_fwd, ev_corr)
 
     results: List[AlnResult] = []
     passed = 0
@@ -565,13 +622,17 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
 
         t_aa = tdb.get_aa(ti)
         t_ss = tdb.get_ss(ti)
-        try:
-            tb = bt_ops.recover_alignment(prof, np.asarray(t_aa), np.asarray(t_ss),
-                                          int(fwd[ci]), int(qend[ci]), int(tend[ci]))
-        except RuntimeError as e:
-            logger.warning("backtrace failed for query %d target %d: %s", qi, ti, e)
-            rejected += 1
-            continue
+        tb = pre_tb.get(ci)
+        if tb is None:
+            try:
+                tb = bt_ops.recover_alignment(
+                    prof, np.asarray(t_aa), np.asarray(t_ss),
+                    int(fwd[ci]), int(qend[ci]), int(tend[ci]))
+            except RuntimeError as e:
+                logger.warning("backtrace failed for query %d target %d: %s",
+                               qi, ti, e)
+                rejected += 1
+                continue
 
         aln_len = len(tb.backtrace)
         seq_id = tb.identical_aa / aln_len if aln_len else 0.0

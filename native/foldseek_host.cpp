@@ -160,6 +160,108 @@ int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
 }
 
 // ---------------------------------------------------------------------------
+// batched start + traceback recovery: one call per query block instead of
+// two ctypes round trips per hit (the ~0.1 ms/hit python marshalling was
+// ~15% of a 64k-survivor fleet's host time). Per hit: the reversed-profile
+// SW start recovery (reverse_sw semantics over a column slice of the full
+// flipped profile — strided access replaces the per-hit numpy copy), the
+// banded traceback over the recovered window, and the identity count.
+// Failures (band overflow / score mismatch) set out_len[i] = -1 and the
+// python side falls back to its per-hit path for that hit.
+int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
+                  const int32_t* prof_aa, const int32_t* prof_ss,
+                  const int8_t* q_aa, int Lq,
+                  const int8_t* db_aa, const int8_t* db_ss,
+                  const int64_t* t_off, const int32_t* t_end,
+                  const int32_t* score, const int32_t* q_end,
+                  int n_hits, int gap_open, int gap_extend,
+                  int32_t* out_qstart, int32_t* out_tstart,
+                  int32_t* out_ident, char* out_ops,
+                  const int64_t* ops_off, int32_t* out_len) {
+    std::vector<int64_t> H, E;
+    std::vector<int32_t> sub;
+    for (int hit = 0; hit < n_hits; hit++) {
+        const int qe = q_end[hit];
+        const int te = t_end[hit];
+        const int lq = qe + 1;
+        const int lt = te + 1;
+        const int8_t* taa = db_aa + t_off[hit];
+        const int8_t* tss = db_ss + t_off[hit];
+        const int off = Lq - qe - 1;  // flipped-profile column offset
+        // --- reverse pass (reverse_sw over fprof[:, off:off+lq]) ---
+        H.assign(lq, 0);
+        E.assign(lq, INT64_MIN / 4);
+        int64_t best = 0;
+        int best_j = 0, best_qend = lq - 1;
+        for (int j = lt - 1; j >= 0; j--) {
+            const int32_t* pa = fprof_aa + (size_t)taa[j] * Lq + off;
+            const int32_t* ps = fprof_ss + (size_t)tss[j] * Lq + off;
+            int64_t prev_diag = 0;
+            int64_t running = INT64_MIN / 4;
+            int64_t col_max = 0;
+            for (int i = 0; i < lq; i++) {
+                int64_t diag = prev_diag + pa[i] + ps[i];
+                prev_diag = H[i];
+                int64_t h_noF = std::max(std::max(diag, E[i]), (int64_t)0);
+                int64_t f = (i == 0) ? INT64_MIN / 4
+                    : running - (int64_t)(i - 1) * gap_extend - gap_open;
+                int64_t h = std::max(h_noF, f);
+                E[i] = std::max(E[i] - gap_extend, h_noF - gap_open);
+                int64_t gv = h_noF + (int64_t)i * gap_extend;
+                if (gv > running) running = gv;
+                H[i] = h;
+                if (h > col_max) col_max = h;
+            }
+            if (col_max > best) {
+                best = col_max;
+                best_j = j;
+                for (int i = 0; i < lq; i++) {
+                    if (H[i] == col_max) { best_qend = i; break; }
+                }
+            }
+            if (col_max == score[hit]) break;
+        }
+        if (best != score[hit]) { out_len[hit] = -1; continue; }
+        const int q_start = qe - best_qend;
+        const int t_start = best_j;
+        // --- banded traceback over the recovered window ---
+        const int wq = qe - q_start + 1;
+        const int wt = te - t_start + 1;
+        sub.resize((size_t)wq * wt);
+        for (int i = 0; i < wq; i++) {
+            for (int j = 0; j < wt; j++) {
+                const int8_t a = taa[t_start + j];
+                const int8_t s = tss[t_start + j];
+                sub[(size_t)i * wt + j] =
+                    prof_aa[(size_t)a * Lq + q_start + i]
+                    + prof_ss[(size_t)s * Lq + q_start + i];
+            }
+        }
+        char* ops = out_ops + ops_off[hit];
+        int n = banded_sw_bt(sub.data(), wq, wt, score[hit],
+                             gap_open, gap_extend, ops);
+        if (n < 0) { out_len[hit] = -1; continue; }
+        // --- identity count over M columns ---
+        int qi = q_start, ti = t_start, ident = 0;
+        for (int p = 0; p < n; p++) {
+            if (ops[p] == 'M') {
+                ident += (q_aa[qi] == taa[ti]);
+                qi++; ti++;
+            } else if (ops[p] == 'I') {
+                qi++;
+            } else {
+                ti++;
+            }
+        }
+        out_qstart[hit] = q_start;
+        out_tstart[hit] = t_start;
+        out_ident[hit] = ident;
+        out_len[hit] = n;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Kabsch superposition (double precision, matches numpy's svd-based path)
 
 static void jacobi_eigen3(double a[3][3], double v[3][3], double w[3]) {

@@ -104,3 +104,33 @@ def test_pairscorer_stacked_matches_xla(tmp_path):
                        idx)
     assert got.fwd == ref.fwd
     assert got.rev == ref.rev
+
+
+def test_batched_native_traceback_matches_per_hit(example_dir, tmp_path):
+    """align.py _batch_tracebacks (one native batch_recover call) must
+    reproduce the per-hit recover_alignment path record-for-record."""
+    import foldseek_tpu.search.align as al
+    from foldseek_tpu import native
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import search
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    files = [str(f) for f in sorted(example_dir.iterdir())
+             if "tim" not in f.name][:10]
+    db = create_db(files, str(tmp_path / "db"))
+    params = SearchParams(add_backtrace=True)
+    batched = search(db, db, params)
+    orig = al._batch_tracebacks
+    al._batch_tracebacks = lambda *a, **k: {}
+    try:
+        per_hit = search(db, db, params)
+    finally:
+        al._batch_tracebacks = orig
+
+    def fmt(res):
+        return {k: [(r.db_key, r.score, r.q_start, r.t_start, r.backtrace,
+                     r.identical, r.seq_id) for r in v]
+                for k, v in res.items()}
+    assert fmt(batched) == fmt(per_hit)
