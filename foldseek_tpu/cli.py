@@ -1837,6 +1837,9 @@ COMMANDS = {
     "easy-multimercluster": (cmd_easy_multimercluster, "Cluster complexes from files"),
     "createindex": (cmd_createindex, "Precompute the device panel + k-mer index"),
     "makepaddeddb": (cmd_createindex, "Alias of createindex (padded device layout)"),
+    "makepaddedseqdb": (cmd_createindex,
+                        "Alias of createindex (reference verb name, "
+                        "FoldseekBase.cpp:126)"),
     "mmcreateindex": (cmd_createindex, "Alias of createindex (base-module name)"),
     "indexserver": (cmd_indexserver, "Serve a resident target index over a unix socket"),
     "gpuserver": (cmd_indexserver, "Alias of indexserver"),
