@@ -52,11 +52,16 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("--index-server", type=str, default="")
     p.add_argument("--profile-dir", type=str, default="",
                    help="write a jax.profiler trace of the run to this dir")
-    p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--threads", type=int, default=0,
+                   help="host worker threads (0 = all cores; reference"
+                        " PARAM_THREADS default)")
     p.add_argument("-v", "--verbosity", type=int, default=3)
 
 
 def params_from_args(args) -> SearchParams:
+    if getattr(args, "threads", 0):
+        from .utils.hostpar import set_threads
+        set_threads(args.threads)
     return SearchParams(
         evalue_thr=args.evalue, sensitivity=args.sensitivity,
         max_seqs=args.max_seqs, cov_thr=args.cov_thr, cov_mode=args.cov_mode,
@@ -175,7 +180,7 @@ def cmd_convertalis(argv):
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
     from .db.storage import load_db
-    from .search.convertalis import format_results, needs_backtrace
+    from .search.convertalis import format_results
     from .search.profile import is_profile_db
     from .search.resultdb import read_result_db
     if is_profile_db(args.query_db):
@@ -193,8 +198,10 @@ def cmd_convertalis(argv):
         seq_path = args.target_db + "_seq"
         tdb = load_db(seq_path if is_db(seq_path) else args.target_db)
     results, has_bt = read_result_db(args.result_db)
+    # the reference always uses a stored backtrace for alnlen/mismatch/
+    # gapopen, whatever the column set (structureconvertalis.cpp:727)
     lines = format_results(qdb, tdb, results, args.format_output,
-                           with_backtrace=has_bt and needs_backtrace(args.format_output))
+                           with_backtrace=has_bt)
     with open(args.output, "w") as f:
         for line in lines:
             f.write(line + "\n")
@@ -593,7 +600,8 @@ def cmd_multimersearch(argv):
     from .multimer.workflow import multimer_search
     qdb = load_db(args.query_db)
     tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
-    lines = multimer_search(qdb, tdb, params_from_args(args))
+    lines = multimer_search(qdb, tdb, params_from_args(args),
+                            tmp_dir=args.tmp_dir)
     with open(args.result_db, "w") as f:
         f.write("#foldseek-tpu complexres v1\n")
         for qkey in sorted(lines):
@@ -747,7 +755,8 @@ def cmd_multimercluster(argv):
         cov_thr=args.cov_thr, cov_mode=args.cov_mode)
     if fp.mult_tm_thr + fp.chain_tm_thr + fp.interface_lddt_thr == 0:
         fp.mult_tm_thr = 0.0001  # mustsetMultimerCluster (MultimerCluster.cpp:19-21)
-    clusters = multimer_cluster(db, params_from_args(args), fp)
+    clusters = multimer_cluster(db, params_from_args(args), fp,
+                                tmp_dir=args.tmp_dir)
     _, complex_chains, _ = complex_maps(db)
     with open(args.cluster_tsv, "w") as f:
         for rep in sorted(clusters):
@@ -1114,6 +1123,13 @@ def _write_tax_report(tax, counts, total, path):
         f.write(f"{100.0 * unc / max(total, 1):.4f}\t{unc}\t{unc}\t"
                 f"no rank\t0\tunclassified\n")
 
+        # parent -> children index once (a 2.4M-node NCBI taxdump would
+        # otherwise rescan the whole parent map per emitted clade)
+        kids: dict = {}
+        for t, p in tax.parent.items():
+            if t != p:
+                kids.setdefault(p, []).append(t)
+
         def walk(tid, depth):
             n_clade = clade.get(tid, 0)
             if n_clade == 0:
@@ -1121,10 +1137,7 @@ def _write_tax_report(tax, counts, total, path):
             f.write(f"{100.0 * n_clade / max(total, 1):.4f}\t{n_clade}\t"
                     f"{counts.get(tid, 0)}\t{tax.rank.get(tid, 'no rank')}\t"
                     f"{tid}\t{'  ' * depth}{tax.name.get(tid, str(tid))}\n")
-            children = sorted(
-                (t for t, p in tax.parent.items() if p == tid and t != tid),
-                key=lambda t: -clade.get(t, 0))
-            for c in children:
+            for c in sorted(kids.get(tid, ()), key=lambda t: -clade.get(t, 0)):
                 walk(c, depth + 1)
         walk(1, 0)
     return path
@@ -1342,7 +1355,7 @@ def cmd_swapresults(argv):
             ev = float(r.t_len) * swap_db_res * (2.0 ** -min(float(r.score), 1022.0))
             out.setdefault(int(r.db_key), []).append(AlnResult(
                 db_key=int(qkey), score=r.score, seq_id=r.seq_id,
-                evalue=ev,
+                seq_id_str=r.seq_id_str, evalue=ev,
                 q_start=r.t_start, q_end=r.t_end, q_len=r.t_len,
                 t_start=r.q_start, t_end=r.q_end, t_len=r.q_len,
                 backtrace=bt))
@@ -1624,7 +1637,7 @@ def cmd_apply(argv):
     from .search.resultdb import parse_result_line, read_result_db, write_result_db
     from .search.results import result_to_line
     results, has_bt = read_result_db(args.result_db)
-    out = {}
+    raw_out: dict = {}
     for qkey in sorted(results):
         blob = "".join(f"{result_to_line(r, has_bt)}\n" for r in results[qkey])
         env = dict(os.environ, MMSEQS_ENTRY_NAME=str(qkey))
@@ -1634,13 +1647,28 @@ def cmd_apply(argv):
             raise SystemExit(
                 f"apply: {' '.join(prog)} failed on entry {qkey}: "
                 f"{proc.stderr.decode()[-500:]}")
-        rs = []
-        for line in proc.stdout.decode().splitlines():
-            if line.strip():
+        raw_out[qkey] = [line for line in proc.stdout.decode().splitlines()
+                         if line.strip()]
+    # like the reference, the program's output is opaque entry data
+    # (lib/mmseqs/src/util/apply.cpp writes stdout verbatim). When every
+    # line still parses as an alignment record the output stays a typed
+    # alignment DB (usable by convertalis etc.); otherwise it is written
+    # as a flat qkey\t<line> TSV.
+    try:
+        out = {}
+        for qkey, lines in raw_out.items():
+            rs = []
+            for line in lines:
                 _, r = parse_result_line(f"{qkey}\t{line}")
                 rs.append(r)
-        out[qkey] = rs
-    write_result_db(out, args.output_db, add_backtrace=has_bt)
+            out[qkey] = rs
+        write_result_db(out, args.output_db, add_backtrace=has_bt)
+    except (ValueError, IndexError):
+        with open(args.output_db, "w") as f:
+            for qkey in sorted(raw_out):
+                for line in raw_out[qkey]:
+                    f.write(f"{qkey}\t{line}\n")
+        logger.info("apply: output is not alignment-shaped; wrote flat TSV")
     return 0
 
 
@@ -1894,8 +1922,9 @@ COMMANDS = {
 
 
 def main(argv=None):
-    from .utils.jaxcache import enable_compilation_cache
+    from .utils.jaxcache import enable_compilation_cache, honor_jax_platforms
     enable_compilation_cache()
+    honor_jax_platforms()
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print("foldseek-tpu — TPU-native protein structure search\n\nCommands:")

@@ -124,12 +124,18 @@ def _post_process(content_dir: str, output: str,
 
     fastas = [e for e in entries
               if e.endswith((".fasta", ".fa", ".fasta.gz", ".fa.gz"))]
+    # metadata files that ride along in release archives are not payload
+    META_SUFFIXES = (".md5", ".version", ".txt", ".md", ".json", ".tsv",
+                     ".log", ".html", ".yml", ".yaml")
+    META_NAMES = {"readme", "license", "licence", "copying", "changelog",
+                  "notice", "authors", "citation"}
     structs = [e for e in entries
-               if not e.endswith((".md5", ".version", ".txt"))
+               if not e.lower().endswith(META_SUFFIXES)
+               and os.path.basename(e).lower().split(".")[0] not in META_NAMES
                and e not in fastas]
     from ..ingest.createdb import create_db
     if structs:
-        create_db([content_dir], output)
+        create_db(structs, output)
     elif fastas:
         create_db(fastas, output, prostt5_model=prostt5_model)
     else:

@@ -62,10 +62,13 @@ def cluster_complexes(db: StructDB,
 
 
 def multimer_cluster(db: StructDB, params: SearchParams,
-                     filter_params: MultimerFilterParams = None) -> Dict[int, List[int]]:
+                     filter_params: MultimerFilterParams = None,
+                     tmp_dir: str = "") -> Dict[int, List[int]]:
     if filter_params is None:
         filter_params = default_filter_params(params.cov_thr, params.cov_mode)
-    score_results = multimer_search(db, db, params, filter_params=filter_params)
+    score_results = multimer_search(db, db, params,
+                                    filter_params=filter_params,
+                                    tmp_dir=tmp_dir)
     return cluster_complexes(db, score_results)
 
 
@@ -87,7 +90,7 @@ def easy_multimer_cluster(input_path: str, output_prefix: str, tmp_dir: str,
     (data/easymultimercluster.sh:105-131)."""
     os.makedirs(tmp_dir, exist_ok=True)
     db = ensure_db(input_path, tmp_dir, "query")
-    clusters = multimer_cluster(db, params, filter_params)
+    clusters = multimer_cluster(db, params, filter_params, tmp_dir=tmp_dir)
     _, complex_chains, _ = complex_maps(db)
     key_to_idx = db.key_to_index()
 

@@ -71,7 +71,7 @@ def easy_multimer_search(query_input: str, target_input: str,
     qdb = ensure_db(query_input, tmp_dir, "query")
     same_input = os.path.abspath(query_input) == os.path.abspath(target_input)
     tdb = qdb if same_input else ensure_db(target_input, tmp_dir, "target")
-    score_results = multimer_search(qdb, tdb, params)
+    score_results = multimer_search(qdb, tdb, params, tmp_dir=tmp_dir)
     report = create_multimer_report(qdb, tdb, score_results)
     report_path = output_prefix + "_report"
     with open(report_path, "w") as f:

@@ -213,14 +213,10 @@ def recover_alignment(prof, t_aa: np.ndarray, t_ss: np.ndarray,
                                  prof.gap_open, prof.gap_extend)
         # vectorized identity count over M columns (a python char loop here
         # was ~13M iterations per 64k-hit fleet)
-        arr = np.frombuffer(bt.encode("ascii"), dtype=np.uint8)
-        qstep = arr != ord("D")
-        tstep = arr != ord("I")
-        qpos = q_start + np.cumsum(qstep) - qstep
-        tpos = t_start + np.cumsum(tstep) - tstep
-        m = arr == ord("M")
-        ident = int((np.asarray(prof.q_aa)[qpos[m]]
-                     == np.asarray(t_aa)[tpos[m]]).sum())
+        from .lddt import backtrace_indices
+        q_idx, t_idx = backtrace_indices(bt, q_start, t_start)
+        ident = int((np.asarray(prof.q_aa)[q_idx]
+                     == np.asarray(t_aa)[t_idx]).sum())
         return Traceback(q_start=q_start, t_start=t_start, backtrace=bt,
                          identical_aa=ident)
 

@@ -354,11 +354,15 @@ def align_all(qdb: StructDB, tdb: StructDB,
     query_profiles: optional prebuilt PSSM profiles (iterative search).
     Returns query key -> sorted AlnResult list.
     """
+    import time as _time
     ev = EvalueComputer(tdb.total_residues)
     tkey_to_idx = tdb.key_to_index()
     qkey_to_idx = qdb.key_to_index()
+    _t0 = _time.perf_counter()
     scorer = PairScorer(qdb, tdb, params, prefilter, qkey_to_idx, tkey_to_idx,
                         query_profiles=query_profiles)
+    logger.debug("align: SW pair scoring %.2fs",
+                 _time.perf_counter() - _t0)
 
     need_tm = params.tmscore_threshold > 0 or params.sort_by_structure_bits
     need_lddt = params.lddt_threshold > 0 or params.sort_by_structure_bits
@@ -404,10 +408,16 @@ def align_all(qdb: StructDB, tdb: StructDB,
             need_tm=need_tm, need_lddt=need_lddt, same_db=same_db,
             defer_gates=defer_gates)
 
+    _t0 = _time.perf_counter()
     out = dict(map_queries(one, prefilter.items()))
+    logger.debug("align: host per-hit loop %.2fs",
+                 _time.perf_counter() - _t0)
     if defer_gates:
+        _t0 = _time.perf_counter()
         _device_gates(qdb, tdb, out, params, qkey_to_idx, tkey_to_idx,
                       need_tm, need_lddt)
+        logger.debug("align: device TM/LDDT gates %.2fs",
+                     _time.perf_counter() - _t0)
         key = (compare_hits_by_structure_bits
                if params.sort_by_structure_bits else compare_hits)
         for rs in out.values():

@@ -526,16 +526,29 @@ def _jax_backend_live() -> bool:
     forking a process that holds live PJRT threads can deadlock the
     children, so the prefilter falls back to the sequential path then
     (on the default pipeline the k-mer stage runs before any device work,
-    so the fork fast path still applies there)."""
+    so the fork fast path still applies there).
+    FOLDSEEK_TPU_FORK=1/0 overrides the probe both ways."""
+    import os
     import sys
+    env = os.environ.get("FOLDSEEK_TPU_FORK", "")
+    if env in ("0", "1"):
+        return env == "0"
     jax_mod = sys.modules.get("jax")
     if jax_mod is None:
         return False
-    try:
-        from jax._src import xla_bridge
-        return bool(xla_bridge._backends)
-    except Exception:
-        return True  # can't tell: assume live, stay safe
+    for probe in ("_src.xla_bridge", "lib.xla_bridge"):
+        mod = jax_mod
+        try:
+            for part in probe.split("."):
+                mod = getattr(mod, part)
+            backends = getattr(mod, "_backends")
+            return bool(backends)
+        except AttributeError:
+            continue
+    logger.debug("kmer: cannot probe JAX backend state (private API moved);"
+                 " assuming live — set FOLDSEEK_TPU_FORK=1 to force the"
+                 " fork-parallel prefilter")
+    return True  # can't tell: assume live, stay safe
 
 
 def _kmer_query_worker(args):
@@ -555,8 +568,8 @@ def _query_split(pref, qdb, params, same_db):
     # fork-parallel over queries — the reference's `#pragma omp parallel
     # for` in Prefiltering; the forked workers share the posting lists
     # copy-on-write
-    n_workers = min(os.cpu_count() or 1, len(jobs),
-                    int(os.environ.get("FOLDSEEK_TPU_THREADS", "16")))
+    from ..utils.hostpar import n_host_threads
+    n_workers = n_host_threads(len(jobs))
     if n_workers > 1 and len(jobs) > 2 and hasattr(os, "fork") \
             and not _jax_backend_live():
         _FORK_STATE["pref"], _FORK_STATE["qdb"] = pref, qdb

@@ -69,8 +69,7 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
             with Timer("ungapped+gapped prefilter"):
                 return ungapped_and_gapped_results(qdb, tdb, params, same_db)
         if cache is not None:
-            return cache.run_aln("prefaln", run,
-                                 add_backtrace=params.add_backtrace)
+            return cache.run_aln("prefaln", run)
         return run()
 
     def run_pref():
@@ -95,7 +94,10 @@ def _align_stage(qdb: StructDB, tdb: StructDB, pref: Dict[int, List[int]],
         with Timer("structurealign"):
             return align_all(qdb, tdb, pref, params, same_db=same_db)
     if cache is not None:
-        return cache.run_aln("aln", run, add_backtrace=params.add_backtrace)
+        # backtraces are always persisted: a resumed run must reproduce the
+        # in-memory records (result2profile in iterative search and the
+        # downstream multimer/cluster stages all consume them)
+        return cache.run_aln("aln", run)
     return run()
 
 
@@ -165,8 +167,7 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
                 return align_all(qdb, tdb, pref, params, same_db=same_db,
                                  query_profiles=qprofiles)
         if cache is not None:
-            results = cache.run_aln(f"aln_iter{it}", run_iter,
-                                    add_backtrace=params.add_backtrace)
+            results = cache.run_aln(f"aln_iter{it}", run_iter)
         else:
             results = run_iter()
     return results

@@ -25,7 +25,8 @@ def parse_result_line(line: str) -> Tuple[int, AlnResult]:
     qkey = int(fields[0])
     r = AlnResult(
         db_key=int(fields[1]), score=int(fields[2]),
-        seq_id=float(fields[3]), evalue=float(fields[4]),
+        seq_id=float(fields[3]), seq_id_str=fields[3],
+        evalue=float(fields[4]),
         q_start=int(fields[5]), q_end=int(fields[6]), q_len=int(fields[7]),
         t_start=int(fields[8]), t_end=int(fields[9]), t_len=int(fields[10]),
         backtrace=expand_backtrace(fields[11]) if len(fields) > 11 else "")

@@ -28,6 +28,11 @@ class AlnResult:
     tm: float = 0.0
     u: object = None        # [3,3] rotation (target->query frame)
     t: object = None        # [3] translation
+    # verbatim seq-id text for records parsed from an alignment DB. The
+    # reference's resume path reuses the artifact file bytes; re-deriving
+    # the text from the parsed float can drop one milli ((int)(f32(0.253)
+    # *1000) == 252), so round-tripped records keep their original text.
+    seq_id_str: str = ""
 
 
 def compress_backtrace(bt: str) -> str:
@@ -61,7 +66,8 @@ def format_seq_id(seq_id: float) -> str:
 
 def result_to_line(r: AlnResult, add_backtrace: bool) -> str:
     """Alignment DB text record (Matcher::resultToBuffer)."""
-    fields = [str(r.db_key), str(int(r.score)), format_seq_id(r.seq_id),
+    fields = [str(r.db_key), str(int(r.score)),
+              r.seq_id_str or format_seq_id(r.seq_id),
               f"{r.evalue:.3E}", str(r.q_start), str(r.q_end), str(r.q_len),
               str(r.t_start), str(r.t_end), str(r.t_len)]
     if add_backtrace:

@@ -33,15 +33,24 @@ def _params_blob(params) -> str:
 
 
 def _db_fingerprint(db) -> dict:
-    """Identity of a DB input for the hash: path + shape. Entry count and
-    residue total catch a rebuilt DB under the same path (the reference
-    keys only on parameters; this is strictly safer)."""
+    """Identity of a DB input for the hash: path + shape + manifest stat.
+    Entry count, residue total, and the manifest's mtime/size catch a
+    rebuilt DB under the same path even when the shape is unchanged (e.g.
+    regenerated 3Di from different inputs — the reference keys only on
+    parameters; this is strictly safer)."""
     if db is None:
         return {}
-    return {"path": getattr(db, "path", ""),
-            "n": int(getattr(db, "size", 0)),
-            "residues": int(db.total_residues)
-            if hasattr(db, "total_residues") else 0}
+    fp = {"path": getattr(db, "path", ""),
+          "n": int(getattr(db, "size", 0)),
+          "residues": int(db.total_residues)
+          if hasattr(db, "total_residues") else 0}
+    manifest = os.path.join(fp["path"], "manifest.json") if fp["path"] else ""
+    try:
+        st = os.stat(manifest)
+        fp["manifest"] = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        pass
+    return fp
 
 
 def param_hash(params, *dbs) -> str:

@@ -14,9 +14,18 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, List
 
 
+_thread_cap = 0  # 0 = auto (all cores); set via --threads
+
+
+def set_threads(n: int) -> None:
+    """CLI `--threads N` (Parameters.cpp PARAM_THREADS). 0 restores auto."""
+    global _thread_cap
+    _thread_cap = max(0, int(n))
+
+
 def n_host_threads(n_items: int) -> int:
-    return max(1, min(os.cpu_count() or 1, n_items,
-                      int(os.environ.get("FOLDSEEK_TPU_THREADS", "16"))))
+    cap = _thread_cap or int(os.environ.get("FOLDSEEK_TPU_THREADS", "16"))
+    return max(1, min(os.cpu_count() or 1, n_items, cap))
 
 
 def map_queries(fn: Callable, items: Iterable) -> List:

@@ -31,3 +31,20 @@ def enable_compilation_cache() -> None:
         _enabled = True
     except Exception:  # cache is an optimization; never fail a run over it
         pass
+
+
+def honor_jax_platforms() -> None:
+    """Make `JAX_PLATFORMS=cpu foldseek-tpu ...` actually select the CPU
+    backend. Some site configurations (e.g. a remote-TPU plugin installed
+    via sitecustomize) pin `jax_platforms` after import, overriding the
+    env var; tests fix this in conftest via jax.config — the CLI honors
+    the same contract here so a user can run host-only when the device
+    or its tunnel is unavailable."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if not plats:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", plats)
+    except Exception:
+        pass

@@ -90,3 +90,18 @@ def test_align_threaded_matches_single_thread(monkeypatch, example_dir,
         return {k: [(r.db_key, r.score, r.backtrace) for r in v]
                 for k, v in res.items()}
     assert fmt(r1) == fmt(r8)
+
+
+def test_threads_flag_caps_pool():
+    """--threads N (Parameters.cpp PARAM_THREADS) caps the host pool; 0
+    restores the auto policy."""
+    from foldseek_tpu.utils.hostpar import set_threads
+    auto = n_host_threads(64)
+    try:
+        set_threads(1)
+        assert n_host_threads(64) == 1
+        set_threads(2)
+        assert n_host_threads(64) == min(2, os.cpu_count() or 1, 64)
+    finally:
+        set_threads(0)
+    assert n_host_threads(64) == auto

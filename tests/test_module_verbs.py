@@ -169,3 +169,57 @@ def test_result2rbh_verb(tmp_path):
     rbh, _ = read_result_db(str(out))
     assert [x.db_key for x in rbh[0]] == [6]  # ties A's best score
     assert rbh.get(1, []) == []
+
+
+def test_apply_opaque_output(small_setup):
+    """apply with a program whose output is not alignment-shaped writes a
+    flat qkey\\t<line> TSV (the reference treats apply output as opaque
+    entry bytes, lib/mmseqs/src/util/apply.cpp)."""
+    import sys
+    from foldseek_tpu.cli import main
+    db, aln0, d = small_setup
+    out = str(d / "applied_flat")
+    prog = [sys.executable, "-c",
+            "import sys\n"
+            "for line in sys.stdin:\n"
+            "    print(line.split('\\t')[0])"]
+    assert main(["apply", aln0, out, "--"] + prog) == 0
+    lines = [l.rstrip("\n").split("\t") for l in open(out)]
+    assert lines and all(len(l) == 2 for l in lines)
+    # identity transform stays a typed alignment DB
+    out2 = str(d / "applied_id")
+    prog_id = [sys.executable, "-c",
+               "import sys; sys.stdout.write(sys.stdin.read())"]
+    assert main(["apply", aln0, out2, "--"] + prog_id) == 0
+    from foldseek_tpu.search.resultdb import read_result_db
+    base, _ = read_result_db(aln0)
+    same, _ = read_result_db(out2)
+    assert sum(len(v) for v in same.values()) == \
+        sum(len(v) for v in base.values())
+
+
+def test_convertalis_uses_stored_backtrace(small_setup):
+    """Default m8 columns derive alnlen/mismatch/gapopen from a stored
+    backtrace whenever one exists (structureconvertalis.cpp:727), not only
+    when the column set demands one."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.search.resultdb import read_result_db
+    db, _, d = small_setup
+    aln_bt = str(d / "aln_bt")
+    assert main(["search", db, db, aln_bt, str(d / "tbt"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    base, has_bt = read_result_db(aln_bt)
+    assert has_bt
+    m8 = str(d / "conv.m8")
+    assert main(["convertalis", db, db, aln_bt, m8, "-v", "1"]) == 0
+    rows = [l.rstrip("\n").split("\t") for l in open(m8)]
+    # every row: alnlen equals the stored backtrace length, not the
+    # max-span estimate
+    from foldseek_tpu.db.storage import load_db
+    dbo = load_db(db)
+    key_by_name = {dbo.names[i]: int(dbo.keys[i]) for i in range(dbo.size)}
+    for row in rows:
+        qk, tk = key_by_name[row[0]], key_by_name[row[1]]
+        rec = next(r for r in base[qk] if r.db_key == tk
+                   and int(row[6]) == r.q_start + 1)
+        assert int(row[3]) == len(rec.backtrace)

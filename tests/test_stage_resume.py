@@ -134,3 +134,74 @@ def test_cluster_resume_matches(small_db, tmp_path, caplog):
     skips = [r for r in caplog.records if "resume: skipping" in r.getMessage()]
     assert skips  # at least the clustering steps were skipped
     assert second == first
+
+
+def test_resume_keeps_backtraces_without_add_backtrace(small_db, tmp_path):
+    """Stage artifacts persist backtraces even when add_backtrace=False:
+    a resumed iterative search feeds result2profile the same records a
+    fresh run would (the round-3 review's silent-PSSM-gutting case)."""
+    params = SearchParams(add_backtrace=False)
+    tmp = str(tmp_path / "tmp")
+    os.makedirs(tmp)
+    first = search(small_db, small_db, params, tmp_dir=tmp)
+    assert all(r.backtrace for rs in first.values() for r in rs)
+    # resumed records carry the same backtraces
+    second = search(small_db, small_db, params, tmp_dir=tmp)
+    assert _fmt(second) == _fmt(first)
+
+
+def test_rebuilt_db_invalidates_stage_cache(small_db, tmp_path):
+    """A same-shape rebuild of the DB (manifest rewritten) must change the
+    param hash so stale artifacts are not reused."""
+    import shutil
+    params = SearchParams()
+    copy_path = str(tmp_path / "dbcopy")
+    shutil.copytree(small_db.path, copy_path)
+    db1 = load_db(copy_path)
+    h1 = param_hash(params, db1, db1)
+    # rewrite the manifest (same content, newer mtime) = rebuilt DB
+    m = os.path.join(copy_path, "manifest.json")
+    with open(m) as f:
+        blob = f.read()
+    os.utime(m, ns=(os.stat(m).st_mtime_ns + 10**9,
+                    os.stat(m).st_mtime_ns + 10**9))
+    db2 = load_db(copy_path)
+    h2 = param_hash(params, db2, db2)
+    assert h1 != h2
+    assert blob  # manifest unchanged in content
+
+
+def test_multimersearch_resumes(small_db, tmp_path, caplog):
+    from foldseek_tpu.multimer.workflow import multimer_search
+    params = SearchParams()
+    tmp = str(tmp_path / "mtmp")
+    os.makedirs(tmp)
+    first = multimer_search(small_db, small_db, params, tmp_dir=tmp)
+    import logging
+    with caplog.at_level(logging.INFO, logger="foldseek_tpu"):
+        second = multimer_search(small_db, small_db, params, tmp_dir=tmp)
+    skips = [r for r in caplog.records if "resume: skipping" in r.getMessage()]
+    assert skips  # chain search + expand-align artifacts skipped
+    assert second == first
+
+
+def test_resumed_records_serialize_byte_identical(small_db, tmp_path):
+    """A resumed run's output file is byte-identical to the fresh run's:
+    parsed records keep their verbatim seq-id text (re-deriving it from
+    the parsed float drops one milli — (int)(f32(0.253)*1000) == 252)."""
+    from foldseek_tpu.search.resultdb import read_result_db, write_result_db
+    params = SearchParams(add_backtrace=True)
+    tmp = str(tmp_path / "tmp")
+    os.makedirs(tmp)
+    first = search(small_db, small_db, params, tmp_dir=tmp)
+    p1 = str(tmp_path / "r1")
+    write_result_db(first, p1, add_backtrace=True)
+    second = search(small_db, small_db, params, tmp_dir=tmp)  # resumed
+    p2 = str(tmp_path / "r2")
+    write_result_db(second, p2, add_backtrace=True)
+    assert open(p1).read() == open(p2).read()
+    # and a plain read->write round trip is the identity
+    back, has_bt = read_result_db(p1)
+    p3 = str(tmp_path / "r3")
+    write_result_db(back, p3, add_backtrace=has_bt)
+    assert open(p1).read() == open(p3).read()
