@@ -1274,6 +1274,154 @@ def cmd_rmdb(argv):
     return 0
 
 
+def cmd_lndb(argv):
+    """Link a DB under a new path without copying payload (reference:
+    lib/mmseqs/src/util/lndb.cpp hardlinks every DB file; workflows use it
+    to alias large target DBs into tmp dirs)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu lndb")
+    p.add_argument("src")
+    p.add_argument("dst")
+    args = p.parse_args(argv)
+    if os.path.isdir(args.src):
+        os.makedirs(args.dst, exist_ok=True)
+        for root, _, files in os.walk(args.src):
+            rel = os.path.relpath(root, args.src)
+            out_dir = os.path.join(args.dst, rel) if rel != "." else args.dst
+            os.makedirs(out_dir, exist_ok=True)
+            for fn in files:
+                dst = os.path.join(out_dir, fn)
+                if os.path.lexists(dst):
+                    os.unlink(dst)
+                try:
+                    os.link(os.path.join(root, fn), dst)
+                except OSError:  # cross-device: fall back to symlink
+                    os.symlink(os.path.abspath(os.path.join(root, fn)), dst)
+    elif os.path.isfile(args.src):
+        if os.path.lexists(args.dst):
+            os.unlink(args.dst)
+        try:
+            os.link(args.src, args.dst)
+        except OSError:
+            os.symlink(os.path.abspath(args.src), args.dst)
+    else:
+        raise SystemExit(f"lndb: {args.src}: no such DB")
+    return 0
+
+
+def cmd_renamedbkeys(argv):
+    """Rename DB entry keys per a two-column mapping file (reference:
+    lib/mmseqs/src/util/renamedbkeys.cpp — rewrites the .index keys only,
+    payload untouched; workflows use it to re-key sub-DBs)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu renamedbkeys")
+    p.add_argument("mapping", help="TSV: <old_key> <new_key> per line")
+    p.add_argument("db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    mapping = {}
+    with open(args.mapping) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                mapping[int(parts[0])] = int(parts[1])
+    from .db.storage import is_db
+    if is_db(args.db):
+        import numpy as np
+        cmd_lndb([args.db, args.output_db])
+        keys_path = os.path.join(args.output_db, "keys.npy")
+        keys = np.load(keys_path).copy()
+        for i, k in enumerate(keys):
+            keys[i] = mapping.get(int(k), int(k))
+        os.unlink(keys_path)  # never write through a hardlink to the source
+        np.save(keys_path, keys)
+        return 0
+    # flat alignment result DB: re-key the leading query column
+    from .search.resultdb import read_result_db, write_result_db
+    results, has_bt = read_result_db(args.db)
+    out = {mapping.get(qk, qk): rs for qk, rs in results.items()}
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
+def cmd_tsv2db(argv):
+    """Flat TSV -> DB (reference: lib/mmseqs/src/util/tsv2db.cpp groups
+    consecutive same-key lines into entries). Alignment-shaped rows become
+    a typed alignment result DB; anything else stays a flat keyed TSV (the
+    same opaque-entry convention `apply` uses)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu tsv2db")
+    p.add_argument("input_tsv")
+    p.add_argument("output_db")
+    p.add_argument("--output-dbtype", type=int, default=5,
+                   help="5: alignment result (reference"
+                        " Parameters::DBTYPE_ALIGNMENT_RES), 0: generic")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import parse_result_line, write_result_db
+    rows = []
+    with open(args.input_tsv) as f:
+        for line in f:
+            if line.strip():
+                rows.append(line.rstrip("\n"))
+    if args.output_dbtype == 5:
+        try:
+            out = {}
+            has_bt = False
+            for line in rows:
+                qkey, r = parse_result_line(line)
+                has_bt = has_bt or bool(r.backtrace)
+                out.setdefault(qkey, []).append(r)
+            write_result_db(out, args.output_db, add_backtrace=has_bt)
+            return 0
+        except (ValueError, IndexError):
+            logger.info("tsv2db: rows are not alignment-shaped; writing"
+                        " a generic keyed DB")
+    with open(args.output_db, "w") as f:
+        for line in rows:
+            f.write(line + "\n")
+    return 0
+
+
+def cmd_appenddbtoindex(argv):
+    """Attach extra DBs to a createindex artifact under named ids
+    (reference: lib/mmseqs/src/util/appenddbtoindex.cpp — structureindex.sh
+    packs the C-alpha and ss DBs into the .idx under reserved keys 500/502
+    so a search needs only the index). Our index lives inside the DB dir,
+    so satellites are already co-located; this registers extra payloads
+    under index/appended/<id> for the same single-artifact deployment."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu appenddbtoindex")
+    p.add_argument("dbs", nargs="+", help="DBs to append, then the index DB")
+    p.add_argument("--id-list", required=True,
+                   help="comma-separated numeric ids, one per appended DB")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    *srcs, index_db = args.dbs
+    ids = [int(x) for x in args.id_list.split(",") if x]
+    if len(ids) != len(srcs):
+        raise SystemExit("appenddbtoindex: --id-list length must match the"
+                         " number of appended DBs")
+    from .db.index import index_dir
+    idx = index_dir(index_db)
+    if not os.path.isfile(os.path.join(idx, "manifest.json")):
+        raise SystemExit(f"appenddbtoindex: {index_db} has no index"
+                         " (run createindex first)")
+    import json as _json
+    app_root = os.path.join(idx, "appended")
+    os.makedirs(app_root, exist_ok=True)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        manifest = _json.load(f)
+    appended = manifest.setdefault("appended", {})
+    for src, key in zip(srcs, ids):
+        cmd_lndb([src, os.path.join(app_root, str(key))])
+        appended[str(key)] = os.path.basename(src.rstrip("/"))
+    with open(os.path.join(idx, "manifest.json"), "w") as f:
+        _json.dump(manifest, f)
+    logger.info("appenddbtoindex: %d DBs under %s", len(srcs), app_root)
+    return 0
+
+
 def cmd_subtractdbs(argv):
     """Remove records of result DB B from result DB A per query key
     (reference: lib/mmseqs/src/util/subtractdbs.cpp)."""
@@ -1909,6 +2057,11 @@ COMMANDS = {
     "ungappedprefilter": (cmd_ungappedprefilter, "Device gapless prefilter to a result DB"),
     "mvdb": (cmd_mvdb, "Move/rename a DB"),
     "rmdb": (cmd_rmdb, "Remove a DB"),
+    "lndb": (cmd_lndb, "Link a DB under a new path (no payload copy)"),
+    "renamedbkeys": (cmd_renamedbkeys, "Rename DB entry keys per mapping file"),
+    "tsv2db": (cmd_tsv2db, "Flat TSV to a (result) DB"),
+    "appenddbtoindex": (cmd_appenddbtoindex, "Attach DBs to a createindex artifact"),
+    "swapdb": (cmd_swapresults, "Alias of swapresults (base:swapdb)"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),
     "swapresults": (cmd_swapresults, "Swap query/target sides of a result DB"),

@@ -39,12 +39,16 @@ def honor_jax_platforms() -> None:
     via sitecustomize) pin `jax_platforms` after import, overriding the
     env var; tests fix this in conftest via jax.config — the CLI honors
     the same contract here so a user can run host-only when the device
-    or its tunnel is unavailable."""
+    or its tunnel is unavailable. Only an explicit CPU request is acted
+    on: the env var may also carry the site's device platform as ambient
+    machine config, and re-pinning that would override an in-process CPU
+    pin (e.g. the test conftest's) with a possibly-unreachable device."""
     plats = os.environ.get("JAX_PLATFORMS", "")
-    if not plats:
+    if not plats or set(plats.split(",")) != {"cpu"}:
         return
     try:
         import jax
-        jax.config.update("jax_platforms", plats)
+        if jax.config.jax_platforms != plats:
+            jax.config.update("jax_platforms", plats)
     except Exception:
         pass

@@ -223,3 +223,82 @@ def test_convertalis_uses_stored_backtrace(small_setup):
         rec = next(r for r in base[qk] if r.db_key == tk
                    and int(row[6]) == r.q_start + 1)
         assert int(row[3]) == len(rec.backtrace)
+
+
+def test_lndb_and_renamedbkeys(small_setup, tmp_path):
+    """lndb links a DB without copying payload; renamedbkeys rewrites entry
+    keys per mapping (lndb.cpp, renamedbkeys.cpp) on both a structure DB
+    and a flat result DB."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    db, aln0, d = small_setup
+    linked = str(tmp_path / "linked")
+    assert main(["lndb", db, linked]) == 0
+    src = load_db(db)
+    ln = load_db(linked)
+    assert list(ln.keys) == list(src.keys) and ln.names == src.names
+    assert os.stat(os.path.join(linked, "aa.npy")).st_ino == \
+        os.stat(os.path.join(db, "aa.npy")).st_ino  # hardlink, not a copy
+    # rename keys 0->100, 1->101 in the linked DB; source must not change
+    mapping = str(tmp_path / "map.tsv")
+    with open(mapping, "w") as f:
+        f.write("0\t100\n1\t101\n")
+    renamed = str(tmp_path / "renamed")
+    assert main(["renamedbkeys", mapping, linked, renamed]) == 0
+    rn = load_db(renamed)
+    assert sorted(int(k) for k in rn.keys) == \
+        sorted(100 if k == 0 else 101 if k == 1 else k
+               for k in (int(x) for x in src.keys))
+    assert list(load_db(db).keys) == list(src.keys)  # source untouched
+    # flat result DB re-keying
+    from foldseek_tpu.search.resultdb import read_result_db
+    raln = str(tmp_path / "aln_renamed")
+    assert main(["renamedbkeys", mapping, aln0, raln]) == 0
+    base, _ = read_result_db(aln0)
+    out, _ = read_result_db(raln)
+    assert set(out) == {100 if k == 0 else 101 if k == 1 else k
+                        for k in base}
+
+
+def test_tsv2db_roundtrip(small_setup, tmp_path):
+    """createtsv-style flat rows -> tsv2db -> typed alignment DB; opaque
+    rows stay a generic keyed DB (tsv2db.cpp)."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.search.resultdb import read_result_db
+    db, aln0, d = small_setup
+    # dump the alignment DB body (strip header) and rebuild it
+    body = str(tmp_path / "body.tsv")
+    with open(aln0) as f, open(body, "w") as out:
+        for line in f:
+            if not line.startswith("#"):
+                out.write(line)
+    rebuilt = str(tmp_path / "rebuilt")
+    assert main(["tsv2db", body, rebuilt]) == 0
+    a, _ = read_result_db(aln0)
+    b, _ = read_result_db(rebuilt)
+    assert {k: len(v) for k, v in a.items()} == {k: len(v) for k, v in b.items()}
+    # opaque rows
+    flat_in = str(tmp_path / "flat.tsv")
+    with open(flat_in, "w") as f:
+        f.write("0\thello world\n1\topaque data\n")
+    flat_out = str(tmp_path / "flatdb")
+    assert main(["tsv2db", flat_in, flat_out]) == 0
+    assert open(flat_out).read() == open(flat_in).read()
+
+
+def test_appenddbtoindex(small_setup, tmp_path):
+    """appenddbtoindex registers satellite DBs inside the index artifact
+    under numeric ids (structureindex.sh reserved keys 500/502)."""
+    import json
+    from foldseek_tpu.cli import main
+    db, aln0, d = small_setup
+    work = str(tmp_path / "idxdb")
+    assert main(["lndb", db, work]) == 0
+    assert main(["createindex", work, str(tmp_path / "itmp"), "-v", "1"]) == 0
+    sat = str(tmp_path / "sat")
+    assert main(["lndb", db, sat]) == 0
+    assert main(["appenddbtoindex", sat, work, "--id-list", "500"]) == 0
+    man = json.load(open(os.path.join(work, "index", "manifest.json")))
+    assert man["appended"] == {"500": "sat"}
+    assert os.path.isfile(os.path.join(work, "index", "appended", "500",
+                                       "manifest.json"))
