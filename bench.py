@@ -28,9 +28,42 @@ import numpy as np
 REFERENCE_CPU_1CORE_GCUPS = 22.0
 
 
+def wait_for_device(budget_s: float = 1800.0, probe_timeout_s: float = 90.0):
+    """Gate the measurement on a healthy device: probe with a small matmul
+    readback in a SUBPROCESS under a timeout (a wedged remote-dispatch
+    tunnel hangs the caller forever, so the probe must be killable), retry
+    until the budget runs out. Returns True when a probe succeeded; after
+    the budget, proceed anyway — on local TPU hardware the first probe
+    succeeds in seconds and this is a no-op."""
+    import subprocess
+    import sys
+    code = ("import jax, numpy as np;"
+            "x = jax.numpy.ones((256, 256), jax.numpy.bfloat16);"
+            "print(float(np.asarray((x @ x).sum())))")
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            import sys as _sys
+            print(f"bench: device probe never succeeded within "
+                  f"{budget_s:.0f}s; measuring anyway", file=_sys.stderr,
+                  flush=True)
+            return False
+        time.sleep(min(60.0, max(5.0, deadline - time.monotonic())))
+
+
 def main():
     from foldseek_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
+    wait_for_device()
     import jax
     import jax.numpy as jnp
 
