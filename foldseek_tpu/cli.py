@@ -1727,6 +1727,183 @@ def cmd_createseqfiledb(argv):
     return 0
 
 
+def _msa_rows(qlen: int, rs, tdb, tkey_to_idx, a3m: bool):
+    """Query-centered MSA rows from backtraced records. Returns
+    [(record, row_string)]; a3m keeps target insertions as lowercase
+    after the preceding query column (result2msa.cpp:436-470), aligned
+    FASTA drops them."""
+    out = []
+    for r in rs:
+        if not r.backtrace:
+            continue
+        ti = tkey_to_idx.get(r.db_key)
+        if ti is None:
+            continue
+        tseq = tdb.get_aa_str(ti).upper()
+        cols = ["-"] * qlen
+        inserts = [""] * (qlen + 1)
+        qpos, tpos = r.q_start, r.t_start
+        for op in r.backtrace:
+            if op == "M":
+                cols[qpos] = tseq[tpos]
+                qpos += 1
+                tpos += 1
+            elif op == "I":  # gap in target, query advances
+                qpos += 1
+            else:  # D: target insertion relative to the query
+                if a3m:
+                    inserts[qpos] += tseq[tpos].lower()
+                tpos += 1
+        if a3m:
+            row = "".join(c + inserts[pos + 1]
+                          for pos, c in enumerate(cols))
+        else:
+            row = "".join(cols)
+        out.append((r, row))
+    return out
+
+
+def cmd_result2msa(argv):
+    """Query-centered MSA DB from a backtraced result DB (reference:
+    lib/mmseqs/src/util/result2msa.cpp). Modes: 2 aligned FASTA,
+    3 FASTA w/ summary header, 5 A3M, 6 A3M w/ alignment info columns.
+    Output is a keyed flat DB unpackdb can explode into per-query files."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu result2msa")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("--msa-format-mode", type=int, default=2,
+                   help="2: aligned FASTA, 3: +summary, 5: A3M, 6: A3M"
+                        " w/ aln info (Parameters.cpp FORMAT_MSA_*)")
+    p.add_argument("--skip-query", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    if args.msa_format_mode not in (2, 3, 5, 6):
+        raise SystemExit("result2msa: only --msa-format-mode 2/3/5/6 are"
+                         " supported (binary cA3M and Stockholm are not)")
+    from .db.storage import load_db
+    from .search.resultdb import read_result_db
+    from .search.results import result_to_line
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    results, has_bt = read_result_db(args.result_db)
+    if not has_bt:
+        raise SystemExit("result2msa: result DB has no backtraces"
+                         " (run search/align with -a)")
+    qkey_to_idx = qdb.key_to_index()
+    tkey_to_idx = tdb.key_to_index()
+    thead = {int(tdb.keys[i]): tdb.headers[i] for i in range(tdb.size)}
+    a3m = args.msa_format_mode in (5, 6)
+    same_db = tdb is qdb
+    with open(args.output_db, "w") as f:
+        f.write("#foldseek-tpu msadb v1\n")
+        for qkey in sorted(results):
+            qi = qkey_to_idx.get(qkey)
+            if qi is None:
+                continue
+            qseq = qdb.get_aa_str(qi).upper()
+            # same-DB self hit is redundant with the center row
+            # (result2msa.cpp:231-234)
+            rs = [r for r in results[qkey]
+                  if not (same_db and r.db_key == qkey)]
+            rows = _msa_rows(len(qseq), rs, tdb, tkey_to_idx, a3m)
+            f.write(f"#entry {qkey} {qdb.names[qi]}\n")
+            if args.msa_format_mode == 3:
+                f.write(f"#{qdb.names[qi]}|{len(rows)} alignments\n")
+            if not args.skip_query:
+                f.write(f">{qdb.headers[qi].split()[0]}\n{qseq}\n")
+            for r, row in rows:
+                head = thead.get(r.db_key, str(r.db_key)).split()[0]
+                if args.msa_format_mode == 6:
+                    # alignment info columns = the record minus target key
+                    # and backtrace (result2msa.cpp:427-433)
+                    info = result_to_line(r, False).split("\t", 1)[1]
+                    f.write(f">{head}\t{info}\n{row}\n")
+                else:
+                    f.write(f">{head}\n{row}\n")
+            f.write("\0\n")
+    logger.info("result2msa: %d MSAs -> %s", len(results), args.output_db)
+    return 0
+
+
+def cmd_unpackdb(argv):
+    """Explode a DB into one file per entry (reference:
+    lib/mmseqs/src/util/unpackdb.cpp). Accepts our keyed flat DBs (msadb,
+    alignment result DBs) and structure DBs (per-chain FASTA)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu unpackdb")
+    p.add_argument("input_db")
+    p.add_argument("output_dir")
+    p.add_argument("--unpack-suffix", default="")
+    p.add_argument("--unpack-name-mode", type=int, default=1,
+                   help="0: entry accession/name, 1: numeric key")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    def emit(name_parts, payload: str):
+        name = str(name_parts[1] if args.unpack_name_mode == 0
+                   and len(name_parts) > 1 else name_parts[0])
+        name = name.replace("/", "_") + args.unpack_suffix
+        dest = os.path.join(args.output_dir, name)
+        if name.endswith(".gz"):
+            import gzip
+            with gzip.open(dest, "wt") as g:
+                g.write(payload)
+        else:
+            with open(dest, "w") as g:
+                g.write(payload)
+
+    n = 0
+    from .db.storage import is_db
+    if is_db(args.input_db):
+        from .db.storage import load_db
+        db = load_db(args.input_db)
+        for i in range(db.size):
+            emit((int(db.keys[i]), db.names[i]),
+                 f">{db.headers[i]}\n{db.get_aa_str(i)}\n")
+            n += 1
+        logger.info("unpackdb: %d entries -> %s", n, args.output_dir)
+        return 0
+    with open(args.input_db) as f:
+        first = f.readline()
+        if first.startswith("#foldseek-tpu msadb"):
+            parts, buf = None, []
+            for line in f:
+                if line.startswith("#entry "):
+                    if parts is not None:
+                        emit(parts, "".join(buf))
+                        n += 1
+                    parts, buf = line.split()[1:3], []
+                elif line.rstrip("\n") != "\0":
+                    buf.append(line)
+            if parts is not None:
+                emit(parts, "".join(buf))
+                n += 1
+        elif first.startswith("#foldseek-tpu alnres"):
+            from .search.resultdb import read_result_db
+            from .search.results import result_to_line
+            results, has_bt = read_result_db(args.input_db)
+            for qkey in sorted(results):
+                emit((qkey,), "".join(result_to_line(r, has_bt) + "\n"
+                                      for r in results[qkey]))
+                n += 1
+        else:  # generic keyed TSV: group by leading key
+            groups: dict = {}
+            for line in [first] + f.readlines():
+                if not line.strip():
+                    continue
+                key, _, rest = line.partition("\t")
+                groups.setdefault(key, []).append(rest)
+            for key in groups:
+                emit((key,), "".join(groups[key]))
+                n += 1
+    logger.info("unpackdb: %d entries -> %s", n, args.output_dir)
+    return 0
+
+
 def cmd_summarizeresult(argv):
     """Per query keep highest-ranked alignments whose query interval is not
     already covered more than --overlap by accepted ones
@@ -2062,6 +2239,8 @@ COMMANDS = {
     "tsv2db": (cmd_tsv2db, "Flat TSV to a (result) DB"),
     "appenddbtoindex": (cmd_appenddbtoindex, "Attach DBs to a createindex artifact"),
     "swapdb": (cmd_swapresults, "Alias of swapresults (base:swapdb)"),
+    "result2msa": (cmd_result2msa, "Query-centered MSA DB (FASTA/A3M) from results"),
+    "unpackdb": (cmd_unpackdb, "Explode a DB into one file per entry"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),
     "swapresults": (cmd_swapresults, "Swap query/target sides of a result DB"),

@@ -302,3 +302,35 @@ def test_appenddbtoindex(small_setup, tmp_path):
     assert man["appended"] == {"500": "sat"}
     assert os.path.isfile(os.path.join(work, "index", "appended", "500",
                                        "manifest.json"))
+
+
+def test_result2msa_unpackdb_flow(small_setup, tmp_path):
+    """README's MSA flow (README.md:454-458): search -a -> result2msa
+    -> unpackdb. Byte-exact against the reference binary's output
+    (tests/golden/msa/, foldseek result2msa --msa-format-mode 6/2 +
+    unpackdb on the same 4 domains)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = pathlib.Path(__file__).parent / "golden" / "msa"
+    db, aln0, d = small_setup
+    aln = str(tmp_path / "aln_bt")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    msa = str(tmp_path / "msa")
+    assert main(["result2msa", db, db, aln, msa,
+                 "--msa-format-mode", "6", "-v", "1"]) == 0
+    outdir = str(tmp_path / "msas")
+    assert main(["unpackdb", msa, outdir, "--unpack-suffix", ".a3m",
+                 "--unpack-name-mode", "0"]) == 0
+    for f in sorted(golden.glob("*.a3m")):
+        got = open(os.path.join(outdir, f.name)).read()
+        assert got == f.read_text(), f.name
+    # aligned-FASTA default mode
+    msa2 = str(tmp_path / "msa2")
+    assert main(["result2msa", db, db, aln, msa2, "-v", "1"]) == 0
+    outdir2 = str(tmp_path / "msas2")
+    assert main(["unpackdb", msa2, outdir2, "--unpack-suffix", ".fas",
+                 "--unpack-name-mode", "0"]) == 0
+    for f in sorted(golden.glob("*.fas")):
+        got = open(os.path.join(outdir2, f.name)).read()
+        assert got == f.read_text(), f.name
