@@ -833,6 +833,234 @@ def cmd_createclusearchdb(argv):
     return 0
 
 
+def _copy_entry(writer, db, i: int, key: int = None):
+    import numpy as np
+    writer.add_entry(int(db.keys[i]) if key is None else key,
+                     db.names[i], db.headers[i],
+                     np.asarray(db.get_aa(i)), np.asarray(db.get_ss(i)),
+                     np.asarray(db.get_ca(i)) if db.ca is not None else None,
+                     db.mask[db.offsets[i]:db.offsets[i + 1]],
+                     file_id=int(db.fileids[i]) if db.fileids is not None else 0)
+
+
+def cmd_convert2fasta(argv):
+    """Sequence DB -> FASTA file (reference:
+    lib/mmseqs/src/util/convert2fasta.cpp). --use-ss emits the 3Di
+    strings instead of AA."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu convert2fasta")
+    p.add_argument("db")
+    p.add_argument("output_fasta")
+    p.add_argument("--use-ss", action="store_true")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    db = load_db(args.db)
+    get = db.get_ss_str if args.use_ss else db.get_aa_str
+    with open(args.output_fasta, "w") as f:
+        for i in range(db.size):
+            f.write(f">{db.headers[i]}\n{get(i)}\n")
+    logger.info("convert2fasta: %d entries -> %s", db.size, args.output_fasta)
+    return 0
+
+
+def cmd_sortresult(argv):
+    """Re-sort every query's records by the canonical hit order
+    (reference: lib/mmseqs/src/util/sortresult.cpp, Matcher::compareHits)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu sortresult")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import read_result_db, write_result_db
+    from .search.results import compare_hits
+    results, has_bt = read_result_db(args.result_db)
+    out = {qk: sorted(rs, key=compare_hits) for qk, rs in results.items()}
+    write_result_db(out, args.output_db, add_backtrace=has_bt)
+    return 0
+
+
+def cmd_prefixid(argv):
+    """Prefix (or suffix) every entry line with its key, a mapping name,
+    or a fixed string (reference: lib/mmseqs/src/util/prefixid.cpp; the
+    TSV building block of the taxonomy/aggregation pipelines)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu prefixid")
+    p.add_argument("db", help="keyed flat DB (alignment/msa/generic TSV)")
+    p.add_argument("output_db")
+    p.add_argument("--prefix", default="", help="fixed string instead of key")
+    p.add_argument("--mapping-file", default="",
+                   help="key -> name TSV; prefix with the name")
+    p.add_argument("--suffix-mode", action="store_true",
+                   help="append instead of prepend")
+    p.add_argument("--tsv", action="store_true",
+                   help="plain TSV output (no DB header line)")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    mapping = {}
+    if args.mapping_file:
+        for line in open(args.mapping_file):
+            parts = line.split()
+            if len(parts) >= 2:
+                mapping[parts[0]] = parts[1]
+
+    def tag(key: str) -> str:
+        if args.prefix:
+            return args.prefix
+        if mapping:
+            if key not in mapping:
+                raise SystemExit(f"prefixid: key {key} not in mapping file")
+            return mapping[key]
+        return key
+
+    with open(args.db) as f, open(args.output_db, "w") as out:
+        first = f.readline()
+        header = first.startswith("#foldseek-tpu")
+        if not header:
+            f = [first] + f.readlines() if first else []
+        elif not args.tsv:
+            out.write(first)
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line == "\0":
+                continue
+            key, _, rest = line.partition("\t")
+            body = rest if header or "\t" in line else line
+            if args.suffix_mode:
+                out.write(f"{body}\t{tag(key)}\n")
+            else:
+                out.write(f"{tag(key)}\t{body}\n")
+    return 0
+
+
+def cmd_view(argv):
+    """Print entry data to stdout (reference:
+    lib/mmseqs/src/util/view.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu view")
+    p.add_argument("db")
+    p.add_argument("--id-list", default="", help="comma-separated keys/names")
+    args = p.parse_args(argv)
+    wanted = set(x for x in args.id_list.split(",") if x)
+    from .db.storage import is_db, load_db
+    if is_db(args.db):
+        db = load_db(args.db)
+        for i in range(db.size):
+            if wanted and str(int(db.keys[i])) not in wanted \
+                    and db.names[i] not in wanted:
+                continue
+            print(f">{db.headers[i]}\n{db.get_aa_str(i)}")
+        return 0
+    with open(args.db) as f:
+        for line in f:
+            if line.startswith("#foldseek-tpu"):
+                continue
+            if wanted and line.partition("\t")[0] not in wanted:
+                continue
+            sys.stdout.write(line)
+    return 0
+
+
+def cmd_dbtype(argv):
+    """Print the DB type (reference: lib/mmseqs/src/util/dbtype.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu dbtype")
+    p.add_argument("db")
+    args = p.parse_args(argv)
+    from .db.storage import is_db
+    if is_db(args.db):
+        import json as _json
+        with open(os.path.join(args.db, "manifest.json")) as f:
+            print(_json.load(f).get("kind", "structure"))
+        return 0
+    if not os.path.isfile(args.db):
+        print("Database does not exist")
+        return 1
+    with open(args.db) as f:
+        first = f.readline()
+    if first.startswith("#foldseek-tpu alnres"):
+        print("Alignment")
+    elif first.startswith("#foldseek-tpu msadb"):
+        print("A3M MSA")
+    elif first.startswith("#foldseek-tpu complexres"):
+        print("Multimer alignment")
+    else:
+        print("Generic")
+    return 0
+
+
+def cmd_splitdb(argv):
+    """Split a structure DB into N contiguous sub-DBs named
+    <out>_<i>_<N> (reference: lib/mmseqs/src/util/splitdb.cpp;
+    --split-aa balances by residue count like decomposeDomainByAminoAcid)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu splitdb")
+    p.add_argument("db")
+    p.add_argument("output_db")
+    p.add_argument("--split", type=int, required=True)
+    p.add_argument("--split-aa", action="store_true")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import StructDBWriter, load_db
+    db = load_db(args.db)
+    n = args.split
+    if n < 1 or n > db.size:
+        raise SystemExit("splitdb: split count must be in [1, db size]")
+    bounds = [0]
+    if args.split_aa:
+        total = db.total_residues
+        target, acc = total / n, 0
+        for i in range(db.size):
+            acc += db.entry_len(i)
+            if acc >= target * len(bounds) and len(bounds) < n:
+                bounds.append(i + 1)
+    else:
+        bounds = [round(i * db.size / n) for i in range(n)]
+    bounds.append(db.size)
+    for s in range(n):
+        out = f"{args.output_db}_{s}_{n}"
+        writer = StructDBWriter(out)
+        writer.sources = db.sources or []
+        for i in range(bounds[s], bounds[s + 1]):
+            _copy_entry(writer, db, i)
+        writer.finish()
+        logger.info("splitdb: %s <- entries [%d, %d)", out,
+                    bounds[s], bounds[s + 1])
+    return 0
+
+
+def cmd_concatdbs(argv):
+    """Concatenate two structure DBs into one (reference:
+    lib/mmseqs/src/commons/DBConcat.cpp: A's entries then B's; B's keys
+    are shifted past A's unless --preserve-keys)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu concatdbs")
+    p.add_argument("db_a")
+    p.add_argument("db_b")
+    p.add_argument("output_db")
+    p.add_argument("--preserve-keys", action="store_true")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import StructDBWriter, load_db
+    a, b = load_db(args.db_a), load_db(args.db_b)
+    writer = StructDBWriter(args.output_db)
+    writer.sources = list(a.sources or [])
+    for i in range(a.size):
+        _copy_entry(writer, a, i)
+    shift = 0 if args.preserve_keys else \
+        (int(a.keys.max()) + 1 if a.size else 0)
+    if args.preserve_keys:
+        clash = set(int(k) for k in a.keys) & set(int(k) for k in b.keys)
+        if clash:
+            raise SystemExit(f"concatdbs: --preserve-keys with "
+                             f"{len(clash)} clashing keys")
+    for i in range(b.size):
+        _copy_entry(writer, b, i, key=int(b.keys[i]) + shift)
+    writer.finish()
+    logger.info("concatdbs: %d + %d entries -> %s", a.size, b.size,
+                args.output_db)
+    return 0
+
+
 def cmd_createsubdb(argv):
     p = argparse.ArgumentParser(prog="foldseek-tpu createsubdb")
     p.add_argument("id_list", help="file with one key or entry name per line")
@@ -2241,6 +2469,13 @@ COMMANDS = {
     "swapdb": (cmd_swapresults, "Alias of swapresults (base:swapdb)"),
     "result2msa": (cmd_result2msa, "Query-centered MSA DB (FASTA/A3M) from results"),
     "unpackdb": (cmd_unpackdb, "Explode a DB into one file per entry"),
+    "convert2fasta": (cmd_convert2fasta, "Sequence DB to FASTA"),
+    "sortresult": (cmd_sortresult, "Re-sort result records into canonical hit order"),
+    "prefixid": (cmd_prefixid, "Prefix entry lines with key/name/string"),
+    "view": (cmd_view, "Print DB entries to stdout"),
+    "dbtype": (cmd_dbtype, "Print the DB type"),
+    "splitdb": (cmd_splitdb, "Split a DB into N contiguous sub-DBs"),
+    "concatdbs": (cmd_concatdbs, "Concatenate two structure DBs"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),
     "swapresults": (cmd_swapresults, "Swap query/target sides of a result DB"),

@@ -334,3 +334,68 @@ def test_result2msa_unpackdb_flow(small_setup, tmp_path):
     for f in sorted(golden.glob("*.fas")):
         got = open(os.path.join(outdir2, f.name)).read()
         assert got == f.read_text(), f.name
+
+
+def test_db_utility_verbs(small_setup, tmp_path, capsys):
+    """convert2fasta / sortresult / prefixid / view / dbtype / splitdb /
+    concatdbs round-trips (lib/mmseqs/src/util counterparts)."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    from foldseek_tpu.search.resultdb import read_result_db
+    db, aln0, d = small_setup
+    dbo = load_db(db)
+    # convert2fasta
+    fa = str(tmp_path / "out.fasta")
+    assert main(["convert2fasta", db, fa]) == 0
+    lines = open(fa).read().splitlines()
+    assert len(lines) == 2 * dbo.size
+    assert lines[1] == dbo.get_aa_str(0)
+    # sortresult is idempotent on search output (already canonical)
+    srt = str(tmp_path / "sorted")
+    assert main(["sortresult", aln0, srt]) == 0
+    a, _ = read_result_db(aln0)
+    b, _ = read_result_db(srt)
+    assert {k: [r.db_key for r in v] for k, v in a.items()} == \
+        {k: [r.db_key for r in v] for k, v in b.items()}
+    # prefixid --tsv with a mapping
+    mapping = str(tmp_path / "map.tsv")
+    with open(mapping, "w") as f:
+        for i in range(dbo.size):
+            f.write(f"{int(dbo.keys[i])}\t{dbo.names[i]}\n")
+    pre = str(tmp_path / "prefixed.tsv")
+    assert main(["prefixid", aln0, pre, "--mapping-file", mapping,
+                 "--tsv"]) == 0
+    rows = [l.split("\t")[0] for l in open(pre)]
+    assert set(rows) <= set(dbo.names)
+    # view one entry
+    assert main(["view", db, "--id-list", dbo.names[1]]) == 0
+    outv = capsys.readouterr().out
+    assert dbo.get_aa_str(1) in outv and dbo.headers[1] in outv
+    # dbtype
+    assert main(["dbtype", db]) == 0
+    assert main(["dbtype", aln0]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["structure", "Alignment"]
+    # splitdb: 3 contiguous splits cover the DB in order
+    sp = str(tmp_path / "sp")
+    assert main(["splitdb", db, sp, "--split", "3"]) == 0
+    names = []
+    for s in range(3):
+        part = load_db(f"{sp}_{s}_3")
+        names.extend(part.names)
+    assert names == dbo.names
+    # concatdbs shifts the second DB's keys past the first
+    cat = str(tmp_path / "cat")
+    assert main(["concatdbs", f"{sp}_0_3", f"{sp}_1_3", cat]) == 0
+    c = load_db(cat)
+    a0, a1 = load_db(f"{sp}_0_3"), load_db(f"{sp}_1_3")
+    assert c.size == a0.size + a1.size
+    assert list(c.keys[:a0.size]) == list(a0.keys)
+    assert int(c.keys[a0.size]) == int(a0.keys.max()) + 1 + int(a1.keys[0])
+    # --split-aa balances residues
+    assert main(["splitdb", db, str(tmp_path / "spa"), "--split", "2",
+                 "--split-aa"]) == 0
+    p0 = load_db(str(tmp_path / "spa_0_2"))
+    p1 = load_db(str(tmp_path / "spa_1_2"))
+    assert p0.size + p1.size == dbo.size
+    assert abs(p0.total_residues - p1.total_residues) < dbo.total_residues // 2
