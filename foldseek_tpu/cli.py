@@ -1061,6 +1061,44 @@ def cmd_concatdbs(argv):
     return 0
 
 
+def cmd_compress(argv):
+    """zstd-compress a flat DB file (reference: lib/mmseqs/src/util/
+    compress.cpp; DBWriter --compressed stores zstd frames). Structure
+    DBs are directories of binary arrays and are left to filesystem-level
+    compression like the reference's .idx."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu compress")
+    p.add_argument("db")
+    p.add_argument("output_db")
+    args = p.parse_args(argv)
+    from .utils import zstd
+    if not zstd.available():
+        raise SystemExit("compress: no zstd library available")
+    if os.path.isdir(args.db):
+        raise SystemExit("compress: only flat DB files are compressed"
+                         " (structure DBs are mmap-ready binary arrays)")
+    with open(args.db, "rb") as f:
+        data = f.read()
+    with open(args.output_db, "wb") as f:
+        f.write(zstd.compress(data))
+    return 0
+
+
+def cmd_decompress(argv):
+    """Inverse of compress (reference: lib/mmseqs/src/util/compress.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu decompress")
+    p.add_argument("db")
+    p.add_argument("output_db")
+    args = p.parse_args(argv)
+    from .utils import zstd
+    if not zstd.available():
+        raise SystemExit("decompress: no zstd library available")
+    with open(args.db, "rb") as f:
+        data = f.read()
+    with open(args.output_db, "wb") as f:
+        f.write(zstd.decompress(data))
+    return 0
+
+
 def cmd_createsubdb(argv):
     p = argparse.ArgumentParser(prog="foldseek-tpu createsubdb")
     p.add_argument("id_list", help="file with one key or entry name per line")
@@ -2476,6 +2514,8 @@ COMMANDS = {
     "dbtype": (cmd_dbtype, "Print the DB type"),
     "splitdb": (cmd_splitdb, "Split a DB into N contiguous sub-DBs"),
     "concatdbs": (cmd_concatdbs, "Concatenate two structure DBs"),
+    "compress": (cmd_compress, "zstd-compress a flat DB file"),
+    "decompress": (cmd_decompress, "Decompress a zstd DB file"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),
     "swapresults": (cmd_swapresults, "Swap query/target sides of a result DB"),
@@ -2499,6 +2539,10 @@ def main(argv=None):
             print(f"  {name:22s} {desc}")
         return 0 if argv else 1
     cmd = argv[0]
+    # hidden base modules stay callable with the reference's `base:` prefix
+    # (foldseek.cpp:12 hide_base_commands + Application.cpp strip)
+    if cmd.startswith("base:"):
+        cmd = cmd[len("base:"):]
     if cmd not in COMMANDS:
         logger.error("unknown command: %s", cmd)
         return 1

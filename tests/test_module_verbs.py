@@ -399,3 +399,16 @@ def test_db_utility_verbs(small_setup, tmp_path, capsys):
     p1 = load_db(str(tmp_path / "spa_1_2"))
     assert p0.size + p1.size == dbo.size
     assert abs(p0.total_residues - p1.total_residues) < dbo.total_residues // 2
+
+
+def test_compress_roundtrip_and_base_prefix(small_setup, tmp_path):
+    """compress/decompress zstd round trip; `base:` prefix dispatches to
+    the same verb table (foldseek.cpp:12 hide_base_commands)."""
+    from foldseek_tpu.cli import main
+    db, aln0, d = small_setup
+    z = str(tmp_path / "aln.zst")
+    back = str(tmp_path / "aln.back")
+    assert main(["base:compress", aln0, z]) == 0
+    assert os.path.getsize(z) < os.path.getsize(aln0)
+    assert main(["decompress", z, back]) == 0
+    assert open(back).read() == open(aln0).read()
