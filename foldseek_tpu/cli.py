@@ -1228,13 +1228,152 @@ def cmd_result2profile(argv):
     return 0
 
 
-def _load_taxonomy(taxdump_arg: str):
+def _load_taxonomy(taxdump_arg: str, db_path: str = ""):
+    """Resolve a taxdump: explicit --taxdump, FOLDSEEK_TPU_TAXDUMP, or the
+    taxdump attached to the DB by `createtaxdb` (<db>/taxdump/)."""
     from .db.taxonomy import NcbiTaxonomy
     taxdump = taxdump_arg or os.environ.get("FOLDSEEK_TPU_TAXDUMP", "")
+    if not taxdump and db_path:
+        attached = os.path.join(db_path, "taxdump")
+        if os.path.isdir(attached):
+            taxdump = attached
     if not (taxdump and os.path.isdir(taxdump)):
         raise SystemExit("taxonomy verbs need --taxdump DIR (nodes.dmp/"
-                         "names.dmp) or FOLDSEEK_TPU_TAXDUMP")
+                         "names.dmp), FOLDSEEK_TPU_TAXDUMP, or a DB with"
+                         " an attached taxdump (createtaxdb)")
     return NcbiTaxonomy(taxdump)
+
+
+def cmd_createtaxdb(argv):
+    """Attach taxonomy to a structure DB (reference:
+    lib/mmseqs/src/taxonomy/createtaxdb.cpp — builds the _mapping and
+    binary taxonomy files next to the seq DB). Writes <db>/mapping.tsv
+    (entry key -> taxid) and copies the taxdump into <db>/taxdump/ so
+    downstream taxonomy verbs need no --taxdump flag."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu createtaxdb")
+    p.add_argument("db")
+    p.add_argument("tmp_dir", nargs="?", default="")
+    p.add_argument("--ncbi-tax-dump", required=True,
+                   help="dir with nodes.dmp/names.dmp (+ merged.dmp)")
+    p.add_argument("--tax-mapping-file", required=True,
+                   help="TSV: <entry name or source file> <taxid>")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import shutil
+    from .db.storage import load_db
+    from .db.taxonomy import load_tax_mapping, save_db_mapping
+    db = load_db(args.db)
+    mapping = load_tax_mapping(args.tax_mapping_file)
+    save_db_mapping(db, mapping)
+    dest = os.path.join(args.db, "taxdump")
+    os.makedirs(dest, exist_ok=True)
+    copied = 0
+    for fn in ("nodes.dmp", "names.dmp", "merged.dmp", "delnodes.dmp"):
+        src = os.path.join(args.ncbi_tax_dump, fn)
+        if os.path.isfile(src):
+            shutil.copy2(src, os.path.join(dest, fn))
+            copied += 1
+    if copied < 2:
+        raise SystemExit(f"createtaxdb: {args.ncbi_tax_dump} has no"
+                         " nodes.dmp/names.dmp")
+    logger.info("createtaxdb: mapping for %d entries + taxdump -> %s",
+                db.size, args.db)
+    return 0
+
+
+def cmd_addtaxonomy(argv):
+    """Append taxid/rank/name (+ optional ranks/lineage) columns to every
+    result record, keyed by the target entry's taxid (reference:
+    lib/mmseqs/src/taxonomy/addtaxonomy.cpp:70-92)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu addtaxonomy")
+    p.add_argument("target_tax_db")
+    p.add_argument("result_db")
+    p.add_argument("output_db")
+    p.add_argument("--taxdump", default="")
+    p.add_argument("--tax-output-mode", dest="ranks", default="",
+                   help="comma-separated rank names for an extra column")
+    p.add_argument("--tax-lineage", type=int, default=0)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.taxonomy import load_db_mapping
+    from .search.resultdb import read_result_db
+    from .search.results import result_to_line
+    tax = _load_taxonomy(args.taxdump, args.target_tax_db)
+    mapping = load_db_mapping(args.target_tax_db)
+    if mapping is None:
+        raise SystemExit(f"addtaxonomy: {args.target_tax_db} has no"
+                         " mapping.tsv (run createtaxdb)")
+    ranks = [r for r in args.ranks.split(",") if r]
+    results, has_bt = read_result_db(args.result_db)
+    not_found = 0
+    with open(args.output_db, "w") as f:
+        for qkey in sorted(results):
+            for r in results[qkey]:
+                taxon = mapping.get(int(r.db_key), 0)
+                if taxon == 0 or taxon not in tax.parent:
+                    not_found += 1
+                    continue
+                cols = [str(qkey), result_to_line(r, has_bt),
+                        str(taxon), tax.rank.get(taxon, "no rank"),
+                        tax.name.get(taxon, str(taxon))]
+                if ranks:
+                    at = {tax.rank.get(t, ""): tax.name.get(t, str(t))
+                          for t in tax.lineage(taxon)}
+                    cols.append(";".join(at.get(x, "-") for x in ranks))
+                if args.tax_lineage == 1:
+                    cols.append(tax.lineage_str(taxon))
+                elif args.tax_lineage == 2:
+                    cols.append(";".join(str(t)
+                                         for t in tax.lineage(taxon)))
+                f.write("\t".join(cols) + "\n")
+    if not_found:
+        logger.info("addtaxonomy: taxonomy for %d records not found",
+                    not_found)
+    return 0
+
+
+def cmd_filtertaxseqdb(argv):
+    """Subset a structure DB by a taxonomy expression (reference:
+    lib/mmseqs/src/taxonomy/filtertaxseqdb.cpp; expression grammar of
+    TaxonomyExpression.h — taxids with !, &&, ||, parentheses)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu filtertaxseqdb")
+    p.add_argument("db")
+    p.add_argument("output_db")
+    p.add_argument("--taxon-list", required=True)
+    p.add_argument("--taxdump", default="")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import StructDBWriter, load_db
+    from .db.taxonomy import TaxonomyExpression, load_db_mapping
+    tax = _load_taxonomy(args.taxdump, args.db)
+    mapping = load_db_mapping(args.db)
+    if mapping is None:
+        raise SystemExit(f"filtertaxseqdb: {args.db} has no mapping.tsv"
+                         " (run createtaxdb)")
+    expr = TaxonomyExpression(args.taxon_list, tax)
+    db = load_db(args.db)
+    writer = StructDBWriter(args.output_db)
+    writer.sources = db.sources or []
+    kept = 0
+    for i in range(db.size):
+        if expr.matches(mapping.get(int(db.keys[i]), 0)):
+            _copy_entry(writer, db, i)
+            kept += 1
+    writer.finish()
+    # the filtered DB keeps its taxonomy attachment
+    sub = load_db(args.output_db)
+    with open(os.path.join(args.output_db, "mapping.tsv"), "w") as f:
+        for i in range(sub.size):
+            key = int(sub.keys[i])
+            f.write(f"{key}\t{mapping.get(key, 0)}\n")
+    tdump = os.path.join(args.db, "taxdump")
+    if os.path.isdir(tdump):
+        cmd_lndb([tdump, os.path.join(args.output_db, "taxdump")])
+    logger.info("filtertaxseqdb: kept %d/%d entries", kept, db.size)
+    return 0
 
 
 def cmd_lca(argv):
@@ -2486,7 +2625,14 @@ COMMANDS = {
     "result2profile": (cmd_result2profile, "Build AA+3Di PSSM profiles from alignment results"),
     "taxonomyreport": (cmd_taxonomyreport, "Kraken-style taxonomic clade report"),
     "lca": (cmd_lca, "Per-query LCA / weighted-majority taxonomic assignment"),
+    "majoritylca": (lambda argv: cmd_lca(
+        argv + ([] if any(a.startswith("--majority") for a in argv)
+                else ["--majority", "0.5"])),
+        "lca with weighted majority voting (majority 0.5 default)"),
     "filtertaxdb": (cmd_filtertaxdb, "Filter results by a taxonomy expression"),
+    "createtaxdb": (cmd_createtaxdb, "Attach a tax mapping + taxdump to a DB"),
+    "addtaxonomy": (cmd_addtaxonomy, "Append taxonomy columns to result records"),
+    "filtertaxseqdb": (cmd_filtertaxseqdb, "Subset a structure DB by taxonomy"),
     "easy-taxonomy": (cmd_easy_taxonomy, "Taxonomic assignment from files (search+lca+report)"),
     "summarizeresult": (cmd_summarizeresult, "Keep non-overlapping top alignments per query"),
     "apply": (cmd_apply, "Run a program per result entry (stdin/stdout)"),

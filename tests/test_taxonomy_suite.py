@@ -233,3 +233,58 @@ def test_easy_taxonomy_workflow(tmp_path, taxdump, example_dir):
     report = open(prefix + "_report").read()
     assert "Bacteria" in report and "E. coli" in report
     assert os.path.getsize(prefix + "_tophit_aln") > 0
+
+
+def test_createtaxdb_addtaxonomy_flow(tiny_search_setup, taxdump, tmp_path):
+    """createtaxdb attaches mapping+taxdump to the DB; addtaxonomy then
+    needs no --taxdump and appends taxid/rank/name (+lineage) columns
+    (createtaxdb.cpp, addtaxonomy.cpp:70-92)."""
+    tpath, res = tiny_search_setup
+    mapfile = str(tmp_path / "names2tax.tsv")
+    with open(mapfile, "w") as f:
+        f.write("t0\t2110\nt1\t2120\nt2\t2210\n")
+    assert main(["createtaxdb", tpath, "--ncbi-tax-dump", taxdump,
+                 "--tax-mapping-file", mapfile]) == 0
+    assert os.path.isfile(os.path.join(tpath, "taxdump", "nodes.dmp"))
+    out = str(tmp_path / "withtax")
+    assert main(["addtaxonomy", tpath, res, out, "--tax-lineage", "2"]) == 0
+    rows = [l.split("\t") for l in open(out).read().splitlines()]
+    assert len(rows) == 3
+    by_target = {r[1]: r for r in rows}
+    assert by_target["0"][-4:-1] == ["2110", "species", "E. coli"]
+    assert by_target["2"][-4:-1] == ["2210", "species", "S. enterica"]
+    assert by_target["0"][-1].split(";")[-1] == "2110"  # taxid lineage
+
+
+def test_majoritylca_verb(tiny_search_setup, taxdump, tmp_path):
+    """majoritylca = lca with weighted majority voting at 0.5."""
+    tpath, res = tiny_search_setup
+    out = str(tmp_path / "mlca.tsv")
+    assert main(["majoritylca", tpath, res, out, "--taxdump", taxdump]) == 0
+    lines = dict(l.split("\t", 1) for l in open(out).read().splitlines())
+    # query 0: E. coli (1e-10) outweighs E. albertii (1e-8)? both under
+    # genus 2100; with -log(e) weights the species split -> best candidate
+    assert lines["0"].split("\t")[0] in ("2100", "2110")
+    assert lines["1"].split("\t")[0] == "2210"
+
+
+def test_filtertaxseqdb_verb(tiny_search_setup, taxdump, tmp_path):
+    """filtertaxseqdb subsets the structure DB by expression and keeps the
+    taxonomy attachment on the subset."""
+    from foldseek_tpu.db.storage import load_db
+    tpath, res = tiny_search_setup
+    mapfile = str(tmp_path / "m.tsv")
+    with open(mapfile, "w") as f:
+        f.write("t0\t2110\nt1\t2120\nt2\t2210\n")
+    assert main(["createtaxdb", tpath, "--ncbi-tax-dump", taxdump,
+                 "--tax-mapping-file", mapfile]) == 0
+    out = str(tmp_path / "sub")
+    assert main(["filtertaxseqdb", tpath, out,
+                 "--taxon-list", "2100"]) == 0
+    sub = load_db(out)
+    assert sub.names == ["t0", "t1"]  # genus Escher only
+    # negation: everything NOT under genus 2100
+    out2 = str(tmp_path / "sub2")
+    assert main(["filtertaxseqdb", tpath, out2,
+                 "--taxon-list", "!2100"]) == 0
+    assert load_db(out2).names == ["t2"]
