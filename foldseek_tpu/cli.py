@@ -2309,6 +2309,119 @@ def cmd_unpackdb(argv):
     return 0
 
 
+def cmd_msa2profile(argv):
+    """MSA DB (result2msa output or external a3m/FASTA) -> profile DB
+    (reference: lib/mmseqs/src/util/msa2profile.cpp). --match-mode 0 keeps
+    the first sequence's columns; 1 keeps columns with >= --match-ratio
+    residues. The AA track is the MSA PSSM; the 3Di track comes from the
+    center sequence's structure when --seq-db is given (a single-sequence
+    pseudo-profile, like result2structprofile's ss side for depth-1 MSAs),
+    else stays at background."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu msa2profile")
+    p.add_argument("msa_db")
+    p.add_argument("output_db")
+    p.add_argument("--seq-db", default="",
+                   help="structure DB with the center sequences (3Di track)")
+    p.add_argument("--match-mode", type=int, default=0)
+    p.add_argument("--match-ratio", type=float, default=0.5)
+    p.add_argument("--filter-msa", type=int, default=1)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import numpy as np
+
+    from .ops.matrices import AA2NUM, blosum62, mat3di
+    from .search.profile import (GAP, ProfileEntry, compute_pssm_probs,
+                                 msa_filter, save_profile_db)
+
+    def parse_entries():
+        """Yield (key, name, [aligned row strings]) per MSA."""
+        with open(args.msa_db) as f:
+            first = f.readline()
+            if not first.startswith("#foldseek-tpu msadb"):
+                # single flat a3m/FASTA file = one MSA, key 0
+                rows = [first] + f.readlines()
+                yield 0, os.path.basename(args.msa_db), rows
+                return
+            key = name = None
+            buf = []
+            for line in f:
+                if line.startswith("#entry "):
+                    if key is not None:
+                        yield key, name, buf
+                    parts = line.split()
+                    key, name, buf = int(parts[1]), parts[2], []
+                elif line.rstrip("\n") != "\0":
+                    buf.append(line)
+            if key is not None:
+                yield key, name, buf
+
+    sdb = None
+    if args.seq_db:
+        from .db.storage import load_db
+        sdb = load_db(args.seq_db)
+        sname_to_idx = {sdb.names[i]: i for i in range(sdb.size)}
+    mb, m3 = blosum62(), mat3di()
+    sub_aa = blosum62(2.0, -0.2).scores
+    profiles = {}
+    for key, name, lines in parse_entries():
+        seqs = []
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">") or line.startswith("#"):
+                seqs.append("")
+            elif seqs:
+                seqs[-1] += line
+        seqs = [s for s in seqs if s]
+        if not seqs:
+            continue
+        # drop a3m insertions (lowercase) -> all rows master-aligned
+        aligned = ["".join(c for c in s if not c.islower()) for s in seqs]
+        L0 = len(aligned[0])
+        if any(len(s) != L0 for s in aligned):
+            raise SystemExit(f"msa2profile: ragged MSA for entry {name}")
+        arr = np.stack([AA2NUM[np.frombuffer(s.upper().encode(), np.uint8)]
+                        for s in aligned])
+        arr = np.where(np.stack([np.frombuffer(s.encode(), np.uint8)
+                                 for s in aligned]) == ord("-"),
+                       GAP, arr).astype(np.uint8)
+        if args.match_mode == 0:
+            match_cols = arr[0] != GAP
+        else:
+            frac = (arr != GAP).mean(axis=0)
+            match_cols = frac >= args.match_ratio
+        msa = arr[:, match_cols]
+        if args.filter_msa:
+            msa = msa[msa_filter(msa, sub_aa)]
+        prob_aa = compute_pssm_probs(msa, mb.p_back, mb.pseudo_counts)
+        L = msa.shape[1]
+        cons = np.where(arr[0, match_cols] == GAP, 20,
+                        arr[0, match_cols]).astype(np.int8)
+        prob_ss = np.tile(m3.p_back[:20] / m3.p_back[:20].sum(), (L, 1))
+        cons_ss = np.full(L, 20, dtype=np.int8)
+        if sdb is not None and name in sname_to_idx:
+            si = sname_to_idx[name]
+            ss = np.asarray(sdb.get_ss(si))
+            # master residues map 1:1 onto the structure's residues
+            res_idx = np.cumsum(arr[0] != GAP) - 1
+            ok = (arr[0, match_cols] != GAP) & \
+                (res_idx[match_cols] < len(ss))
+            row = np.full(L, GAP, dtype=np.uint8)
+            row[ok] = ss[res_idx[match_cols][ok]].astype(np.uint8)
+            prob_ss = compute_pssm_probs(row[None, :], m3.p_back,
+                                         m3.pseudo_counts)
+            cons_ss = np.where(ok, row, 20).astype(np.int8)
+        profiles[key] = ProfileEntry(
+            key=key, prob_aa=prob_aa, prob_ss=prob_ss,
+            consensus_aa=cons, consensus_ss=cons_ss, name=name)
+    save_profile_db(profiles, args.output_db)
+    logger.info("msa2profile: %d profiles -> %s", len(profiles),
+                args.output_db)
+    return 0
+
+
 def cmd_summarizeresult(argv):
     """Per query keep highest-ranked alignments whose query interval is not
     already covered more than --overlap by accepted ones
@@ -2661,6 +2774,7 @@ COMMANDS = {
     "splitdb": (cmd_splitdb, "Split a DB into N contiguous sub-DBs"),
     "concatdbs": (cmd_concatdbs, "Concatenate two structure DBs"),
     "compress": (cmd_compress, "zstd-compress a flat DB file"),
+    "msa2profile": (cmd_msa2profile, "MSA DB to a searchable profile DB"),
     "decompress": (cmd_decompress, "Decompress a zstd DB file"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),

@@ -412,3 +412,35 @@ def test_compress_roundtrip_and_base_prefix(small_setup, tmp_path):
     assert os.path.getsize(z) < os.path.getsize(aln0)
     assert main(["decompress", z, back]) == 0
     assert open(back).read() == open(aln0).read()
+
+
+def test_msa2profile_search(small_setup, tmp_path):
+    """result2msa -> msa2profile -> profile search: every profile's top
+    hit is its own source structure (msa2profile.cpp analogue; the 3Di
+    track comes from --seq-db center sequences)."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import profile_search
+    from foldseek_tpu.search.profile import is_profile_db, load_profile_db
+    from foldseek_tpu.db.storage import load_db
+    db, aln0, d = small_setup
+    aln = str(tmp_path / "alnbt")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    msa = str(tmp_path / "msa")
+    assert main(["result2msa", db, db, aln, msa, "-v", "1"]) == 0
+    prof = str(tmp_path / "profdb")
+    assert main(["msa2profile", msa, prof, "--seq-db", db, "-v", "1"]) == 0
+    assert is_profile_db(prof)
+    dbo = load_db(db)
+    profiles = load_profile_db(prof)
+    assert len(profiles) == dbo.size
+    key_by_name = {dbo.names[i]: int(dbo.keys[i]) for i in range(dbo.size)}
+    res = profile_search(profiles, dbo, SearchParams())
+    for qkey, rs in res.items():
+        assert rs, qkey
+        assert rs[0].db_key == qkey  # finds its own source first
+    # profile lengths equal the center sequence lengths (match-mode 0)
+    for name, k in key_by_name.items():
+        i = list(dbo.names).index(name)
+        assert profiles[k].prob_aa.shape[0] == dbo.entry_len(i)
