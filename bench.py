@@ -41,20 +41,28 @@ def wait_for_device(budget_s: float = 1800.0, probe_timeout_s: float = 90.0):
             "x = jax.numpy.ones((256, 256), jax.numpy.bfloat16);"
             "print(float(np.asarray((x @ x).sum())))")
     deadline = time.monotonic() + budget_s
-    attempt = 0
+    fast_failures = 0
     while True:
-        attempt += 1
+        t0 = time.monotonic()
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=probe_timeout_s, capture_output=True)
             if r.returncode == 0:
                 return True
+            # a fast nonzero exit is a broken environment, not a wedged
+            # tunnel — waiting won't fix it; surface the error and move on
+            if time.monotonic() - t0 < 10.0:
+                fast_failures += 1
+                if fast_failures >= 3:
+                    print("bench: device probe fails immediately; "
+                          f"stderr: {r.stderr.decode()[-300:]}",
+                          file=sys.stderr, flush=True)
+                    return False
         except subprocess.TimeoutExpired:
-            pass
+            fast_failures = 0
         if time.monotonic() >= deadline:
-            import sys as _sys
             print(f"bench: device probe never succeeded within "
-                  f"{budget_s:.0f}s; measuring anyway", file=_sys.stderr,
+                  f"{budget_s:.0f}s; measuring anyway", file=sys.stderr,
                   flush=True)
             return False
         time.sleep(min(60.0, max(5.0, deadline - time.monotonic())))

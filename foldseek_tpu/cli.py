@@ -919,14 +919,17 @@ def cmd_prefixid(argv):
         header = first.startswith("#foldseek-tpu")
         if not header:
             f = [first] + f.readlines() if first else []
-        elif not args.tsv:
-            out.write(first)
+        # no typed header on the output either way: replacing the key
+        # column with an arbitrary tag makes it a generic DB (the
+        # reference writes DBTYPE_OMIT_FILE / generic too)
         for line in f:
             line = line.rstrip("\n")
             if not line or line == "\0":
                 continue
-            key, _, rest = line.partition("\t")
-            body = rest if header or "\t" in line else line
+            if "\t" in line:
+                key, _, body = line.partition("\t")
+            else:
+                key = body = line
             if args.suffix_mode:
                 out.write(f"{body}\t{tag(key)}\n")
             else:
@@ -1013,6 +1016,10 @@ def cmd_splitdb(argv):
             acc += db.entry_len(i)
             if acc >= target * len(bounds) and len(bounds) < n:
                 bounds.append(i + 1)
+        # residue mass concentrated in late entries can leave fewer than
+        # n split points; pad with empty tail splits
+        while len(bounds) < n:
+            bounds.append(db.size)
     else:
         bounds = [round(i * db.size / n) for i in range(n)]
     bounds.append(db.size)
@@ -1040,10 +1047,19 @@ def cmd_concatdbs(argv):
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
+    import numpy as np
     from .db.storage import StructDBWriter, load_db
     a, b = load_db(args.db_a), load_db(args.db_b)
     writer = StructDBWriter(args.output_db)
+    # B's source-file (complex) ids must stay distinct from A's: fileids
+    # group multimer chains (complex_maps), so a clash would merge
+    # complexes across the inputs
     writer.sources = list(a.sources or [])
+    fid_shift = len(writer.sources)
+    b_sources = list(b.sources or [])
+    if not b_sources and b.size and b.fileids is not None:
+        b_sources = [""] * (int(np.max(b.fileids)) + 1)
+    writer.sources += b_sources
     for i in range(a.size):
         _copy_entry(writer, a, i)
     shift = 0 if args.preserve_keys else \
@@ -1054,7 +1070,12 @@ def cmd_concatdbs(argv):
             raise SystemExit(f"concatdbs: --preserve-keys with "
                              f"{len(clash)} clashing keys")
     for i in range(b.size):
-        _copy_entry(writer, b, i, key=int(b.keys[i]) + shift)
+        writer.add_entry(int(b.keys[i]) + shift, b.names[i], b.headers[i],
+                         np.asarray(b.get_aa(i)), np.asarray(b.get_ss(i)),
+                         np.asarray(b.get_ca(i)) if b.ca is not None else None,
+                         b.mask[b.offsets[i]:b.offsets[i + 1]],
+                         file_id=(int(b.fileids[i]) + fid_shift
+                                  if b.fileids is not None else fid_shift))
     writer.finish()
     logger.info("concatdbs: %d + %d entries -> %s", a.size, b.size,
                 args.output_db)
@@ -1357,17 +1378,19 @@ def cmd_filtertaxseqdb(argv):
     db = load_db(args.db)
     writer = StructDBWriter(args.output_db)
     writer.sources = db.sources or []
-    kept = 0
+    kept_keys = []
     for i in range(db.size):
-        if expr.matches(mapping.get(int(db.keys[i]), 0)):
+        taxon = mapping.get(int(db.keys[i]), 0)
+        # unmapped entries are dropped regardless of the expression (the
+        # reference skips taxon==0 before evaluating, filtertaxseqdb.cpp)
+        if taxon and expr.matches(taxon):
             _copy_entry(writer, db, i)
-            kept += 1
+            kept_keys.append(int(db.keys[i]))
     writer.finish()
+    kept = len(kept_keys)
     # the filtered DB keeps its taxonomy attachment
-    sub = load_db(args.output_db)
     with open(os.path.join(args.output_db, "mapping.tsv"), "w") as f:
-        for i in range(sub.size):
-            key = int(sub.keys[i])
+        for key in kept_keys:
             f.write(f"{key}\t{mapping.get(key, 0)}\n")
     tdump = os.path.join(args.db, "taxdump")
     if os.path.isdir(tdump):
@@ -1400,7 +1423,7 @@ def cmd_lca(argv):
     from .db.storage import load_db
     from .db.taxonomy import VOTE_SCORE, lca_assign, load_db_mapping
     from .search.resultdb import read_result_db
-    tax = _load_taxonomy(args.taxdump)
+    tax = _load_taxonomy(args.taxdump, args.target_db)
     tdb = load_db(args.target_db)
     mapping = load_db_mapping(tdb.path) or {}
     results, _ = read_result_db(args.result_db)
@@ -1436,7 +1459,7 @@ def cmd_filtertaxdb(argv):
     from .db.storage import load_db
     from .db.taxonomy import TaxonomyExpression, load_db_mapping
     from .search.resultdb import read_result_db, write_result_db
-    tax = _load_taxonomy(args.taxdump)
+    tax = _load_taxonomy(args.taxdump, args.target_db)
     tdb = load_db(args.target_db)
     mapping = load_db_mapping(tdb.path) or {}
     expr = TaxonomyExpression(args.taxon_list, tax)
@@ -1474,7 +1497,7 @@ def cmd_easy_taxonomy(argv):
     from .db.taxonomy import VOTE_SCORE, lca_assign, load_db_mapping
     from .search.convertalis import format_results
     from .search.pipeline import ensure_db, search
-    tax = _load_taxonomy(args.taxdump)
+    tax = _load_taxonomy(args.taxdump, args.target_db)
     os.makedirs(args.tmp_dir, exist_ok=True)
     qdb = ensure_db(args.query, args.tmp_dir, "query")
     tdb = load_db(args.target_db)
@@ -1568,7 +1591,8 @@ def cmd_taxonomyreport(argv):
     tdb = load_db(args.target_db)
     mapping = load_db_mapping(tdb.path) or {}
     results, _ = read_result_db(args.result_db)
-    taxdump = args.taxdump or os.environ.get("FOLDSEEK_TPU_TAXDUMP", "")
+    taxdump = args.taxdump or os.environ.get("FOLDSEEK_TPU_TAXDUMP", "") \
+        or os.path.join(args.target_db, "taxdump")
     ncbi = NcbiTaxonomy(taxdump) if taxdump and os.path.isdir(taxdump) else None
     # one taxon per query: best hit's taxid (LCA when taxonomy available)
     counts = Counter()
@@ -1740,6 +1764,17 @@ def cmd_renamedbkeys(argv):
             keys[i] = mapping.get(int(k), int(k))
         os.unlink(keys_path)  # never write through a hardlink to the source
         np.save(keys_path, keys)
+        # a taxonomy attachment references keys too: re-key it (also
+        # copy-on-write — the file is hardlinked to the source DB's)
+        map_path = os.path.join(args.output_db, "mapping.tsv")
+        if os.path.isfile(map_path):
+            lines = []
+            for line in open(map_path):
+                k, _, rest = line.partition("\t")
+                lines.append(f"{mapping.get(int(k), int(k))}\t{rest}")
+            os.unlink(map_path)
+            with open(map_path, "w") as f:
+                f.writelines(lines)
         return 0
     # flat alignment result DB: re-key the leading query column
     from .search.resultdb import read_result_db, write_result_db

@@ -125,7 +125,8 @@ def _post_process(content_dir: str, output: str,
     fastas = [e for e in entries
               if e.endswith((".fasta", ".fa", ".fasta.gz", ".fa.gz"))]
     # metadata files that ride along in release archives are not payload
-    META_SUFFIXES = (".md5", ".version", ".txt", ".md", ".json", ".tsv",
+    # NOTE: .json stays payload — mmJSON is a supported structure format
+    META_SUFFIXES = (".md5", ".version", ".txt", ".md", ".tsv",
                      ".log", ".html", ".yml", ".yaml")
     META_NAMES = {"readme", "license", "licence", "copying", "changelog",
                   "notice", "authors", "citation"}

@@ -444,3 +444,76 @@ def test_msa2profile_search(small_setup, tmp_path):
     for name, k in key_by_name.items():
         i = list(dbo.names).index(name)
         assert profiles[k].prob_aa.shape[0] == dbo.entry_len(i)
+
+
+def test_splitdb_aa_skewed_lengths(tmp_path):
+    """--split-aa with residue mass concentrated in the last entry must
+    not crash; all entries are still covered exactly once."""
+    import numpy as np
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import StructDBWriter, load_db
+    path = str(tmp_path / "skew")
+    w = StructDBWriter(path)
+    rng = np.random.default_rng(0)
+    for i, L in enumerate([4, 4, 4, 200]):
+        seq = rng.integers(0, 20, size=L).astype(np.int8)
+        w.add_entry(i, f"e{i}", f"e{i}", seq, seq,
+                    rng.normal(size=(L, 3)).astype(np.float32))
+    w.finish()
+    assert main(["splitdb", path, str(tmp_path / "sp"), "--split", "4",
+                 "--split-aa"]) == 0
+    names = []
+    for s in range(4):
+        names.extend(load_db(str(tmp_path / f"sp_{s}_4")).names)
+    assert names == [f"e{i}" for i in range(4)]
+
+
+def test_concatdbs_keeps_complexes_distinct(example_dir, tmp_path):
+    """Concatenating two multimer DBs must not merge complexes: B's
+    fileids shift past A's sources (review finding on complex_maps)."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    from foldseek_tpu.multimer.scoremultimer import complex_maps
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    assert main(["createdb", str(example_dir / "1tim.pdb.gz"), a, "-v", "1"]) == 0
+    assert main(["createdb", str(example_dir / "8tim.pdb.gz"), b, "-v", "1"]) == 0
+    cat = str(tmp_path / "cat")
+    assert main(["concatdbs", a, b, cat]) == 0
+    db = load_db(cat)
+    chain_to_complex, complex_chains, _ = complex_maps(db)
+    assert len(complex_chains) == 2  # 1tim and 8tim stay separate
+    assert len(db.sources) == 2
+
+
+def test_prefixid_output_is_consumable(small_setup, tmp_path):
+    """prefixid without --tsv must not claim the alnres dbtype (its key
+    column is no longer a numeric key)."""
+    from foldseek_tpu.cli import main
+    db, aln0, d = small_setup
+    out = str(tmp_path / "pre")
+    assert main(["prefixid", aln0, out, "--prefix", "X"]) == 0
+    body = open(out).read()
+    assert not body.startswith("#foldseek-tpu")
+    assert all(l.startswith("X\t") for l in body.splitlines())
+
+
+def test_renamedbkeys_rekeys_tax_mapping(small_setup, tmp_path):
+    from foldseek_tpu.cli import main
+    db, aln0, d = small_setup
+    work = str(tmp_path / "w")
+    assert main(["lndb", db, work]) == 0
+    with open(os.path.join(work, "mapping.tsv"), "w") as f:
+        f.write("0\t1234\n1\t5678\n")
+    m = str(tmp_path / "m.tsv")
+    with open(m, "w") as f:
+        f.write("0\t100\n")
+    out = str(tmp_path / "renamed")
+    assert main(["renamedbkeys", m, work, out]) == 0
+    got = dict(l.split("\t") for l in
+               open(os.path.join(out, "mapping.tsv")).read().splitlines())
+    assert got == {"100": "1234", "1": "5678"}
+    # the hardlinked source mapping is untouched
+    src = dict(l.split("\t") for l in
+               open(os.path.join(work, "mapping.tsv")).read().splitlines())
+    assert src == {"0": "1234", "1": "5678"}

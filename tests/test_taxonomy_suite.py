@@ -288,3 +288,21 @@ def test_filtertaxseqdb_verb(tiny_search_setup, taxdump, tmp_path):
     assert main(["filtertaxseqdb", tpath, out2,
                  "--taxon-list", "!2100"]) == 0
     assert load_db(out2).names == ["t2"]
+
+
+def test_lca_uses_attached_taxdump(tiny_search_setup, taxdump, tmp_path):
+    """After createtaxdb, lca/filtertaxdb need no --taxdump flag (the
+    attachment in <db>/taxdump is picked up)."""
+    tpath, res = tiny_search_setup
+    mapfile = str(tmp_path / "m.tsv")
+    with open(mapfile, "w") as f:
+        f.write("t0\t2110\nt1\t2120\nt2\t2210\n")
+    assert main(["createtaxdb", tpath, "--ncbi-tax-dump", taxdump,
+                 "--tax-mapping-file", mapfile]) == 0
+    out = str(tmp_path / "lca.tsv")
+    assert main(["lca", tpath, res, out]) == 0
+    lines = dict(l.split("\t", 1) for l in open(out).read().splitlines())
+    assert lines["0"] == "2100\tgenus\tEscher"
+    out2 = str(tmp_path / "filt")
+    assert main(["filtertaxdb", tpath, res, out2,
+                 "--taxon-list", "2100"]) == 0
