@@ -517,3 +517,20 @@ def test_renamedbkeys_rekeys_tax_mapping(small_setup, tmp_path):
     src = dict(l.split("\t") for l in
                open(os.path.join(work, "mapping.tsv")).read().splitlines())
     assert src == {"0": "1234", "1": "5678"}
+
+
+def test_unpackdb_structure_and_gz(small_setup, tmp_path):
+    """unpackdb on a structure DB writes per-chain FASTA; a .gz suffix
+    compresses each file (unpackdb.cpp zlib path)."""
+    import gzip
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    db, aln0, d = small_setup
+    outdir = str(tmp_path / "files")
+    assert main(["unpackdb", db, outdir, "--unpack-suffix", ".fasta.gz",
+                 "--unpack-name-mode", "0"]) == 0
+    dbo = load_db(db)
+    for i, name in enumerate(dbo.names):
+        body = gzip.open(os.path.join(outdir, name + ".fasta.gz"),
+                         "rt").read()
+        assert body == f">{dbo.headers[i]}\n{dbo.get_aa_str(i)}\n"
