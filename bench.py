@@ -71,8 +71,15 @@ def wait_for_device(budget_s: float = 1800.0, probe_timeout_s: float = 90.0):
 def main():
     from foldseek_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
-    wait_for_device()
+    device_ok = wait_for_device()
     import jax
+    if not device_ok:
+        # a wedged device hangs every dispatch forever; fall back to the
+        # CPU backend so the run is slow-but-finite and clearly marked
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from foldseek_tpu.ops.gapless_pallas import (gapless_scores_batch,
@@ -123,11 +130,19 @@ def main():
     # the differenced work to seconds of device time bounds a stall's
     # relative error instead.
     n1, n2 = 60, 180
+    if not device_ok:
+        # degraded mode: the device never answered a probe. Running the
+        # full measurement would hang (wedged tunnel) or crawl for hours
+        # (CPU fallback); emit a minimal sized run so the driver records
+        # a clearly-marked number instead of nothing.
+        n1, n2 = 1, 3
     # only real query rows count as useful cells (not the stack padding)
     cells_per_batch = B * Q * Lq * Lt
-    extra = bench_e2e()
+    extra = {"device_unhealthy": True} if not device_ok else {}
+    extra.update(bench_e2e())
     try:
-        extra.update(bench_scale())
+        if device_ok:
+            extra.update(bench_scale())
     except Exception as e:  # scale is auxiliary; never fail the bench line
         extra["scale_error"] = str(e)[:200]
     # median of several differenced rounds: a stall inside either run of a
