@@ -1082,6 +1082,58 @@ def cmd_concatdbs(argv):
     return 0
 
 
+def cmd_warmup(argv):
+    """Precompile the kernel shape families a search against this DB will
+    use, populating the persistent compile cache (the reference amortizes
+    startup with createindex's .idx; the TPU-native startup cost is XLA
+    compilation — round-2 measured ~390 s of first-contact compiles, ~5 s
+    warm). Run once after createindex; afterwards fresh CLI searches skip
+    every compile."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu warmup")
+    p.add_argument("target_db")
+    p.add_argument("--query-lengths", default="120,250,500",
+                   help="representative query lengths to compile for"
+                        " (one per lq-pad family member needed)")
+    p.add_argument("--gpu", type=int, default=1)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import time as _time
+
+    import numpy as np
+
+    from .db.storage import StructDBWriter, load_db
+    from .search.params import SearchParams
+    from .search.pipeline import search
+    tdb = load_db(args.target_db)
+    lens = [int(x) for x in args.query_lengths.split(",") if x]
+    rng = np.random.default_rng(0)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        w = StructDBWriter(os.path.join(td, "warmq"))
+        for i, L in enumerate(lens):
+            # sample residues/coords from the DB so scoring paths see
+            # realistic alphabets; wrap entries shorter than L
+            src = int(rng.integers(0, tdb.size))
+            aa = np.resize(np.asarray(tdb.get_aa(src)), L).astype(np.int8)
+            ss = np.resize(np.asarray(tdb.get_ss(src)), L).astype(np.int8)
+            t = np.arange(L) * 0.6
+            ca = np.stack([2.3 * np.cos(t), 2.3 * np.sin(t), 1.5 * t],
+                          axis=1).astype(np.float32)
+            w.add_entry(i, f"warm{i}", f"warm{i}", aa, ss, ca)
+        qdb = w.finish()
+        modes = [(0, "k-mer")] + ([(1, "gapless")] if args.gpu else [])
+        for mode, label in modes:
+            t0 = _time.perf_counter()
+            params = SearchParams(prefilter_mode=mode, add_backtrace=True,
+                                  max_seqs=64)
+            search(qdb, tdb, params, same_db=False)
+            logger.info("warmup: %s-mode search compiled+ran in %.1fs",
+                        label, _time.perf_counter() - t0)
+    logger.info("warmup: compile cache populated for %s", args.target_db)
+    return 0
+
+
 def cmd_compress(argv):
     """zstd-compress a flat DB file (reference: lib/mmseqs/src/util/
     compress.cpp; DBWriter --compressed stores zstd frames). Structure
@@ -2810,6 +2862,7 @@ COMMANDS = {
     "concatdbs": (cmd_concatdbs, "Concatenate two structure DBs"),
     "compress": (cmd_compress, "zstd-compress a flat DB file"),
     "msa2profile": (cmd_msa2profile, "MSA DB to a searchable profile DB"),
+    "warmup": (cmd_warmup, "Precompile kernel shapes for a target DB"),
     "decompress": (cmd_decompress, "Decompress a zstd DB file"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),

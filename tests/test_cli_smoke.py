@@ -77,3 +77,14 @@ def test_swapresults_recomputes_evalue(tmp_path):
     # E = m·n·2^-S with m = new query length 12, n = 36 DB residues
     assert r.evalue == pytest.approx(12.0 * 36.0 * 2.0 ** -42)
     assert r.backtrace == "M" * 10  # M-only backtrace unchanged by I<->D swap
+
+
+def test_warmup_verb(tmp_path):
+    """warmup runs both prefilter modes against a real DB without error
+    (compile-cache population path)."""
+    import pathlib
+    example = pathlib.Path("/root/reference/example")
+    files = [str(example / n) for n in ("d1asha_", "d1mbaa_", "d1or4a_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    assert main(["warmup", db, "--query-lengths", "50,120", "-v", "2"]) == 0
