@@ -1082,6 +1082,108 @@ def cmd_concatdbs(argv):
     return 0
 
 
+def cmd_extractalignedregion(argv):
+    """Extract the aligned query (or target) region of every record as a
+    FASTA-style flat DB (reference:
+    lib/mmseqs/src/util/extractalignedregion.cpp --extract-mode)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu extractalignedregion")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db")
+    p.add_argument("output")
+    p.add_argument("--extract-mode", type=int, default=2,
+                   help="1: query region, 2: target region (default)")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.resultdb import read_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    qidx, tidx = qdb.key_to_index(), tdb.key_to_index()
+    results, _ = read_result_db(args.result_db)
+    with open(args.output, "w") as f:
+        for qkey in sorted(results):
+            for r in results[qkey]:
+                if args.extract_mode == 1:
+                    i = qidx.get(int(qkey))
+                    if i is None:
+                        continue
+                    seq = qdb.get_aa_str(i)[r.q_start:r.q_end + 1]
+                    name = qdb.names[i]
+                else:
+                    i = tidx.get(int(r.db_key))
+                    if i is None:
+                        continue
+                    seq = tdb.get_aa_str(i)[r.t_start:r.t_end + 1]
+                    name = tdb.names[i]
+                f.write(f">{name} {qkey}:{r.db_key}\n{seq}\n")
+    return 0
+
+
+def cmd_filtera3m(argv):
+    """Redundancy-filter every MSA in an MSA DB with the reference's
+    MsaFilter criteria (reference: lib/mmseqs/src/util/filtera3m.cpp /
+    MsaFilter.cpp — the same filter result2profile applies internally)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu filtera3m")
+    p.add_argument("msa_db")
+    p.add_argument("output_db")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import numpy as np
+
+    from .ops.matrices import AA2NUM, blosum62
+    from .search.profile import GAP, msa_filter
+    sub_aa = blosum62(2.0, -0.2).scores
+    with open(args.msa_db) as f, open(args.output_db, "w") as out:
+        first = f.readline()
+        if not first.startswith("#foldseek-tpu msadb"):
+            raise SystemExit("filtera3m: input is not an MSA DB"
+                             " (result2msa output)")
+        out.write(first)
+
+        def flush(header, rows):
+            if header is None:
+                return
+            out.write(header)
+            if not rows:
+                out.write("\0\n")
+                return
+            # align rows (drop a3m lowercase) for the filter decision,
+            # emit the ORIGINAL row text of the kept ones
+            aligned = ["".join(c for c in s if not c.islower())
+                       for _, s in rows]
+            arr = np.stack(
+                [AA2NUM[np.frombuffer(s.upper().encode(), np.uint8)]
+                 for s in aligned])
+            arr = np.where(
+                np.stack([np.frombuffer(s.encode(), np.uint8)
+                          for s in aligned]) == ord("-"), GAP,
+                arr).astype(np.uint8)
+            keep = msa_filter(arr, sub_aa)
+            for ki, (hdr, seq) in enumerate(rows):
+                if keep[ki]:
+                    out.write(f"{hdr}\n{seq}\n")
+            out.write("\0\n")
+
+        header, rows, cur = None, [], None
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("#entry "):
+                flush(header, rows)
+                header, rows, cur = line + "\n", [], None
+            elif line == "\0":
+                continue
+            elif line.startswith(">"):
+                cur = line
+            elif cur is not None:
+                rows.append((cur, line))
+                cur = None
+        flush(header, rows)
+    return 0
+
+
 def cmd_warmup(argv):
     """Precompile the kernel shape families a search against this DB will
     use, populating the persistent compile cache (the reference amortizes
@@ -2863,6 +2965,9 @@ COMMANDS = {
     "compress": (cmd_compress, "zstd-compress a flat DB file"),
     "msa2profile": (cmd_msa2profile, "MSA DB to a searchable profile DB"),
     "warmup": (cmd_warmup, "Precompile kernel shapes for a target DB"),
+    "extractalignedregion": (cmd_extractalignedregion,
+                             "Aligned query/target regions as FASTA"),
+    "filtera3m": (cmd_filtera3m, "Redundancy-filter MSAs in an MSA DB"),
     "decompress": (cmd_decompress, "Decompress a zstd DB file"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),

@@ -534,3 +534,44 @@ def test_unpackdb_structure_and_gz(small_setup, tmp_path):
         body = gzip.open(os.path.join(outdir, name + ".fasta.gz"),
                          "rt").read()
         assert body == f">{dbo.headers[i]}\n{dbo.get_aa_str(i)}\n"
+
+
+def test_extractalignedregion_and_filtera3m(small_setup, tmp_path):
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    from foldseek_tpu.search.resultdb import read_result_db
+    db, aln0, d = small_setup
+    # extract target regions: sequence lengths match t_end - t_start + 1
+    out = str(tmp_path / "regions.fasta")
+    assert main(["extractalignedregion", db, db, aln0, out]) == 0
+    base, _ = read_result_db(aln0)
+    lines = open(out).read().splitlines()
+    n_records = sum(len(v) for v in base.values())
+    assert len(lines) == 2 * n_records
+    spans = sorted(r.t_end - r.t_start + 1
+                   for rs in base.values() for r in rs)
+    assert sorted(len(s) for s in lines[1::2]) == spans
+    # query mode
+    out2 = str(tmp_path / "qreg.fasta")
+    assert main(["extractalignedregion", db, db, aln0, out2,
+                 "--extract-mode", "1"]) == 0
+    qspans = sorted(r.q_end - r.q_start + 1
+                    for rs in base.values() for r in rs)
+    qlines = open(out2).read().splitlines()
+    assert sorted(len(s) for s in qlines[1::2]) == qspans
+    # filtera3m keeps every MSA entry header and never grows an MSA
+    aln = str(tmp_path / "alnbt")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    msa = str(tmp_path / "msa")
+    assert main(["result2msa", db, db, aln, msa, "--msa-format-mode", "5",
+                 "-v", "1"]) == 0
+    filt = str(tmp_path / "msaf")
+    assert main(["filtera3m", msa, filt]) == 0
+    raw = open(msa).read()
+    fl = open(filt).read()
+    assert raw.count("#entry") == fl.count("#entry") == 4
+    assert fl.count(">") <= raw.count(">")
+    # each center sequence survives the filter
+    for block in fl.split("#entry")[1:]:
+        assert block.count(">") >= 1
