@@ -1311,6 +1311,7 @@ DATABASES = {
     # name: (description, URL) — the reference's 13 predownloadable DBs
     # (src/FoldseekBase.cpp:446-551, data/structdatabases.sh)
     "Alphafold/UniProt": ("AlphaFold UniProt", "https://foldseek.steineggerlab.workers.dev/afdb"),
+    "Alphafold/UniProt50-minimal": ("AlphaFold UniProt 50% clustered (minimal: no taxonomy/plddt)", "https://foldseek.steineggerlab.workers.dev/afdb50_minimal"),
     "Alphafold/UniProt50": ("AlphaFold UniProt 50% clustered", "https://foldseek.steineggerlab.workers.dev/afdb50"),
     "Alphafold/Proteome": ("AlphaFold Proteomes", "https://foldseek.steineggerlab.workers.dev/afdb_proteome"),
     "Alphafold/Swiss-Prot": ("AlphaFold Swiss-Prot", "https://foldseek.steineggerlab.workers.dev/afdb_swissprot"),
@@ -1321,6 +1322,7 @@ DATABASES = {
     "BFVD": ("Big Fantastic Virus Database", "https://foldseek.steineggerlab.workers.dev/bfvd"),
     "ProstT5": ("ProstT5 GGUF weights", "https://foldseek.steineggerlab.workers.dev/prostt5"),
     "TED": ("TED domains", "https://foldseek.steineggerlab.workers.dev/ted"),
+    "TED50": ("TED domains 50% clustered", "https://foldseek.steineggerlab.workers.dev/ted50"),
 }
 
 
