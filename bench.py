@@ -62,8 +62,8 @@ def wait_for_device(budget_s: float = 1800.0, probe_timeout_s: float = 90.0):
             fast_failures = 0
         if time.monotonic() >= deadline:
             print(f"bench: device probe never succeeded within "
-                  f"{budget_s:.0f}s; measuring anyway", file=sys.stderr,
-                  flush=True)
+                  f"{budget_s:.0f}s; emitting a null record",
+                  file=sys.stderr, flush=True)
             return False
         time.sleep(min(60.0, max(5.0, deadline - time.monotonic())))
 
@@ -72,14 +72,16 @@ def main():
     from foldseek_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     device_ok = wait_for_device()
-    import jax
     if not device_ok:
-        # a wedged device hangs every dispatch forever; fall back to the
-        # CPU backend so the run is slow-but-finite and clearly marked
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        # the device is unreachable: there is nothing meaningful to
+        # measure (the Pallas kernels only interpret on CPU), and any
+        # device dispatch would hang forever. Emit a clearly-marked
+        # null record instead of hanging the driver.
+        print(json.dumps({"metric": "prefilter_gcups_per_chip",
+                          "value": 0, "unit": "GCUPS", "vs_baseline": 0,
+                          "device_unhealthy": True}))
+        return
+    import jax
     import jax.numpy as jnp
 
     from foldseek_tpu.ops.gapless_pallas import (gapless_scores_batch,
@@ -130,20 +132,12 @@ def main():
     # the differenced work to seconds of device time bounds a stall's
     # relative error instead.
     n1, n2 = 60, 180
-    if not device_ok:
-        # degraded mode: the device never answered a probe. Running the
-        # full measurement would hang (wedged tunnel) or crawl for hours
-        # (CPU fallback); emit a minimal sized run so the driver records
-        # a clearly-marked number instead of nothing.
-        n1, n2 = 1, 3
     # only real query rows count as useful cells (not the stack padding)
     cells_per_batch = B * Q * Lq * Lt
-    extra = {"device_unhealthy": True} if not device_ok else {}
-    extra.update(bench_e2e())
+    extra = bench_e2e()
     try:
-        if device_ok:
-            extra.update(bench_scale())
-    except Exception as e:  # scale is auxiliary; never fail the bench line
+        extra.update(bench_scale())
+    except Exception as e:  # scale is auxiliary; never fail the line
         extra["scale_error"] = str(e)[:200]
     # median of several differenced rounds: a stall inside either run of a
     # round inflates or deflates that round's estimate; the median is robust
