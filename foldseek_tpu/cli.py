@@ -62,6 +62,13 @@ def params_from_args(args) -> SearchParams:
     if getattr(args, "threads", 0):
         from .utils.hostpar import set_threads
         set_threads(args.threads)
+    try:
+        return _params_from_args(args).validate()
+    except ValueError as e:
+        raise SystemExit(f"{e}")
+
+
+def _params_from_args(args) -> SearchParams:
     return SearchParams(
         evalue_thr=args.evalue, sensitivity=args.sensitivity,
         max_seqs=args.max_seqs, cov_thr=args.cov_thr, cov_mode=args.cov_mode,

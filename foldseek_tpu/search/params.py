@@ -66,6 +66,37 @@ class SearchParams:
     # the prefilter stage queries the resident device panels there
     index_server: str = ""
 
+    def validate(self) -> "SearchParams":
+        """Range checks mirroring the reference's per-flag regexes
+        (Parameters.cpp PARAM_* regex column, e.g. `^0(\\.[0-9]+)?|^1(\\.0+)?$`
+        for -c). Raises ValueError with the offending flag's name."""
+        checks = [
+            ("-c/--cov-thr", 0.0 <= self.cov_thr <= 1.0),
+            ("--cov-mode", 0 <= self.cov_mode <= 5),
+            ("--min-seq-id", 0.0 <= self.seq_id_thr <= 1.0),
+            ("-e/--evalue", self.evalue_thr >= 0.0),
+            ("--gap-open", self.gap_open >= 0),
+            ("--gap-extend", self.gap_extend >= 0),
+            ("--alignment-type", 0 <= self.alignment_type <= 3),
+            ("--prefilter-mode", 0 <= self.prefilter_mode <= 3),
+            ("--tmscore-threshold", 0.0 <= self.tmscore_threshold <= 1.0),
+            ("--lddt-threshold", 0.0 <= self.lddt_threshold <= 1.0),
+            ("--tmscore-threshold-mode",
+             0 <= self.tmscore_threshold_mode <= 2),
+            ("-s/--sensitivity", 1.0 <= self.sensitivity <= 20.0),
+            ("-k/--kmer-size", self.kmer_size == 0
+             or 5 <= self.kmer_size <= 7),
+            ("--max-seqs", self.max_seqs >= 1),
+            ("--num-iterations", self.num_iterations >= 1),
+            ("--alt-ali", self.alt_alignment >= 0),
+            ("--format-mode", 0 <= self.format_mode <= 5),
+            ("--threads", self.threads >= 0),
+        ]
+        for flag, ok in checks:
+            if not ok:
+                raise ValueError(f"invalid value for {flag}")
+        return self
+
 
 def has_coverage(cov_thr: float, cov_mode: int, q_cov: float, t_cov: float) -> bool:
     """reference: Util.h hasCoverage (modes 0-5)."""

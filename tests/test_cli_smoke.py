@@ -88,3 +88,18 @@ def test_warmup_verb(tmp_path):
     db = str(tmp_path / "db")
     assert main(["createdb"] + files + [db, "-v", "1"]) == 0
     assert main(["warmup", db, "--query-lengths", "50,120", "-v", "2"]) == 0
+
+
+def test_param_range_validation(tmp_path):
+    """Out-of-range flag values fail with the flag's name, like the
+    reference's per-parameter regex checks (Parameters.cpp)."""
+    db = _write_tiny_db(tmp_path)
+    with pytest.raises(SystemExit, match="cov-thr"):
+        main(["search", db, db, str(tmp_path / "r"), str(tmp_path / "t"),
+              "-c", "1.5"])
+    with pytest.raises(SystemExit, match="alignment-type"):
+        main(["search", db, db, str(tmp_path / "r"), str(tmp_path / "t"),
+              "--alignment-type", "9"])
+    with pytest.raises(SystemExit, match="sensitivity"):
+        main(["search", db, db, str(tmp_path / "r"), str(tmp_path / "t"),
+              "-s", "99"])
