@@ -1089,6 +1089,75 @@ def cmd_concatdbs(argv):
     return 0
 
 
+def cmd_result2stats(argv):
+    """Per-query statistic over result records (reference:
+    lib/mmseqs/src/util/result2stats.cpp --stat
+    linecount/mean/min/max/sum over a numeric column, or seqlen)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu result2stats")
+    p.add_argument("result_db")
+    p.add_argument("output_tsv")
+    p.add_argument("--stat", default="linecount",
+                   choices=["linecount", "mean", "min", "max", "sum"])
+    p.add_argument("--stat-column", type=int, default=2,
+                   help="1-based record column for mean/min/max/sum"
+                        " (2 = score)")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .search.resultdb import read_result_db
+    from .search.results import result_to_line
+    results, has_bt = read_result_db(args.result_db)
+    with open(args.output_tsv, "w") as f:
+        for qkey in sorted(results):
+            rs = results[qkey]
+            if args.stat == "linecount":
+                val = len(rs)
+            else:
+                vals = [float(result_to_line(r, has_bt)
+                              .split("\t")[args.stat_column - 1])
+                        for r in rs]
+                if not vals:
+                    val = 0
+                else:
+                    val = {"mean": sum(vals) / len(vals),
+                           "min": min(vals), "max": max(vals),
+                           "sum": sum(vals)}[args.stat]
+            f.write(f"{qkey}\t{val:g}\n" if isinstance(val, float)
+                    else f"{qkey}\t{val}\n")
+    return 0
+
+
+def cmd_summarizeheaders(argv):
+    """Per-cluster summary header: representative header + member count
+    + first N member headers (reference:
+    lib/mmseqs/src/util/summarizeheaders.cpp)."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu summarizeheaders")
+    p.add_argument("query_db")
+    p.add_argument("target_db")
+    p.add_argument("result_db", help="cluster result DB (rep -> members)")
+    p.add_argument("output_tsv")
+    p.add_argument("--summary-prefix", default="cl")
+    p.add_argument("--headers-per-summary", type=int, default=5)
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    from .search.resultdb import read_result_db
+    qdb = load_db(args.query_db)
+    tdb = qdb if args.target_db == args.query_db else load_db(args.target_db)
+    thead = {int(tdb.keys[i]): tdb.headers[i] for i in range(tdb.size)}
+    qhead = {int(qdb.keys[i]): qdb.headers[i] for i in range(qdb.size)}
+    results, _ = read_result_db(args.result_db)
+    with open(args.output_tsv, "w") as f:
+        for qkey in sorted(results):
+            members = [thead.get(r.db_key, str(r.db_key))
+                       for r in results[qkey]]
+            picks = " | ".join(members[:args.headers_per_summary])
+            f.write(f"{qkey}\t{args.summary_prefix}|{qhead.get(qkey, qkey)}"
+                    f"|n={len(members)}|{picks}\n")
+    return 0
+
+
 def cmd_extractalignedregion(argv):
     """Extract the aligned query (or target) region of every record as a
     FASTA-style flat DB (reference:
@@ -2977,6 +3046,8 @@ COMMANDS = {
     "extractalignedregion": (cmd_extractalignedregion,
                              "Aligned query/target regions as FASTA"),
     "filtera3m": (cmd_filtera3m, "Redundancy-filter MSAs in an MSA DB"),
+    "result2stats": (cmd_result2stats, "Per-query statistic over result records"),
+    "summarizeheaders": (cmd_summarizeheaders, "Per-cluster summary headers"),
     "decompress": (cmd_decompress, "Decompress a zstd DB file"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),
     "createtsv": (cmd_createtsv, "Result DB to TSV with entry names"),

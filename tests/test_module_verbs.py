@@ -575,3 +575,25 @@ def test_extractalignedregion_and_filtera3m(small_setup, tmp_path):
     # each center sequence survives the filter
     for block in fl.split("#entry")[1:]:
         assert block.count(">") >= 1
+
+
+def test_result2stats_and_summarizeheaders(small_setup, tmp_path):
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.search.resultdb import read_result_db
+    db, aln0, d = small_setup
+    base, _ = read_result_db(aln0)
+    out = str(tmp_path / "counts.tsv")
+    assert main(["result2stats", aln0, out]) == 0
+    got = dict(l.split("\t") for l in open(out).read().splitlines())
+    assert {int(k): int(v) for k, v in got.items()} == \
+        {k: len(v) for k, v in base.items()}
+    out2 = str(tmp_path / "maxscore.tsv")
+    assert main(["result2stats", aln0, out2, "--stat", "max"]) == 0
+    got2 = dict(l.split("\t") for l in open(out2).read().splitlines())
+    assert {int(k): float(v) for k, v in got2.items()} == \
+        {k: max(r.score for r in v) for k, v in base.items()}
+    out3 = str(tmp_path / "sum.tsv")
+    assert main(["summarizeheaders", db, db, aln0, out3]) == 0
+    rows = [l.split("\t") for l in open(out3).read().splitlines()]
+    assert len(rows) == len(base)
+    assert all(r[1].startswith("cl|") and "|n=" in r[1] for r in rows)
