@@ -3027,6 +3027,7 @@ COMMANDS = {
     "mvdb": (cmd_mvdb, "Move/rename a DB"),
     "rmdb": (cmd_rmdb, "Remove a DB"),
     "lndb": (cmd_lndb, "Link a DB under a new path (no payload copy)"),
+    "aliasdb": (cmd_lndb, "Alias of lndb (base:aliasdb)"),
     "renamedbkeys": (cmd_renamedbkeys, "Rename DB entry keys per mapping file"),
     "tsv2db": (cmd_tsv2db, "Flat TSV to a (result) DB"),
     "appenddbtoindex": (cmd_appenddbtoindex, "Attach DBs to a createindex artifact"),

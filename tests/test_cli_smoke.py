@@ -103,3 +103,21 @@ def test_param_range_validation(tmp_path):
     with pytest.raises(SystemExit, match="sensitivity"):
         main(["search", db, db, str(tmp_path / "r"), str(tmp_path / "t"),
               "-s", "99"])
+
+
+def test_createdb_survives_malformed_inputs(tmp_path, example_dir):
+    """Malformed/truncated/binary inputs are logged and skipped; valid
+    files in the same batch still ingest (structcreatedb fail counters)."""
+    import gzip
+    import shutil
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "empty.pdb").write_text("")
+    (bad / "garbage.pdb").write_bytes(b"NOT A PDB\x00\xff junk\n" * 10)
+    (bad / "trunc.cif").write_text("data_X\n_atom_site.group_PDB\n")
+    (bad / "trunc.pdb.gz").write_bytes(b"\x1f\x8b\x08\x00partial")
+    shutil.copy(str(example_dir / "d1asha_"), str(bad / "good.pdb"))
+    db = str(tmp_path / "db")
+    assert main(["createdb", str(bad), db, "-v", "1"]) == 0
+    from foldseek_tpu.db.storage import load_db
+    assert load_db(db).names == ["good"]
