@@ -1089,6 +1089,88 @@ def cmd_concatdbs(argv):
     return 0
 
 
+def cmd_diffseqdbs(argv):
+    """Diff two versions of a structure DB by header (reference:
+    lib/mmseqs/src/util/diffseqdbs.cpp): writes removed old keys, an
+    old->new key mapping for kept entries, and new keys — the inputs of
+    an incremental clustering update. --use-seq-id additionally requires
+    identical sequences for a 'kept' match."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu diffseqdbs")
+    p.add_argument("old_db")
+    p.add_argument("new_db")
+    p.add_argument("removed_out", help="keys only in the old DB")
+    p.add_argument("mapping_out", help="old_key\\tnew_key for kept entries")
+    p.add_argument("new_out", help="keys only in the new DB")
+    p.add_argument("--use-seq-id", action="store_true")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    from .db.storage import load_db
+    old, new = load_db(args.old_db), load_db(args.new_db)
+
+    def ident(db, i):
+        h = db.headers[i]
+        return (h, db.get_aa_str(i)) if args.use_seq_id else h
+
+    new_by_id = {}
+    for i in range(new.size):
+        new_by_id.setdefault(ident(new, i), []).append(int(new.keys[i]))
+    removed, kept = [], []
+    for i in range(old.size):
+        cands = new_by_id.get(ident(old, i))
+        if cands:
+            kept.append((int(old.keys[i]), cands.pop(0)))
+        else:
+            removed.append(int(old.keys[i]))
+    new_only = sorted(k for lst in new_by_id.values() for k in lst)
+    with open(args.removed_out, "w") as f:
+        f.writelines(f"{k}\n" for k in sorted(removed))
+    with open(args.mapping_out, "w") as f:
+        f.writelines(f"{a}\t{b}\n" for a, b in sorted(kept))
+    with open(args.new_out, "w") as f:
+        f.writelines(f"{k}\n" for k in new_only)
+    logger.info("diffseqdbs: %d removed, %d kept, %d new",
+                len(removed), len(kept), len(new_only))
+    return 0
+
+
+def cmd_tar2db(argv):
+    """Pack the members of tar archive(s) into a keyed flat DB
+    (reference: lib/mmseqs/src/util/tar2db.cpp; inverse of db2tar).
+    Member names land in a .lookup-style mapping next to the output."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu tar2db")
+    p.add_argument("tars", nargs="+")
+    p.add_argument("output_db")
+    p.add_argument("--tar-include", default=".*",
+                   help="regex of member names to include")
+    p.add_argument("-v", "--verbosity", type=int, default=3)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import re
+    import tarfile
+    pat = re.compile(args.tar_include)
+    key = 0
+    with open(args.output_db, "w") as out, \
+            open(args.output_db + ".lookup", "w") as lk:
+        for tpath in args.tars:
+            with tarfile.open(tpath) as tar:
+                for m in tar:
+                    if not m.isfile() or not pat.search(m.name):
+                        continue
+                    data = tar.extractfile(m).read()
+                    try:
+                        text = data.decode()
+                    except UnicodeDecodeError:
+                        import base64
+                        text = base64.b64encode(data).decode()
+                    for line in text.splitlines():
+                        out.write(f"{key}\t{line}\n")
+                    lk.write(f"{key}\t{m.name}\n")
+                    key += 1
+    logger.info("tar2db: %d members -> %s", key, args.output_db)
+    return 0
+
+
 def cmd_result2stats(argv):
     """Per-query statistic over result records (reference:
     lib/mmseqs/src/util/result2stats.cpp --stat
@@ -3048,6 +3130,8 @@ COMMANDS = {
                              "Aligned query/target regions as FASTA"),
     "filtera3m": (cmd_filtera3m, "Redundancy-filter MSAs in an MSA DB"),
     "result2stats": (cmd_result2stats, "Per-query statistic over result records"),
+    "diffseqdbs": (cmd_diffseqdbs, "Diff two DB versions (removed/kept/new)"),
+    "tar2db": (cmd_tar2db, "Pack tar members into a keyed flat DB"),
     "summarizeheaders": (cmd_summarizeheaders, "Per-cluster summary headers"),
     "decompress": (cmd_decompress, "Decompress a zstd DB file"),
     "subtractdbs": (cmd_subtractdbs, "Remove right DB's records from left result DB"),

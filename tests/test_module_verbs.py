@@ -597,3 +597,37 @@ def test_result2stats_and_summarizeheaders(small_setup, tmp_path):
     rows = [l.split("\t") for l in open(out3).read().splitlines()]
     assert len(rows) == len(base)
     assert all(r[1].startswith("cl|") and "|n=" in r[1] for r in rows)
+
+
+def test_diffseqdbs_and_tar2db(small_setup, tmp_path):
+    import tarfile
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    db, aln0, d = small_setup
+    # new version: drop entry 0, keep 1-3 (subset via createsubdb)
+    ids = tmp_path / "ids.txt"
+    dbo = load_db(db)
+    ids.write_text("\n".join(dbo.names[1:]) + "\n")
+    newdb = str(tmp_path / "newdb")
+    assert main(["createsubdb", str(ids), db, newdb, "-v", "1"]) == 0
+    rem, mp, new = (str(tmp_path / x) for x in ("rem", "map", "new"))
+    assert main(["diffseqdbs", db, newdb, rem, mp, new]) == 0
+    assert open(rem).read().split() == ["0"]
+    pairs = [l.split("\t") for l in open(mp).read().splitlines()]
+    assert len(pairs) == 3 and all(a for a, b in pairs)
+    assert open(new).read() == ""
+    # tar2db round trip with db2tar-able flat content
+    t = tmp_path / "in.tar"
+    with tarfile.open(t, "w") as tar:
+        for name, body in (("a.txt", b"hello\nworld"), ("b.txt", b"line")):
+            import io
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tar.addfile(info, io.BytesIO(body))
+    flat = str(tmp_path / "flatdb")
+    assert main(["tar2db", str(t), flat]) == 0
+    rows = [l.split("\t") for l in open(flat).read().splitlines()]
+    assert [r[0] for r in rows] == ["0", "0", "1"]
+    lookup = dict(l.split("\t") for l in
+                  open(flat + ".lookup").read().splitlines())
+    assert lookup == {"0": "a.txt", "1": "b.txt"}
