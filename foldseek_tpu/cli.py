@@ -1089,6 +1089,109 @@ def cmd_concatdbs(argv):
     return 0
 
 
+def cmd_clusterupdate(argv):
+    """Incrementally update a clustering for a new DB version (reference:
+    lib/mmseqs/src/workflow/ClusterUpdate + data/update_clustering.sh):
+    1) diff old vs new DB by header; 2) keep clusters whose representative
+    survives (members re-keyed, removed members dropped); 3) sequences
+    that are new or orphaned (rep removed) search against the surviving
+    representatives and join their best hit's cluster when it passes the
+    thresholds; 4) the rest are clustered among themselves and appended
+    as new clusters."""
+    p = argparse.ArgumentParser(prog="foldseek-tpu clusterupdate")
+    p.add_argument("old_db")
+    p.add_argument("new_db")
+    p.add_argument("old_cluster_tsv")
+    p.add_argument("new_cluster_tsv")
+    p.add_argument("tmp_dir")
+    _add_cluster_params(p)
+    args = p.parse_args(argv)
+    set_verbosity(args.verbosity)
+    import numpy as np
+
+    from .cluster.workflow import cluster_db, write_cluster_tsv
+    from .db.storage import StructDBWriter, load_db
+    from .search.params import SearchParams
+    from .search.pipeline import search
+    os.makedirs(args.tmp_dir, exist_ok=True)
+    old, new = load_db(args.old_db), load_db(args.new_db)
+    cp = cluster_params_from_args(args)
+
+    # 1) header diff: old name -> new name (names are unique per DB)
+    new_names = set(new.names)
+    kept = {n: n for n in old.names if n in new_names}
+    # 2) surviving clusters
+    old_clusters = {}
+    for line in open(args.old_cluster_tsv):
+        rep, mem = line.rstrip("\n").split("\t")[:2]
+        old_clusters.setdefault(rep, []).append(mem)
+    clusters = {}       # rep name -> member names (new DB)
+    placed = set()
+    for rep, members in old_clusters.items():
+        if rep in kept:
+            survivors = [m for m in members if m in kept]
+            clusters[rep] = survivors
+            placed.update(survivors)
+    to_place = [n for n in new.names if n not in placed]
+    logger.info("clusterupdate: %d clusters survive, %d sequences to place",
+                len(clusters), len(to_place))
+
+    name_to_idx = {new.names[i]: i for i in range(new.size)}
+
+    def subdb(names, label):
+        w = StructDBWriter(os.path.join(args.tmp_dir, label))
+        for n in names:
+            _copy_entry(w, new, name_to_idx[n])
+        return w.finish()
+
+    # 3) place against surviving representatives
+    unplaced = list(to_place)
+    if clusters and to_place:
+        repdb = subdb(sorted(clusters), "reps")
+        qdb = subdb(to_place, "toplace")
+        spar = SearchParams(evalue_thr=cp.evalue_thr, cov_thr=cp.cov_thr,
+                            cov_mode=cp.cov_mode, seq_id_thr=cp.seq_id_thr,
+                            max_seqs=1)
+        res = search(qdb, repdb, spar, same_db=False,
+                     tmp_dir=os.path.join(args.tmp_dir, "place"))
+        qname = {int(qdb.keys[i]): qdb.names[i] for i in range(qdb.size)}
+        rname = {int(repdb.keys[i]): repdb.names[i]
+                 for i in range(repdb.size)}
+        unplaced = []
+        for n in to_place:
+            qkey = next(int(qdb.keys[i]) for i in range(qdb.size)
+                        if qdb.names[i] == n)
+            rs = res.get(qkey, [])
+            if rs:
+                clusters[rname[rs[0].db_key]].append(n)
+            else:
+                unplaced.append(n)
+    # 4) cluster the remainder among themselves
+    if unplaced:
+        restdb = subdb(unplaced, "rest")
+        sub = cluster_db(restdb, cp,
+                         tmp_dir=os.path.join(args.tmp_dir, "restclu"))
+        rkey_to_name = {int(restdb.keys[i]): restdb.names[i]
+                        for i in range(restdb.size)}
+        for rep, members in sub.items():
+            clusters[rkey_to_name[rep]] = [rkey_to_name[m] for m in members]
+    # write as name TSV in new-DB key order of the representative
+    new_key = {new.names[i]: int(new.keys[i]) for i in range(new.size)}
+    with open(args.new_cluster_tsv, "w") as f:
+        for rep in sorted(clusters, key=lambda n: new_key[n]):
+            members = clusters[rep]
+            if rep not in members:
+                members = [rep] + members
+            seen = set()
+            for m in members:
+                if m not in seen:
+                    seen.add(m)
+                    f.write(f"{rep}\t{m}\n")
+    logger.info("clusterupdate: %d clusters -> %s", len(clusters),
+                args.new_cluster_tsv)
+    return 0
+
+
 def cmd_diffseqdbs(argv):
     """Diff two versions of a structure DB by header (reference:
     lib/mmseqs/src/util/diffseqdbs.cpp): writes removed old keys, an
@@ -3131,6 +3234,7 @@ COMMANDS = {
     "filtera3m": (cmd_filtera3m, "Redundancy-filter MSAs in an MSA DB"),
     "result2stats": (cmd_result2stats, "Per-query statistic over result records"),
     "diffseqdbs": (cmd_diffseqdbs, "Diff two DB versions (removed/kept/new)"),
+    "clusterupdate": (cmd_clusterupdate, "Incrementally update a clustering"),
     "tar2db": (cmd_tar2db, "Pack tar members into a keyed flat DB"),
     "summarizeheaders": (cmd_summarizeheaders, "Per-cluster summary headers"),
     "decompress": (cmd_decompress, "Decompress a zstd DB file"),

@@ -105,3 +105,62 @@ def test_easy_cluster_scop_golden(scop_dir, golden_dir, tmp_path):
     mine = read_clusters(prefix + "_cluster.tsv")
     golden = read_clusters(golden_dir / "scop_clu_cluster.tsv")
     assert mine == golden
+
+
+def test_clusterupdate_flow(example_dir, tmp_path):
+    """clusterupdate: removed entries drop out, surviving clusters keep
+    their reps, added entries join an existing cluster (or form new
+    ones) without re-clustering the kept set (ClusterUpdate workflow)."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    files = [str(example_dir / n) for n in
+             ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    old = str(tmp_path / "old")
+    assert main(["createdb"] + files + [old, "-v", "1"]) == 0
+    oldclu = str(tmp_path / "old.tsv")
+    # cluster the old DB directly (search + clust)
+    aln = str(tmp_path / "aln")
+    assert main(["search", old, old, aln, str(tmp_path / "t1"),
+                 "--exhaustive-search", "1", "-v", "1"]) == 0
+    assert main(["clust", old, aln, oldclu, "-v", "1"]) == 0
+    # new DB: drop d1or4a_, keep the rest (header-identical)
+    newfiles = [f for f in files if "d1or4a_" not in f]
+    new = str(tmp_path / "new")
+    assert main(["createdb"] + newfiles + [new, "-v", "1"]) == 0
+    newclu = str(tmp_path / "new.tsv")
+    assert main(["clusterupdate", old, new, oldclu, newclu,
+                 str(tmp_path / "utmp"), "-v", "1"]) == 0
+    rows = [l.split("\t") for l in open(newclu).read().splitlines()]
+    members = {m for _, m in rows}
+    newdb = load_db(new)
+    assert members == set(newdb.names)          # everyone placed once
+    assert len(rows) == len(members)            # no duplicates
+    assert "d1or4a_" not in members             # removed entry gone
+
+
+def test_clusterupdate_new_entries(example_dir, tmp_path):
+    """Added sequences: a structurally-unrelated new entry forms its own
+    cluster; surviving clusters keep their membership."""
+    from foldseek_tpu.cli import main
+    files = [str(example_dir / n) for n in ("d1asha_", "d1mbaa_", "d1itha_")]
+    old = str(tmp_path / "old")
+    assert main(["createdb"] + files + [old, "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", old, old, aln, str(tmp_path / "t1"),
+                 "--exhaustive-search", "1", "-v", "1"]) == 0
+    oldclu = str(tmp_path / "old.tsv")
+    assert main(["clust", old, aln, oldclu, "-v", "1"]) == 0
+    new = str(tmp_path / "new")
+    assert main(["createdb"] + files + [str(example_dir / "1tim.pdb.gz"),
+                 new, "-v", "1"]) == 0
+    newclu = str(tmp_path / "new.tsv")
+    assert main(["clusterupdate", old, new, oldclu, newclu,
+                 str(tmp_path / "utmp"), "-v", "1"]) == 0
+    rows = set(map(tuple, (l.split("\t") for l in
+                           open(newclu).read().splitlines())))
+    old_rows = set(map(tuple, (l.split("\t") for l in
+                               open(oldclu).read().splitlines())))
+    assert old_rows <= rows                    # kept clusters unchanged
+    # the unrelated TIM chains do not join a globin cluster
+    tim_rows = {(r, m) for r, m in rows if m.startswith("1tim")}
+    assert tim_rows and all(r.startswith("1tim") for r, _ in tim_rows)
