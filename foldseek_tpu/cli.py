@@ -2331,7 +2331,12 @@ def cmd_createtsv(argv):
 def cmd_swapresults(argv):
     """Swap query/target sides of a result DB (reference:
     lib/mmseqs/src/util/swapresults.cpp — entries regrouped under the
-    target key with q/t columns exchanged)."""
+    target key with q/t columns exchanged). E-values are recomputed for
+    the swapped DB size like Matcher::swapResult, but with the simple
+    Karlin-Altschul bit model E = m*n*2^-S rather than the reference's
+    ALP-fitted (lambda, K) + finite-size length correction: swapped
+    e-values differ in magnitude (same ordering — verified column-exact
+    otherwise against the reference binary, tests/golden/msa/swapped.tsv)."""
     p = argparse.ArgumentParser(prog="foldseek-tpu swapresults")
     p.add_argument("query_db")
     p.add_argument("target_db")

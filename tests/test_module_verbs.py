@@ -631,3 +631,43 @@ def test_diffseqdbs_and_tar2db(small_setup, tmp_path):
     lookup = dict(l.split("\t") for l in
                   open(flat + ".lookup").read().splitlines())
     assert lookup == {"0": "a.txt", "1": "b.txt"}
+
+
+def test_createtsv_byte_exact_vs_reference(small_setup, tmp_path):
+    """createtsv output is byte-identical to the reference binary's on the
+    4-domain exhaustive search (tests/golden/msa/createtsv.tsv)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = pathlib.Path(__file__).parent / "golden" / "msa"
+    db, aln0, d = small_setup
+    aln = str(tmp_path / "alnbt")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    tsv = str(tmp_path / "out.tsv")
+    assert main(["createtsv", db, db, aln, tsv, "-v", "1"]) == 0
+    assert open(tsv).read() == (golden / "createtsv.tsv").read_text()
+
+
+def test_swapresults_matches_reference_except_evalue(small_setup, tmp_path):
+    """swapresults: every column matches the reference binary's output
+    except the recomputed e-value (ours: m*n*2^-S; reference: ALP-fitted
+    Karlin-Altschul with finite-size correction — same ordering, see the
+    cmd_swapresults docstring)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = pathlib.Path(__file__).parent / "golden" / "msa"
+    db, aln0, d = small_setup
+    aln = str(tmp_path / "alnbt")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    sw = str(tmp_path / "swapped")
+    assert main(["swapresults", db, db, aln, sw, "-v", "1"]) == 0
+    tsv = str(tmp_path / "sw.tsv")
+    assert main(["createtsv", db, db, sw, tsv, "-v", "1"]) == 0
+    ours = [l.split("\t") for l in open(tsv).read().splitlines()]
+    ref = [l.split("\t") for l in
+           (golden / "swapped.tsv").read_text().splitlines()]
+    assert len(ours) == len(ref)
+    for a, b in zip(ours, ref):
+        ea, eb = a.pop(4), b.pop(4)  # evalue column differs by model
+        assert a == b
