@@ -205,3 +205,43 @@ def test_resumed_records_serialize_byte_identical(small_db, tmp_path):
     p3 = str(tmp_path / "r3")
     write_result_db(back, p3, add_backtrace=has_bt)
     assert open(p1).read() == open(p3).read()
+
+
+def test_resultdb_roundtrip_fuzz(tmp_path):
+    """Randomized write->read->write byte-identity for the alignment DB
+    serialization (the resume/distributed-merge contract)."""
+    import numpy as np
+    from foldseek_tpu.search.resultdb import read_result_db, write_result_db
+    from foldseek_tpu.search.results import AlnResult
+    rng = np.random.default_rng(42)
+    results = {}
+    for qkey in range(20):
+        rs = []
+        for _ in range(int(rng.integers(0, 8))):
+            L = int(rng.integers(5, 300))
+            ops = rng.choice(list("MID"), size=L,
+                             p=[0.8, 0.1, 0.1]).tolist()
+            rs.append(AlnResult(
+                db_key=int(rng.integers(0, 1000)),
+                score=int(rng.integers(-5, 5000)),
+                seq_id=float(rng.random()),
+                evalue=float(10.0 ** rng.uniform(-300, 2)),
+                q_start=int(rng.integers(0, 100)),
+                q_end=int(rng.integers(100, 400)),
+                q_len=int(rng.integers(400, 500)),
+                t_start=int(rng.integers(0, 100)),
+                t_end=int(rng.integers(100, 400)),
+                t_len=int(rng.integers(400, 500)),
+                backtrace="".join(ops)))
+        results[qkey] = rs
+    p1 = str(tmp_path / "a")
+    write_result_db(results, p1, add_backtrace=True)
+    back, has_bt = read_result_db(p1)
+    p2 = str(tmp_path / "b")
+    write_result_db(back, p2, add_backtrace=has_bt)
+    assert open(p1).read() == open(p2).read()
+    # and a second parse->write generation stays fixed
+    back2, _ = read_result_db(p2)
+    p3 = str(tmp_path / "c")
+    write_result_db(back2, p3, add_backtrace=True)
+    assert open(p2).read() == open(p3).read()
