@@ -105,6 +105,14 @@ def cmd_createdb(argv):
                    help="GGUF weights: predict 3Di from FASTA input")
     p.add_argument("--tax-mapping-file", type=str, default="",
                    help="TSV of entry name -> NCBI taxid")
+    p.add_argument("--file-include", default=".*",
+                   help="regex: directory entries to ingest")
+    p.add_argument("--file-exclude", default="^$",
+                   help="regex: directory entries to skip")
+    p.add_argument("--tar-include", default=".*",
+                   help="regex: tar members to ingest")
+    p.add_argument("--tar-exclude", default="^$",
+                   help="regex: tar members to skip")
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
@@ -112,7 +120,11 @@ def cmd_createdb(argv):
     db = create_db(args.inputs, args.output,
                    chain_name_mode="add" if args.chain_name_mode == 1 else "auto",
                    mask_bfactor_threshold=args.mask_bfactor_threshold,
-                   prostt5_model=args.prostt5_model)
+                   prostt5_model=args.prostt5_model,
+                   file_include=args.file_include,
+                   file_exclude=args.file_exclude,
+                   tar_include=args.tar_include,
+                   tar_exclude=args.tar_exclude)
     if args.tax_mapping_file:
         from .db.taxonomy import load_tax_mapping, save_db_mapping
         save_db_mapping(db, load_tax_mapping(args.tax_mapping_file))

@@ -23,10 +23,21 @@ STRUCTURE_EXTS = (".pdb", ".cif", ".mmcif", ".ent", ".pdb.gz", ".cif.gz",
                   ".mmcif.gz", ".ent.gz")
 
 
-def collect_input_files(inputs: List[str]) -> List[str]:
+def collect_input_files(inputs: List[str],
+                        file_include: str = ".*",
+                        file_exclude: str = "^$",
+                        tar_include: str = ".*",
+                        tar_exclude: str = "^$") -> List[str]:
     """Files, directories (recursive) and tar archives (.tar/.tar.gz; members
     are referenced as 'archive.tar::member' — structcreatedb.cpp's tar
-    loop equivalent)."""
+    loop equivalent). Directory entries are filtered by the
+    --file-include/--file-exclude regexes on the basename, tar members by
+    --tar-include/--tar-exclude on the member name
+    (LocalParameters.cpp:29-30, structcreatedb.cpp tar loop). Explicitly
+    listed files are never filtered."""
+    import re
+    finc, fexc = re.compile(file_include), re.compile(file_exclude)
+    tinc, texc = re.compile(tar_include), re.compile(tar_exclude)
     files = []
     for inp in inputs:
         if inp.startswith(("gs://", "gcs://")):
@@ -37,16 +48,20 @@ def collect_input_files(inputs: List[str]) -> List[str]:
             cache = os.environ.get(
                 "FOLDSEEK_TPU_GCS_CACHE",
                 os.path.join(tempfile.gettempdir(), "foldseek_tpu_gcs"))
-            files.extend(fetch_gcs_inputs(inp, cache))
+            files.extend(f for f in fetch_gcs_inputs(inp, cache)
+                         if finc.search(os.path.basename(f))
+                         and not fexc.search(os.path.basename(f)))
         elif os.path.isdir(inp):
             for root, _, fnames in os.walk(inp):
                 for fn in sorted(fnames):
-                    files.append(os.path.join(root, fn))
+                    if finc.search(fn) and not fexc.search(fn):
+                        files.append(os.path.join(root, fn))
         elif inp.endswith((".tar", ".tar.gz", ".tgz")) and os.path.isfile(inp):
             import tarfile
             with tarfile.open(inp) as tf:
                 for m in sorted(tf.getnames()):
-                    if tf.getmember(m).isfile():
+                    if tf.getmember(m).isfile() and tinc.search(m) \
+                            and not texc.search(m):
                         files.append(f"{inp}::{m}")
         elif os.path.isfile(inp):
             files.append(inp)
@@ -173,10 +188,13 @@ def create_db_prostt5(inputs: List[str], out_path: str,
 def create_db(inputs: List[str], out_path: str,
               chain_name_mode: str = "auto",
               mask_bfactor_threshold: float = 0.0,
-              prostt5_model: str = "") -> StructDB:
+              prostt5_model: str = "",
+              file_include: str = ".*", file_exclude: str = "^$",
+              tar_include: str = ".*", tar_exclude: str = "^$") -> StructDB:
     if prostt5_model:
         return create_db_prostt5(inputs, out_path, prostt5_model)
-    files = collect_input_files(inputs)
+    files = collect_input_files(inputs, file_include, file_exclude,
+                                tar_include, tar_exclude)
     entries = []  # (entry_name, header, aa_num, ss_num, ca, mask, file_id)
     too_short = 0
     not_protein = 0

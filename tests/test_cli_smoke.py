@@ -121,3 +121,31 @@ def test_createdb_survives_malformed_inputs(tmp_path, example_dir):
     assert main(["createdb", str(bad), db, "-v", "1"]) == 0
     from foldseek_tpu.db.storage import load_db
     assert load_db(db).names == ["good"]
+
+
+def test_createdb_include_exclude_filters(tmp_path, example_dir):
+    """--file-include/--file-exclude regexes on directory walks, and
+    --tar-include on tar members (LocalParameters.cpp:29-30)."""
+    import shutil
+    import tarfile
+    d = tmp_path / "dir"
+    d.mkdir()
+    shutil.copy(str(example_dir / "d1asha_"), str(d / "d1asha_"))
+    shutil.copy(str(example_dir / "d1mbaa_"), str(d / "d1mbaa_"))
+    db1 = str(tmp_path / "db1")
+    assert main(["createdb", str(d), db1, "--file-include", "asha",
+                 "-v", "1"]) == 0
+    from foldseek_tpu.db.storage import load_db
+    assert load_db(db1).names == ["d1asha_"]
+    db2 = str(tmp_path / "db2")
+    assert main(["createdb", str(d), db2, "--file-exclude", "asha",
+                 "-v", "1"]) == 0
+    assert load_db(db2).names == ["d1mbaa_"]
+    t = tmp_path / "in.tar"
+    with tarfile.open(t, "w") as tar:
+        tar.add(str(d / "d1asha_"), arcname="d1asha_")
+        tar.add(str(d / "d1mbaa_"), arcname="d1mbaa_")
+    db3 = str(tmp_path / "db3")
+    assert main(["createdb", str(t), db3, "--tar-include", "mbaa",
+                 "-v", "1"]) == 0
+    assert load_db(db3).names == ["d1mbaa_"]
