@@ -113,9 +113,16 @@ def cmd_createdb(argv):
                    help="regex: tar members to ingest")
     p.add_argument("--tar-exclude", default="^$",
                    help="regex: tar members to skip")
+    p.add_argument("--input-format", type=int, default=0,
+                   help="0: auto-detect (content sniffing), 1: PDB,"
+                        " 2: mmCIF, 3: mmJSON, 5: Foldcomp"
+                        " (LocalParameters.cpp:36)")
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
+    if args.input_format == 4:
+        raise SystemExit("createdb: ChemComp (--input-format 4) is not"
+                         " supported")
     from .ingest.createdb import create_db
     db = create_db(args.inputs, args.output,
                    chain_name_mode="add" if args.chain_name_mode == 1 else "auto",
@@ -124,7 +131,9 @@ def cmd_createdb(argv):
                    file_include=args.file_include,
                    file_exclude=args.file_exclude,
                    tar_include=args.tar_include,
-                   tar_exclude=args.tar_exclude)
+                   tar_exclude=args.tar_exclude,
+                   input_format=0 if args.input_format == 5
+                   else args.input_format)
     if args.tax_mapping_file:
         from .db.taxonomy import load_tax_mapping, save_db_mapping
         save_db_mapping(db, load_tax_mapping(args.tax_mapping_file))

@@ -70,7 +70,7 @@ def collect_input_files(inputs: List[str],
     return files
 
 
-def _parse_any(path: str):
+def _parse_any(path: str, input_format: int = 0):
     """parse_structure with tar-member and foldcomp (.fcz) support."""
     from . import foldcomp as fc
     if "::" in path and not os.path.exists(path):
@@ -91,16 +91,17 @@ def _parse_any(path: str):
             return fc.to_structure(fc.decode_fcz(data),
                                    remove_two_extensions(base))
         text = data.decode("utf-8", errors="replace")
-        return pdb_parser.parse_structure_text(text, base)
+        return pdb_parser.parse_structure_text(text, base,
+                                               input_format=input_format)
     with open(path, "rb") as f:
         head = f.read(4)
     if head == fc.MAGIC:
         return fc.to_structure(fc.read_fcz(path),
                                remove_two_extensions(os.path.basename(path)))
-    return pdb_parser.parse_structure(path)
+    return pdb_parser.parse_structure(path, input_format=input_format)
 
 
-def _parse_structures(path: str):
+def _parse_structures(path: str, input_format: int = 0):
     """All structures from one input path: a foldcomp DB (data file with an
     .index sidecar whose entries start with FCMP) yields one per entry;
     everything else yields one."""
@@ -111,7 +112,7 @@ def _parse_structures(path: str):
             if f.read(4) == fc.MAGIC:
                 return [fc.to_structure(st, name)
                         for name, st in fc.iter_foldcomp_db(path)]
-    return [_parse_any(path)]
+    return [_parse_any(path, input_format)]
 
 
 def remove_two_extensions(name: str) -> str:
@@ -190,7 +191,8 @@ def create_db(inputs: List[str], out_path: str,
               mask_bfactor_threshold: float = 0.0,
               prostt5_model: str = "",
               file_include: str = ".*", file_exclude: str = "^$",
-              tar_include: str = ".*", tar_exclude: str = "^$") -> StructDB:
+              tar_include: str = ".*", tar_exclude: str = "^$",
+              input_format: int = 0) -> StructDB:
     if prostt5_model:
         return create_db_prostt5(inputs, out_path, prostt5_model)
     files = collect_input_files(inputs, file_include, file_exclude,
@@ -201,7 +203,7 @@ def create_db(inputs: List[str], out_path: str,
     failed = 0
     for file_id, path in enumerate(files):
         try:
-            sts = _parse_structures(path)
+            sts = _parse_structures(path, input_format)
         except Exception as e:  # noqa: BLE001 - ingest must survive bad files
             logger.warning("failed to parse %s: %s", path, e)
             failed += 1

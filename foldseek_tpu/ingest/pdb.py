@@ -95,14 +95,26 @@ def strip_structure_ext(filename: str) -> str:
     return os.path.splitext(base)[0]
 
 
-def parse_structure(path: str) -> Structure:
+def parse_structure(path: str, input_format: int = 0) -> Structure:
     with _open_maybe_gz(path) as f:
         text = f.read()
-    return parse_structure_text(text, strip_structure_ext(path), _strip=False)
+    return parse_structure_text(text, strip_structure_ext(path), _strip=False,
+                                input_format=input_format)
 
 
-def parse_structure_text(text: str, filename: str, _strip: bool = True) -> Structure:
+def parse_structure_text(text: str, filename: str, _strip: bool = True,
+                         input_format: int = 0) -> Structure:
+    """input_format forces a parser (LocalParameters.cpp:36 --input-format:
+    0 auto, 1 PDB, 2 mmCIF, 3 mmJSON); auto-detection sniffs content, which
+    also covers extension-less files (stricter than the reference's
+    extension dispatch)."""
     name = strip_structure_ext(filename) if _strip else filename
+    if input_format == 1:
+        return parse_pdb_text(text, name)
+    if input_format == 2:
+        return parse_mmcif_text(text, name)
+    if input_format == 3:
+        return parse_mmjson_text(text, name)
     if _looks_like_mmjson(text):
         return parse_mmjson_text(text, name)
     if _looks_like_cif(text):

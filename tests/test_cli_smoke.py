@@ -149,3 +149,19 @@ def test_createdb_include_exclude_filters(tmp_path, example_dir):
     assert main(["createdb", str(t), db3, "--tar-include", "mbaa",
                  "-v", "1"]) == 0
     assert load_db(db3).names == ["d1mbaa_"]
+
+
+def test_createdb_input_format_forcing(tmp_path, example_dir):
+    """--input-format forces the parser: a PDB file without any extension
+    parses as PDB under format 1 and identically to auto-detect."""
+    import shutil
+    from foldseek_tpu.db.storage import load_db
+    src = tmp_path / "noext"
+    shutil.copy(str(example_dir / "d1asha_"), str(src))
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert main(["createdb", str(src), a, "-v", "1"]) == 0
+    assert main(["createdb", str(src), b, "--input-format", "1",
+                 "-v", "1"]) == 0
+    da, db_ = load_db(a), load_db(b)
+    assert da.get_aa_str(0) == db_.get_aa_str(0)
+    assert da.get_ss_str(0) == db_.get_ss_str(0)
