@@ -117,6 +117,12 @@ def cmd_createdb(argv):
                    help="0: auto-detect (content sniffing), 1: PDB,"
                         " 2: mmCIF, 3: mmJSON, 5: Foldcomp"
                         " (LocalParameters.cpp:36)")
+    p.add_argument("--write-lookup", type=int, default=0,
+                   help="1: also write a reference-format .lookup file"
+                        " (key\\tname\\tfileid)")
+    p.add_argument("--coord-store-mode", type=int, default=1,
+                   help="1: C-alpha float32 (native layout); 2: also emit"
+                        " the int16-diff ca16.bin (Coordinate16 artifact)")
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
@@ -137,6 +143,14 @@ def cmd_createdb(argv):
     if args.tax_mapping_file:
         from .db.taxonomy import load_tax_mapping, save_db_mapping
         save_db_mapping(db, load_tax_mapping(args.tax_mapping_file))
+    if args.write_lookup:
+        # reference .lookup format: id\tentryName\tfileNumber
+        with open(args.output + ".lookup", "w") as f:
+            for i in range(db.size):
+                fid = int(db.fileids[i]) if db.fileids is not None else 0
+                f.write(f"{int(db.keys[i])}\t{db.names[i]}\t{fid}\n")
+    if args.coord_store_mode == 2:
+        cmd_compressca([args.output, "-v", "1"])
     return 0
 
 

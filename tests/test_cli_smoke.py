@@ -165,3 +165,14 @@ def test_createdb_input_format_forcing(tmp_path, example_dir):
     da, db_ = load_db(a), load_db(b)
     assert da.get_aa_str(0) == db_.get_aa_str(0)
     assert da.get_ss_str(0) == db_.get_ss_str(0)
+
+
+def test_createdb_write_lookup_and_coord_mode(tmp_path, example_dir):
+    db = str(tmp_path / "db")
+    assert main(["createdb", str(example_dir / "1tim.pdb.gz"), db,
+                 "--write-lookup", "1", "--coord-store-mode", "2",
+                 "-v", "1"]) == 0
+    rows = [l.split("\t") for l in open(db + ".lookup").read().splitlines()]
+    assert [r[1] for r in rows] == ["1tim_A", "1tim_B"]
+    assert all(r[2] == "0" for r in rows)  # same source file
+    assert os.path.getsize(os.path.join(db, "ca16.bin")) > 0
