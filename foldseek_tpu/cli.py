@@ -55,6 +55,9 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("--threads", type=int, default=0,
                    help="host worker threads (0 = all cores; reference"
                         " PARAM_THREADS default)")
+    p.add_argument("--tmalign-hit-order", type=int, default=0,
+                   help="0: (qTM+tTM)/2, 1: qTM, 2: tTM, 3: min, 4: max")
+    p.add_argument("--tmalign-fast", type=int, default=1)
     p.add_argument("-v", "--verbosity", type=int, default=3)
 
 
@@ -91,6 +94,8 @@ def _params_from_args(args) -> SearchParams:
         alt_alignment=args.alt_alignment,
         num_iterations=args.num_iterations, index_server=args.index_server,
         threads=args.threads,
+        tmalign_hit_order=getattr(args, "tmalign_hit_order", 0),
+        tmalign_fast=bool(getattr(args, "tmalign_fast", 1)),
     )
 
 

@@ -42,6 +42,10 @@ class SearchParams:
     tmscore_threshold_mode: int = 0  # alignment-length normalization
     lddt_threshold: float = 0.0
     exact_tmscore: bool = False
+    # tmalign module (LocalParameters.cpp:13,22): hit order
+    # 0 (qTM+tTM)/2, 1 qTM, 2 tTM, 3 min, 4 max; --tmalign-fast default 1
+    tmalign_hit_order: int = 0
+    tmalign_fast: bool = True
 
     # iterative profile search (--num-iterations)
     num_iterations: int = 1
@@ -83,6 +87,7 @@ class SearchParams:
             ("--lddt-threshold", 0.0 <= self.lddt_threshold <= 1.0),
             ("--tmscore-threshold-mode",
              0 <= self.tmscore_threshold_mode <= 2),
+            ("--tmalign-hit-order", 0 <= self.tmalign_hit_order <= 4),
             ("-s/--sensitivity", 1.0 <= self.sensitivity <= 20.0),
             ("-k/--kmer-size", self.kmer_size == 0
              or 5 <= self.kmer_size <= 7),

@@ -67,3 +67,29 @@ def test_nw_gotoh_reference_matches_fast():
         a = nw_gotoh(score, 10.0, 1.0)
         b = _nw_gotoh_fast(score, 10.0, 1.0)
         assert (a == b).all()
+
+
+def test_tmalign_hit_order_flag(example_dir, tmp_path):
+    """--tmalign-hit-order changes the ordering TM (qTM vs tTM) through
+    the CLI (LocalParameters.h:41-45); evalue column carries the order
+    TM in tmalign mode."""
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.search.resultdb import read_result_db
+    db = str(tmp_path / "db")
+    files = [str(example_dir / n) for n in ("d1asha_", "d1mbaa_")]
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    base = str(tmp_path / "base")
+    assert main(["search", db, db, base, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-v", "1"]) == 0
+    outq = str(tmp_path / "oq")
+    outt = str(tmp_path / "ot")
+    assert main(["tmalign", db, db, base, outq,
+                 "--tmalign-hit-order", "1", "-v", "1"]) == 0
+    assert main(["tmalign", db, db, base, outt,
+                 "--tmalign-hit-order", "2", "-v", "1"]) == 0
+    rq, _ = read_result_db(outq)
+    rt, _ = read_result_db(outt)
+    # cross-pair with different lengths: qTM != tTM
+    cross_q = next(r for r in rq[0] if r.db_key != 0)
+    cross_t = next(r for r in rt[0] if r.db_key != 0)
+    assert cross_q.evalue != cross_t.evalue
