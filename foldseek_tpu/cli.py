@@ -21,6 +21,7 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("-c", "--cov", dest="cov_thr", type=float, default=0.0)
     p.add_argument("--cov-mode", type=int, default=0)
     p.add_argument("--min-seq-id", dest="seq_id_thr", type=float, default=0.0)
+    p.add_argument("--min-aln-len", dest="aln_len_thr", type=int, default=0)
     p.add_argument("--alignment-type", type=int, default=2,
                    help="0: 3Di, 1: TM-align, 2: 3Di+AA")
     p.add_argument("--tmscore-threshold", type=float, default=0.0)
@@ -75,6 +76,7 @@ def _params_from_args(args) -> SearchParams:
     return SearchParams(
         evalue_thr=args.evalue, sensitivity=args.sensitivity,
         max_seqs=args.max_seqs, cov_thr=args.cov_thr, cov_mode=args.cov_mode,
+        aln_len_thr=getattr(args, "aln_len_thr", 0),
         seq_id_thr=args.seq_id_thr, alignment_type=args.alignment_type,
         tmscore_threshold=args.tmscore_threshold,
         tmscore_threshold_mode=args.tmscore_threshold_mode,
