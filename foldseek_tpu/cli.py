@@ -59,6 +59,9 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("--tmalign-hit-order", type=int, default=0,
                    help="0: (qTM+tTM)/2, 1: qTM, 2: tTM, 3: min, 4: max")
     p.add_argument("--tmalign-fast", type=int, default=1)
+    p.add_argument("--add-self-matches", action="store_true",
+                   help="artificially add self hits (for clustering;"
+                        " Parameters.cpp PARAM_INCLUDE_IDENTITY)")
     p.add_argument("-v", "--verbosity", type=int, default=3)
 
 
@@ -98,6 +101,7 @@ def _params_from_args(args) -> SearchParams:
         threads=args.threads,
         tmalign_hit_order=getattr(args, "tmalign_hit_order", 0),
         tmalign_fast=bool(getattr(args, "tmalign_fast", 1)),
+        include_identity=bool(getattr(args, "add_self_matches", False)),
     )
 
 
