@@ -69,7 +69,8 @@ def convert2pdb(db: StructDB, out_path: str,
                 for line in _atom_lines(db, i, _chain_letter(db, i)):
                     f.write(line + "\n")
                 f.write("ENDMDL\n")
-            f.write("END\n")
+            # no trailing END record: the reference's multimodel writer
+            # ends at the last ENDMDL (convert2pdb.cpp) and parity wins
         logger.info("convert2pdb: %d models -> %s", db.size, out_path)
         return
 

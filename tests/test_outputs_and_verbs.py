@@ -128,3 +128,29 @@ def test_html_3d_superposition(tim_db, tmp_path):
     assert "show3d" in html and "getContext" in html
     script = html[html.index("<script>"):html.index("</script>")]
     assert script.count("{") == script.count("}")
+
+
+def test_convert2pdb_parity_vs_reference(example_dir, tmp_path):
+    """convert2pdb matches the reference binary's output line-for-line
+    (tests/golden/msa/convert2pdb.pdb); coordinates may differ by one
+    milli-Angstrom where the reference's Coordinate16 int16-diff storage
+    quantized (ours stores exact float32 — strictly more accurate)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = (pathlib.Path(__file__).parent / "golden" / "msa" /
+              "convert2pdb.pdb").read_text().splitlines()
+    files = [str(example_dir / n)
+             for n in ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    out = str(tmp_path / "out.pdb")
+    assert main(["convert2pdb", db, out, "-v", "1"]) == 0
+    mine = open(out).read().splitlines()
+    assert len(mine) == len(golden)
+    for a, b in zip(mine, golden):
+        if a == b:
+            continue
+        assert a[:30] == b[:30], (a, b)  # record/name fields identical
+        ca = [float(a[30:38]), float(a[38:46]), float(a[46:54])]
+        cb = [float(b[30:38]), float(b[38:46]), float(b[46:54])]
+        assert all(abs(x - y) <= 0.0011 for x, y in zip(ca, cb)), (a, b)
