@@ -369,6 +369,8 @@ def cmd_aln2tmscore(argv):
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
+    import numpy as np
+
     from .db.storage import load_db
     from .ops import tmscore as tm_ops
     from .search.resultdb import read_result_db
@@ -391,9 +393,13 @@ def cmd_aln2tmscore(argv):
                     qdb.get_ca(qi), tdb.get_ca(tidx[r.db_key]),
                     r.q_start, r.t_start, r.backtrace, norm)
                 u = res.u
+                # TM as double "%.3E", t/u as float "%.3f"
+                # (aln2tmscore.cpp:108-130 SSTR specializations,
+                # Util.cpp:667-679)
                 vals = [str(r.db_key), f"{res.tmscore:.3E}"]
-                vals += [f"{v:.3E}" for v in res.t]
-                vals += [f"{u[i][j]:.3E}" for i in range(3) for j in range(3)]
+                vals += [f"{float(np.float32(v)):.3f}" for v in res.t]
+                vals += [f"{float(np.float32(u[i][j])):.3f}"
+                         for i in range(3) for j in range(3)]
                 f.write(str(qkey) + "\t" + " ".join(vals) + "\n")
     return 0
 

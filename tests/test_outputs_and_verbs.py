@@ -154,3 +154,41 @@ def test_convert2pdb_parity_vs_reference(example_dir, tmp_path):
         ca = [float(a[30:38]), float(a[38:46]), float(a[46:54])]
         cb = [float(b[30:38]), float(b[38:46]), float(b[46:54])]
         assert all(abs(x - y) <= 0.0011 for x, y in zip(ca, cb)), (a, b)
+
+
+def test_aln2tmscore_parity_vs_reference(example_dir, tmp_path):
+    """aln2tmscore vs the reference binary (tests/golden/msa/
+    aln2tmscore.tsv): TM column byte-identical ("%.3E"); t/u within the
+    float32-vs-float64 superposition rounding band (+-0.0015, signed
+    zeros normalized)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    from foldseek_tpu.db.storage import load_db
+    golden = (pathlib.Path(__file__).parent / "golden" / "msa" /
+              "aln2tmscore.tsv").read_text().splitlines()
+    files = [str(example_dir / n)
+             for n in ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    out = str(tmp_path / "tm")
+    assert main(["aln2tmscore", db, db, aln, out, "-v", "1"]) == 0
+    dbo = load_db(db)
+    kn = {str(int(dbo.keys[i])): dbo.names[i] for i in range(dbo.size)}
+    ref = {}
+    for line in golden:
+        q, rest = line.split("\t", 1)
+        t, vals = rest.split(" ", 1)
+        ref[(q, t)] = vals.split()
+    n = 0
+    for line in open(out):
+        q, rest = line.rstrip("\n").split("\t", 1)
+        parts = rest.split(" ")
+        rv = ref[(kn[q], kn[parts[0]])]
+        assert parts[1] == rv[0]  # TM "%.3E" byte-identical
+        for a, b in zip(parts[2:], rv[1:]):
+            assert abs(float(a) - float(b)) <= 0.0015, (q, parts[0], a, b)
+        n += 1
+    assert n == len(ref)
