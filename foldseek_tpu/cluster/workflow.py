@@ -264,12 +264,14 @@ def write_rep_fasta(db: StructDB, clusters: Dict[int, List[int]], path: str):
 
 
 def write_all_seqs_fasta(db: StructDB, clusters: Dict[int, List[int]], path: str):
-    """createseqfiledb + result2flat: per cluster a '>repName' separator line
-    followed by every member's fasta record."""
+    """createseqfiledb + result2flat: per cluster a '>repName ' separator
+    line followed by every member's fasta record. The trailing space is
+    the reference's quirk — result2flat turns the rep header's newline
+    into a space (result2flat.cpp; byte-compared against the binary)."""
     key_to_idx = db.key_to_index()
     with open(path, "w") as f:
         for rep in sorted(clusters.keys()):
-            f.write(f">{db.names[key_to_idx[rep]]}\n")
+            f.write(f">{db.names[key_to_idx[rep]]} \n")
             for m in clusters[rep]:
                 i = key_to_idx[m]
                 f.write(f">{db.headers[i]}\n")
