@@ -405,20 +405,44 @@ def cmd_aln2tmscore(argv):
 
 
 def cmd_structureto3didescriptor(argv):
+    """Debug tool: per chain `name\\tAA\\t3Di\\tfeatures` where features are
+    the raw 10 per-residue encoder inputs, "%.3E" comma-joined (reference:
+    src/strucclustutils/structureto3didescriptor.cpp:137-155; zeros for
+    residues without a valid flank window)."""
     p = argparse.ArgumentParser(prog="foldseek-tpu structureto3didescriptor")
     p.add_argument("inputs", nargs="+")
     p.add_argument("output")
     p.add_argument("-v", "--verbosity", type=int, default=3)
     args = p.parse_args(argv)
     set_verbosity(args.verbosity)
-    import tempfile
+    import numpy as np
 
-    from .ingest.createdb import create_db
-    with tempfile.TemporaryDirectory() as tmp:
-        db = create_db(args.inputs, tmp + "/db")
-        with open(args.output, "w") as f:
-            for i in range(db.size):
-                f.write(f"{db.names[i]}\t{db.get_aa_str(i)}\t{db.get_ss_str(i)}\n")
+    from .ingest.createdb import _parse_structures, collect_input_files
+    from .ingest.encoder3di import encode_chain, states_to_string
+    with open(args.output, "w") as f:
+        for path in collect_input_files(args.inputs):
+            sts = _parse_structures(path)
+            # the reference's descriptor names entries by the input
+            # filename WITH extension (structureto3didescriptor.cpp uses
+            # the raw filename, unlike createdb's stripped sort key)
+            file_base = os.path.basename(path.split("::", 1)[-1])
+            for st in sts:
+                multi = len(st.chains) > 1
+                base = file_base if len(sts) == 1 else st.name
+                for ch in st.chains:
+                    if len(ch.aa) <= 3:
+                        continue
+                    n_arr, c_arr = ch.n, ch.c
+                    if (len(ch.aa) >= 4 and np.isnan(ch.n[:4, 0]).all()
+                            and np.isnan(ch.c[:4, 0]).all()):
+                        from .ingest.backbone import rebuild_backbone
+                        n_arr, c_arr = rebuild_backbone(ch.ca, ch.aa)
+                    states, feats = encode_chain(ch.ca, n_arr, c_arr, ch.cb,
+                                                 return_features=True)
+                    name = base + (f"_{ch.name}" if multi else "")
+                    cols = ",".join(f"{v:.3E}" for v in feats.ravel())
+                    f.write(f"{name}\t{ch.aa}\t{states_to_string(states)}"
+                            f"\t{cols}\n")
     return 0
 
 

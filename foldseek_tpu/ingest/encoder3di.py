@@ -114,15 +114,19 @@ def virtual_center(ca, cb, n, alpha=VIRT_ALPHA, beta=VIRT_BETA, d=VIRT_D):
     return ca + v * d
 
 
-def encode_chain(ca, n, c, cb):
+def encode_chain(ca, n, c, cb, return_features: bool = False):
     """Encode one chain to 3Di states.
 
     Args:
       ca, n, c, cb: float64 [L, 3]; missing atoms are NaN (whole-row NaN for a
         missing CB triggers the tetrahedral approximation, NaN in CA/N/C marks
         the residue invalid).
+      return_features: also return the 10 raw per-residue features
+        (zeros where invalid) — the structureto3didescriptor debug column
+        (structureto3didescriptor.cpp:137-155).
     Returns:
       states: int8 [L] in [0, 20); invalid residues get INVALID_STATE.
+      (states, features [L, 10] float64) when return_features.
     """
     ca = np.asarray(ca, dtype=np.float64)
     n = np.asarray(n, dtype=np.float64)
@@ -130,8 +134,9 @@ def encode_chain(ca, n, c, cb):
     cb = np.asarray(cb, dtype=np.float64)
     L = ca.shape[0]
     states = np.full(L, INVALID_STATE, dtype=np.int8)
+    full_feats = np.zeros((L, 10), dtype=np.float64)
     if L < 3:
-        return states
+        return (states, full_feats) if return_features else states
 
     # step 1+2: virtual centers (replaceCBWithVirtualCenter)
     cb = cb.copy()
@@ -188,7 +193,7 @@ def encode_chain(ca, n, c, cb):
     mask[L - 1] = False
 
     if not mask.any():
-        return states
+        return (states, full_feats) if return_features else states
 
     ii = np.nonzero(mask)[0]
     jj = partner[ii]
@@ -216,6 +221,9 @@ def encode_chain(ca, n, c, cb):
     # step 6: nearest centroid (discretizeEmbeddings)
     d2c = np.sum((emb[:, None, :] - CENTROIDS[None, :, :]) ** 2, axis=-1)
     states[ii] = d2c.argmin(axis=1).astype(np.int8)
+    if return_features:
+        full_feats[ii] = feats
+        return states, full_feats
     return states
 
 
@@ -240,8 +248,9 @@ def encode_chain_seqdist(ca, n, c, cb):
     cb = np.asarray(cb, dtype=np.float64).copy()
     L = ca.shape[0]
     states = np.full(L, INVALID_STATE, dtype=np.int8)
+    full_feats = np.zeros((L, 10), dtype=np.float64)
     if L < 3:
-        return states
+        return (states, full_feats) if return_features else states
     missing_cb = np.isnan(cb[:, 0])
     if missing_cb.any():
         cb[missing_cb] = approx_cbeta(ca[missing_cb], n[missing_cb], c[missing_cb])

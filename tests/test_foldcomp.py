@@ -132,3 +132,27 @@ def test_convert2foldcomp_verb(example_dir, tmp_path):
         a, b = db.get_ss_str(i), direct.get_ss_str(j)
         ident = sum(x == y for x, y in zip(a, b)) / len(b)
         assert ident > 0.4, (name, ident)
+
+
+def test_descriptor_features_vs_reference(tmp_path, example_dir):
+    """The full 4-column descriptor (incl. the 10 raw features per
+    residue, "%.3E" comma-joined): byte-identical to the reference
+    binary on a plain PDB input (golden/msa/d1asha_desc.tsv); on the
+    fcz golden the name/AA/3Di columns are byte-exact and features
+    match within one printed digit (both sides re-derive coordinates
+    through their own foldcomp NeRF decode — 1-ulp float rounding)."""
+    from foldseek_tpu.cli import main
+    out = str(tmp_path / "plain.tsv")
+    assert main(["structureto3didescriptor",
+                 str(example_dir / "d1asha_"), out, "-v", "1"]) == 0
+    plain_golden = open(os.path.join(GOLDEN, "msa", "d1asha_desc.tsv")).read()
+    assert open(out).read() == plain_golden
+    out2 = str(tmp_path / "fcz.tsv")
+    assert main(["structureto3didescriptor", FCZ, out2, "-v", "1"]) == 0
+    g = open(os.path.join(GOLDEN, "d1asha_fcz_3di.tsv")).read().rstrip("\n").split("\t")
+    m = open(out2).read().rstrip("\n").split("\t")
+    assert m[:3] == g[:3]
+    gf = [float(x) for x in g[3].split(",")]
+    mf = [float(x) for x in m[3].split(",")]
+    assert len(gf) == len(mf)
+    assert max(abs(a - b) for a, b in zip(gf, mf)) <= 2e-4
