@@ -3,6 +3,15 @@
 milli-units followed by int16 deltas; falls back to raw float32 when any
 delta overflows. 6 bytes/residue instead of 12 — the reference's RAM
 headline for AFDB-scale DBs (README.md:95).
+
+Byte-level note vs the reference's `_ca` payload: the reference quantizes
+from gemmi's float64 coordinates with C truncation ((int)(x*1000),
+structcreatedb.cpp:636), which drops one milli-Angstrom on roughly half
+of all PDB 3-decimal values; our DB stores float32 and quantizes from
+that, so ~1% of milli values differ by 1 (ours closer to the printed
+source value — see test_convert2pdb_parity_vs_reference). The reference
+also appends one uint8 marker byte per entry; round-trip compatibility
+within each framework is exact either way.
 """
 from __future__ import annotations
 
