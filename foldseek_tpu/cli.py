@@ -253,11 +253,9 @@ def cmd_convertalis(argv):
     results, has_bt = read_result_db(args.result_db)
     # the reference always uses a stored backtrace for alnlen/mismatch/
     # gapopen, whatever the column set (structureconvertalis.cpp:727)
-    lines = format_results(qdb, tdb, results, args.format_output,
-                           with_backtrace=has_bt)
-    with open(args.output, "w") as f:
-        for line in lines:
-            f.write(line + "\n")
+    from .search.convertalis import write_output
+    write_output(qdb, tdb, results, args.output, fmt=args.format_output,
+                 format_mode=args.format_mode, with_backtrace=has_bt)
     return 0
 
 

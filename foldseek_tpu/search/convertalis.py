@@ -275,12 +275,25 @@ def _names(db: StructDB, i: int) -> str:
     return db.headers[i].split()[0] if db.headers[i] else db.names[i]
 
 
+# Gapped Karlin-Altschul parameters of the default 3Di+AA scoring system
+# (gap 10/1): the reference fits these at startup with the ALP library
+# (EvalueComputation.h initGapped, random seed 42). Pinned empirically to
+# reproduce the binary's integer raw scores exactly over bit scores
+# 29..8870 (17 data points, SAM AS:i: column).
+SAM_KA_LAMBDA = 0.3160570368
+SAM_KA_LOGK = -2.1661502836
+
+
 def _write_sam(qdb, tdb, results, out_path):
     """SAM with @SQ headers per hit target (structureconvertalis.cpp:470-505,
-    :1172-1207)."""
+    :1172-1207): AS:i = the ALP raw score recovered from the bit score
+    (computeRawScoreFromBitScore), NM:i = the m8 mismatch count, MAPQ =
+    -4.343*log(exp(-raw)) with the reference's exp-underflow quirk (raw >
+    ~745 underflows exp to 0 -> inf -> uint32 cast 0 -> MAPQ 4)."""
     import math
     qidx = qdb.key_to_index()
     tidx = tdb.key_to_index()
+    ln2 = math.log(2.0)
     with open(out_path, "w") as f:
         f.write("@HD\tVN:1.4\tSO:queryname\n")
         written = set()
@@ -297,13 +310,29 @@ def _write_sam(qdb, tdb, results, out_path):
             for r in results[qkey]:
                 ti = tidx[r.db_key]
                 strand = 16 if r.q_end > r.q_start else 0
-                raw = max(int(r.score), 0)
-                mapq = min(254, int(4.343 * raw + 4.99))
+                raw = int((SAM_KA_LOGK + max(int(r.score), 0) * ln2)
+                          / SAM_KA_LAMBDA + 0.5)
+                if raw > 745:  # exp(-raw) underflows (see docstring)
+                    mapq = 4
+                else:
+                    mapq = min(254, int(int(4.343 * raw) + 4.99))
                 cigar = compress_backtrace(r.backtrace) if r.backtrace else "*"
                 start = min(r.q_start, r.q_end)
                 end = max(r.q_start, r.q_end)
                 seq = qseq[start:end + 1]
-                mismatch = r.backtrace.count("M") - r.identical if r.backtrace else 0
+                if r.backtrace:
+                    if r.seq_id == 1.0:
+                        seq_id = 1.0
+                    else:
+                        seq_id = float(np.float32(
+                            int(np.float32(np.float32(r.seq_id) * 1000))
+                            / 1000.0))
+                    identical = int(np.float32(
+                        np.float32(seq_id) * np.float32(len(r.backtrace))
+                        + np.float32(0.5)))
+                    mismatch = r.backtrace.count("M") - identical
+                else:
+                    mismatch = 0
                 f.write(f"{qname}\t{strand}\t{_names(tdb, ti)}\t{r.t_start + 1}"
                         f"\t{mapq}\t{cigar}\t*\t0\t0\t{seq}\t*"
                         f"\tAS:i:{raw}\tNM:i:{mismatch}\n")

@@ -192,3 +192,25 @@ def test_aln2tmscore_parity_vs_reference(example_dir, tmp_path):
             assert abs(float(a) - float(b)) <= 0.0015, (q, parts[0], a, b)
         n += 1
     assert n == len(ref)
+
+
+def test_sam_output_byte_exact_vs_reference(example_dir, tmp_path):
+    """convertalis --format-mode 1 is byte-identical to the reference
+    binary's SAM output (tests/golden/msa/out.sam): ALP raw scores
+    (AS:i), m8 mismatch counts (NM:i), and the reference's MAPQ
+    exp-underflow quirk all reproduced."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = (pathlib.Path(__file__).parent / "golden" / "msa" /
+              "out.sam").read_text()
+    files = [str(example_dir / n)
+             for n in ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    out = str(tmp_path / "out.sam")
+    assert main(["convertalis", db, db, aln, out, "--format-mode", "1",
+                 "-v", "1"]) == 0
+    assert open(out).read() == golden
