@@ -148,7 +148,11 @@ def format_row(r: AlnResult, qname: str, tname: str,
         elif c == "bits":
             out.append(str(int(r.score)))
         elif c == "raw":
-            out.append(str(int(r.score)))
+            # ALP raw score from the bit score (structureconvertalis.cpp:875
+            # computeRawScoreFromBitScore; constants pinned in _write_sam)
+            import math
+            out.append(str(int((SAM_KA_LOGK + max(int(r.score), 0)
+                                * math.log(2.0)) / SAM_KA_LAMBDA + 0.5)))
         elif c == "qcov":
             out.append(_fmt_f(qcov))
         elif c == "tcov":
