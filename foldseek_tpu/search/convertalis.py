@@ -248,7 +248,8 @@ def _aligned_string(seq: str, start: int, backtrace: str, gap_op: str) -> str:
 
 FORMAT_BLAST_TAB = 0
 FORMAT_SAM = 1
-FORMAT_BLAST_TAB_WITH_HEADERS = 2
+FORMAT_BLAST_TAB_WITH_LEN = 2
+FORMAT_BLAST_TAB_WITH_HEADERS = 2  # alias (reference name: BLAST_WITH_LEN)
 FORMAT_HTML = 3
 FORMAT_PDB_SUPERPOSED = 5
 
@@ -266,11 +267,21 @@ def write_output(qdb: StructDB, tdb: StructDB,
         _write_html(qdb, tdb, results, out_path, with_backtrace)
     elif format_mode == FORMAT_PDB_SUPERPOSED:
         _write_superposed_pdb(qdb, tdb, results, out_path)
+    elif format_mode == FORMAT_BLAST_TAB_WITH_HEADERS:
+        # BLAST-TAB + query/target length columns, e-value "%.2E"
+        # (structureconvertalis.cpp:1154-1162 FORMAT_ALIGNMENT_BLAST_WITH_LEN)
+        lines = format_results(
+            qdb, tdb, results,
+            "query,target,fident,alnlen,mismatch,gapopen,qstart,qend,"
+            "tstart,tend,evalue,bits,qlen,tlen", with_backtrace)
+        with open(out_path, "w") as f:
+            for line in lines:
+                parts = line.split("\t")
+                parts[10] = f"{float(parts[10]):.2E}"
+                f.write("\t".join(parts) + "\n")
     else:
         lines = format_results(qdb, tdb, results, fmt, with_backtrace)
         with open(out_path, "w") as f:
-            if format_mode == FORMAT_BLAST_TAB_WITH_HEADERS:
-                f.write("#" + fmt.replace(",", "\t") + "\n")
             for line in lines:
                 f.write(line + "\n")
 
