@@ -251,6 +251,7 @@ FORMAT_SAM = 1
 FORMAT_BLAST_TAB_WITH_LEN = 2
 FORMAT_BLAST_TAB_WITH_HEADERS = 2  # alias (reference name: BLAST_WITH_LEN)
 FORMAT_HTML = 3
+FORMAT_BLAST_TAB_COLUMN_HEADERS = 4
 FORMAT_PDB_SUPERPOSED = 5
 
 
@@ -282,6 +283,10 @@ def write_output(qdb: StructDB, tdb: StructDB,
     else:
         lines = format_results(qdb, tdb, results, fmt, with_backtrace)
         with open(out_path, "w") as f:
+            if format_mode == FORMAT_BLAST_TAB_COLUMN_HEADERS:
+                # mode 4: BLAST-TAB preceded by a column-name header row
+                # (structureconvertalis.cpp:258-261 + header emission)
+                f.write(fmt.replace(",", "\t") + "\n")
             for line in lines:
                 f.write(line + "\n")
 

@@ -234,3 +234,23 @@ def test_format_mode2_byte_exact_vs_reference(example_dir, tmp_path):
     assert main(["convertalis", db, db, aln, out, "--format-mode", "2",
                  "-v", "1"]) == 0
     assert open(out).read() == golden
+
+
+def test_format_mode4_byte_exact_vs_reference(example_dir, tmp_path):
+    """--format-mode 4 (BLAST-TAB + column-name header row) matches the
+    reference binary byte-for-byte (tests/golden/msa/mode4.tsv)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = (pathlib.Path(__file__).parent / "golden" / "msa" /
+              "mode4.tsv").read_text()
+    files = [str(example_dir / n)
+             for n in ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    out = str(tmp_path / "m4.tsv")
+    assert main(["convertalis", db, db, aln, out, "--format-mode", "4",
+                 "-v", "1"]) == 0
+    assert open(out).read() == golden
