@@ -254,3 +254,38 @@ def test_format_mode4_byte_exact_vs_reference(example_dir, tmp_path):
     assert main(["convertalis", db, db, aln, out, "--format-mode", "4",
                  "-v", "1"]) == 0
     assert open(out).read() == golden
+
+
+def test_format_mode5_superposed_parity_vs_reference(example_dir, tmp_path):
+    """--format-mode 5 (per-hit TM-superposed C-alpha PDB) matches the
+    reference binary line-for-line (tests/golden/msa/sup/), coordinates
+    within the Coordinate16-quantization + float32 superposition band
+    (2 milli-Angstrom)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    gdir = pathlib.Path(__file__).parent / "golden" / "msa" / "sup"
+    files = [str(example_dir / n)
+             for n in ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    prefix = str(tmp_path / "sup")
+    assert main(["convertalis", db, db, aln, prefix, "--format-mode", "5",
+                 "-v", "1"]) == 0
+    n = 0
+    for g in sorted(gdir.glob("ref_sup*.pdb")):
+        mine = prefix + g.name[len("ref_sup"):]
+        glines = g.read_text().splitlines()
+        mlines = open(mine).read().splitlines()
+        assert len(mlines) == len(glines), g.name
+        for a, b in zip(mlines, glines):
+            if a == b:
+                continue
+            assert a[:30] == b[:30] and a[54:] == b[54:], (g.name, a, b)
+            ca = [float(a[30:38]), float(a[38:46]), float(a[46:54])]
+            cb = [float(b[30:38]), float(b[38:46]), float(b[46:54])]
+            assert all(abs(x - y) <= 0.002 for x, y in zip(ca, cb)), (a, b)
+        n += 1
+    assert n == 16
