@@ -46,3 +46,37 @@ def test_ext_columns_golden(scop_dir, golden_dir, tmp_path):
         for idx in (20, 21, 22, 23, 24):
             assert abs(float(a[idx]) - float(b[idx])) < 2e-2, (k, idx, a[idx], b[idx])
     assert text_exact >= len(ref) - 3, f"{text_exact}/{len(ref)} rows text-exact"
+
+
+def test_extended_columns_vs_reference_binary(example_dir, tmp_path):
+    """prob/qtmscore/ttmscore/alntmscore/rmsd/lddt/qaln/taln vs the
+    reference binary (tests/golden/msa/ext_cols.tsv): every cross-pair
+    cell is byte-identical; numeric cells carry tight float tolerances
+    (rmsd: the reference's own iterative superposition leaves 0.02-0.04A
+    self-hit artifacts where plain Kabsch gives ~0)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = (pathlib.Path(__file__).parent / "golden" / "msa" /
+              "ext_cols.tsv").read_text().splitlines()
+    files = [str(example_dir / n)
+             for n in ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    out = str(tmp_path / "ext.tsv")
+    cols = ("query,target,prob,qtmscore,ttmscore,alntmscore,rmsd,"
+            "lddt,qaln,taln")
+    assert main(["convertalis", db, db, aln, out,
+                 "--format-output", cols, "-v", "1"]) == 0
+    mine = open(out).read().splitlines()
+    assert len(mine) == len(golden)
+    for a, b in zip(mine, golden):
+        pa, pb = a.split("\t"), b.split("\t")
+        for i, (x, y) in enumerate(zip(pa, pb)):
+            if x == y:
+                continue
+            is_self = pa[0] == pa[1]
+            tol = 0.05 if (i == 6 and is_self) else 5e-4
+            assert abs(float(x) - float(y)) <= tol, (i, x, y)
