@@ -140,6 +140,8 @@ def cmd_createdb(argv):
     if args.input_format == 4:
         raise SystemExit("createdb: ChemComp (--input-format 4) is not"
                          " supported")
+    if not 0 <= args.input_format <= 5:
+        raise SystemExit("invalid value for --input-format")
     from .ingest.createdb import create_db
     db = create_db(args.inputs, args.output,
                    chain_name_mode="add" if args.chain_name_mode == 1 else "auto",
@@ -149,8 +151,7 @@ def cmd_createdb(argv):
                    file_exclude=args.file_exclude,
                    tar_include=args.tar_include,
                    tar_exclude=args.tar_exclude,
-                   input_format=0 if args.input_format == 5
-                   else args.input_format)
+                   input_format=args.input_format)
     if args.tax_mapping_file:
         from .db.taxonomy import load_tax_mapping, save_db_mapping
         save_db_mapping(db, load_tax_mapping(args.tax_mapping_file))
@@ -431,8 +432,8 @@ def cmd_structureto3didescriptor(argv):
                     if len(ch.aa) <= 3:
                         continue
                     n_arr, c_arr = ch.n, ch.c
-                    if (len(ch.aa) >= 4 and np.isnan(ch.n[:4, 0]).all()
-                            and np.isnan(ch.c[:4, 0]).all()):
+                    from .ingest.createdb import is_ca_only
+                    if is_ca_only(ch):
                         from .ingest.backbone import rebuild_backbone
                         n_arr, c_arr = rebuild_backbone(ch.ca, ch.aa)
                     states, feats = encode_chain(ch.ca, n_arr, c_arr, ch.cb,

@@ -48,9 +48,8 @@ def collect_input_files(inputs: List[str],
             cache = os.environ.get(
                 "FOLDSEEK_TPU_GCS_CACHE",
                 os.path.join(tempfile.gettempdir(), "foldseek_tpu_gcs"))
-            files.extend(f for f in fetch_gcs_inputs(inp, cache)
-                         if finc.search(os.path.basename(f))
-                         and not fexc.search(os.path.basename(f)))
+            files.extend(fetch_gcs_inputs(inp, cache,
+                                          file_include, file_exclude))
         elif os.path.isdir(inp):
             for root, _, fnames in os.walk(inp):
                 for fn in sorted(fnames):
@@ -98,6 +97,8 @@ def _parse_any(path: str, input_format: int = 0):
     if head == fc.MAGIC:
         return fc.to_structure(fc.read_fcz(path),
                                remove_two_extensions(os.path.basename(path)))
+    if input_format == 5:  # forced Foldcomp, but no FCMP magic
+        raise ValueError(f"{path}: --input-format 5 but not a foldcomp file")
     return pdb_parser.parse_structure(path, input_format=input_format)
 
 
@@ -113,6 +114,15 @@ def _parse_structures(path: str, input_format: int = 0):
                 return [fc.to_structure(st, name)
                         for name, st in fc.iter_foldcomp_db(path)]
     return [_parse_any(path, input_format)]
+
+
+def is_ca_only(ch) -> bool:
+    """C-alpha-only chain detection: first 4 N and C rows all-NaN
+    (structcreatedb.cpp:504-518); such chains get a PULCHRA-style
+    backbone rebuild before 3Di encoding."""
+    import numpy as _np
+    return (len(ch.aa) >= 4 and _np.isnan(ch.n[:4, 0]).all()
+            and _np.isnan(ch.c[:4, 0]).all())
 
 
 def remove_two_extensions(name: str) -> str:
@@ -219,11 +229,7 @@ def create_db(inputs: List[str], out_path: str,
                 if all(c in "Xx" for c in ch.aa):
                     not_protein += 1
                     continue
-                ca_only = (
-                    L >= 4
-                    and np.isnan(ch.n[:4, 0]).all()
-                    and np.isnan(ch.c[:4, 0]).all()
-                )
+                ca_only = is_ca_only(ch)
                 n_arr, c_arr = ch.n, ch.c
                 if ca_only:
                     # backbone rebuild for C-alpha-only traces (PULCHRA

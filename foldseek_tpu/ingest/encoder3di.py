@@ -248,9 +248,8 @@ def encode_chain_seqdist(ca, n, c, cb):
     cb = np.asarray(cb, dtype=np.float64).copy()
     L = ca.shape[0]
     states = np.full(L, INVALID_STATE, dtype=np.int8)
-    full_feats = np.zeros((L, 10), dtype=np.float64)
     if L < 3:
-        return (states, full_feats) if return_features else states
+        return states
     missing_cb = np.isnan(cb[:, 0])
     if missing_cb.any():
         cb[missing_cb] = approx_cbeta(ca[missing_cb], n[missing_cb], c[missing_cb])

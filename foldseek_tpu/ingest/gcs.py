@@ -82,12 +82,22 @@ def _safe_cache_dest(cache_dir: str, bucket: str, name: str) -> str:
     return dest
 
 
-def fetch_gcs_inputs(path: str, cache_dir: str) -> List[str]:
-    """Resolve a gs:// input to local file paths (downloaded to cache_dir)."""
+def fetch_gcs_inputs(path: str, cache_dir: str,
+                     file_include: str = ".*",
+                     file_exclude: str = "^$") -> List[str]:
+    """Resolve a gs:// input to local file paths (downloaded to cache_dir).
+    The include/exclude regexes filter on the object basename at
+    listing time, BEFORE any download — an AFDB-scale prefix with a
+    narrow --file-include must not transfer the excluded objects."""
+    import re
+    finc, fexc = re.compile(file_include), re.compile(file_exclude)
     bucket, prefix = split_gcs_path(path)
-    names = list_objects(bucket, prefix)
+    names = [n for n in list_objects(bucket, prefix)
+             if finc.search(os.path.basename(n))
+             and not fexc.search(os.path.basename(n))]
     if not names:
-        raise FileNotFoundError(f"{path}: no objects under prefix")
+        raise FileNotFoundError(f"{path}: no objects under prefix"
+                                " (after include/exclude filtering)")
     logger.info("gcs: %d objects under gs://%s/%s", len(names), bucket, prefix)
     out = []
     for name in sorted(names):

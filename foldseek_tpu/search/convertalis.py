@@ -149,10 +149,8 @@ def format_row(r: AlnResult, qname: str, tname: str,
             out.append(str(int(r.score)))
         elif c == "raw":
             # ALP raw score from the bit score (structureconvertalis.cpp:875
-            # computeRawScoreFromBitScore; constants pinned in _write_sam)
-            import math
-            out.append(str(int((SAM_KA_LOGK + max(int(r.score), 0)
-                                * math.log(2.0)) / SAM_KA_LAMBDA + 0.5)))
+            # computeRawScoreFromBitScore; constants pinned near _write_sam)
+            out.append(str(raw_score_from_bits(int(r.score))))
         elif c == "qcov":
             out.append(_fmt_f(qcov))
         elif c == "tcov":
@@ -304,6 +302,14 @@ SAM_KA_LAMBDA = 0.3160570368
 SAM_KA_LOGK = -2.1661502836
 
 
+def raw_score_from_bits(bits: int) -> int:
+    """computeRawScoreFromBitScore + the reference's static_cast<int>
+    (truncation toward zero, so tiny bit scores go slightly negative
+    exactly like the binary's AS:i output)."""
+    import math
+    return int((SAM_KA_LOGK + bits * math.log(2.0)) / SAM_KA_LAMBDA + 0.5)
+
+
 def _write_sam(qdb, tdb, results, out_path):
     """SAM with @SQ headers per hit target (structureconvertalis.cpp:470-505,
     :1172-1207): AS:i = the ALP raw score recovered from the bit score
@@ -313,7 +319,6 @@ def _write_sam(qdb, tdb, results, out_path):
     import math
     qidx = qdb.key_to_index()
     tidx = tdb.key_to_index()
-    ln2 = math.log(2.0)
     with open(out_path, "w") as f:
         f.write("@HD\tVN:1.4\tSO:queryname\n")
         written = set()
@@ -330,10 +335,13 @@ def _write_sam(qdb, tdb, results, out_path):
             for r in results[qkey]:
                 ti = tidx[r.db_key]
                 strand = 16 if r.q_end > r.q_start else 0
-                raw = int((SAM_KA_LOGK + max(int(r.score), 0) * ln2)
-                          / SAM_KA_LAMBDA + 0.5)
+                raw = raw_score_from_bits(int(r.score))
                 if raw > 745:  # exp(-raw) underflows (see docstring)
                     mapq = 4
+                elif raw < 0:
+                    # the reference's uint32 cast of a negative double
+                    # wraps huge -> clamped to 254
+                    mapq = 254
                 else:
                     mapq = min(254, int(int(4.343 * raw) + 4.99))
                 cigar = compress_backtrace(r.backtrace) if r.backtrace else "*"

@@ -181,14 +181,14 @@ def easy_search(query_input: str, target_input: str, out_path: str,
     tdb = qdb if same_input else ensure_db(target_input, tmp_dir, "target")
     params.add_backtrace = (params.add_backtrace
                             or needs_backtrace(params.format_output)
-                            or params.format_mode in (1, 3, 5))
+                            or params.format_mode in (1, 2, 3, 5))
     if params.num_iterations > 1:
         results = iterative_search(qdb, tdb, params, params.num_iterations,
                                    same_db=same_input, tmp_dir=tmp_dir)
     else:
         results = search(qdb, tdb, params, same_db=same_input,
                          tmp_dir=tmp_dir)
-    if params.format_mode not in (0, 4):
+    if params.format_mode != 0:
         from .convertalis import write_output
         write_output(qdb, tdb, results, out_path, params.format_output,
                      params.format_mode, with_backtrace=params.add_backtrace)

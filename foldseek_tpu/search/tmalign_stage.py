@@ -110,7 +110,7 @@ def tmalign_all(qdb: StructDB, tdb: StructDB,
         return int(qkey), tmalign_query(
             qdb, tdb, qkey_to_idx[int(qkey)], cand_keys, params,
             tkey_to_idx, same_db,
-            hit_order=getattr(params, "tmalign_hit_order", 0),
-            tm_align_fast=bool(getattr(params, "tmalign_fast", True)))
+            hit_order=params.tmalign_hit_order,
+            tm_align_fast=params.tmalign_fast)
 
     return dict(map_queries(one, prefilter.items()))

@@ -176,3 +176,27 @@ def test_createdb_write_lookup_and_coord_mode(tmp_path, example_dir):
     assert [r[1] for r in rows] == ["1tim_A", "1tim_B"]
     assert all(r[2] == "0" for r in rows)  # same source file
     assert os.path.getsize(os.path.join(db, "ca16.bin")) > 0
+
+
+def test_easy_search_mode4_header(tmp_path, example_dir):
+    """easy-search --format-mode 4 emits the same column-header output as
+    convertalis (they previously diverged)."""
+    out = str(tmp_path / "o.m8")
+    assert main(["easy-search", str(example_dir / "d1asha_"),
+                 str(example_dir / "d1mbaa_"), out, str(tmp_path / "t"),
+                 "--format-mode", "4", "-v", "1"]) == 0
+    first = open(out).readline()
+    assert first.startswith("query\ttarget\t")
+
+
+def test_input_format_validation(tmp_path, example_dir):
+    with pytest.raises(SystemExit, match="input-format"):
+        main(["createdb", str(example_dir / "d1asha_"),
+              str(tmp_path / "x"), "--input-format", "9"])
+    # forced foldcomp on a non-foldcomp file is an ingest failure, not a
+    # silent PDB parse
+    db = str(tmp_path / "db")
+    assert main(["createdb", str(example_dir / "d1asha_"), db,
+                 "--input-format", "5", "-v", "1"]) == 0
+    from foldseek_tpu.db.storage import load_db
+    assert load_db(db).size == 0  # logged + skipped, nothing ingested
