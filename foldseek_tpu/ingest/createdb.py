@@ -253,15 +253,27 @@ def create_db(inputs: List[str], out_path: str,
                                 file_id))
 
     # sort by name (two extra extensions removed) with stable tie order,
-    # assign sequential keys (structcreatedb.cpp:1356-1382)
+    # assign sequential keys (structcreatedb.cpp:1356-1382); source-file
+    # (set) ids are renumbered to first appearance in the SORTED entry
+    # order like the reference's lookup rewrite (qset/qsetid columns and
+    # the .lookup third column follow the sorted enumeration)
     order = sorted(range(len(entries)),
                    key=lambda i: (remove_two_extensions(entries[i][0]), i))
+    src_names = [remove_two_extensions(os.path.basename(p)) for p in files]
+    fid_map = {}
+    for idx in order:
+        fid = entries[idx][6]
+        if fid not in fid_map:
+            fid_map[fid] = len(fid_map)
     writer = StructDBWriter(out_path)
-    writer.sources = [remove_two_extensions(os.path.basename(p)) for p in files]
+    writer.sources = [None] * len(fid_map)
+    for old, new in fid_map.items():
+        writer.sources[new] = (src_names[old] if old < len(src_names)
+                               else str(old))
     for new_key, idx in enumerate(order):
         name, header, aa_num, ss_num, ca, mask, file_id = entries[idx]
         writer.add_entry(new_key, name, header, aa_num, ss_num, ca, mask,
-                         file_id=file_id)
+                         file_id=fid_map.get(file_id, 0))
     db = writer.finish()
     logger.info("createdb: %d entries (%d too short, %d not protein, %d failed files)",
                 db.size, too_short, not_protein, failed)

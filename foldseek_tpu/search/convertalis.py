@@ -175,6 +175,21 @@ def format_row(r: AlnResult, qname: str, tname: str,
             out.append(_aligned_string(qdb.get_aa_str(qi), r.q_start, r.backtrace, "D"))
         elif c == "taln":
             out.append(_aligned_string(tdb.get_aa_str(ti), r.t_start, r.backtrace, "I"))
+        elif c == "q3dialn":
+            out.append(_aligned_string(qdb.get_ss_str(qi), r.q_start, r.backtrace, "D"))
+        elif c == "t3dialn":
+            out.append(_aligned_string(tdb.get_ss_str(ti), r.t_start, r.backtrace, "I"))
+        elif c in ("qset", "qsetid", "tset", "tsetid"):
+            # source-file set columns (.lookup third column + .source file;
+            # structureconvertalis.cpp needLookup/needSource)
+            db_, i_ = (qdb, qi) if c[0] == "q" else (tdb, ti)
+            fid = int(db_.fileids[i_]) if db_.fileids is not None else 0
+            if c.endswith("id"):
+                out.append(str(fid))
+            else:
+                src = (db_.sources[fid]
+                       if db_.sources and fid < len(db_.sources) else str(fid))
+                out.append(src)
         elif c == "qtmscore":
             out.append(_fmt_e(tm_with_norm(r.q_len).tmscore))
         elif c == "ttmscore":

@@ -80,3 +80,25 @@ def test_extended_columns_vs_reference_binary(example_dir, tmp_path):
             is_self = pa[0] == pa[1]
             tol = 0.05 if (i == 6 and is_self) else 5e-4
             assert abs(float(x) - float(y)) <= tol, (i, x, y)
+
+
+def test_set_and_3dialn_columns_vs_reference(example_dir, tmp_path):
+    """q3dialn/t3dialn (aligned 3Di) and qset/qsetid/tset/tsetid
+    (source-file set columns, sorted-order renumbering) byte-identical
+    to the reference binary (tests/golden/msa/sets_cols.tsv)."""
+    import pathlib
+    from foldseek_tpu.cli import main
+    golden = (pathlib.Path(__file__).parent / "golden" / "msa" /
+              "sets_cols.tsv").read_text()
+    files = [str(example_dir / n)
+             for n in ("d1asha_", "d1mbaa_", "d1or4a_", "d1itha_")]
+    db = str(tmp_path / "db")
+    assert main(["createdb"] + files + [db, "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", db, db, aln, str(tmp_path / "t"),
+                 "--exhaustive-search", "1", "-a", "-v", "1"]) == 0
+    out = str(tmp_path / "sets.tsv")
+    assert main(["convertalis", db, db, aln, out, "--format-output",
+                 "query,target,q3dialn,t3dialn,qset,qsetid,tset,tsetid",
+                 "-v", "1"]) == 0
+    assert open(out).read() == golden
