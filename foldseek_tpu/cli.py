@@ -251,6 +251,23 @@ def cmd_convertalis(argv):
         # this via the extended dbtype + combined _seq index)
         seq_path = args.target_db + "_seq"
         tdb = load_db(seq_path if is_db(seq_path) else args.target_db)
+    with open(args.result_db) as f:
+        first = f.readline()
+    if first.startswith("#foldseek-tpu complexres"):
+        # scoremultimer output: multimer/complex columns available
+        # (reference: the OUTFMT_*COMPLEX* cases only fire on scorecomplex
+        # DBs, structureconvertalis.cpp:700 parseScoreComplexResult)
+        from .search.convertalis import (FORMAT_BLAST_TAB_COLUMN_HEADERS,
+                                         format_complex_results)
+        lines = format_complex_results(qdb, tdb,
+                                       _read_complex_db(args.result_db),
+                                       args.format_output)
+        with open(args.output, "w") as f:
+            if args.format_mode == FORMAT_BLAST_TAB_COLUMN_HEADERS:
+                f.write(args.format_output.replace(",", "\t") + "\n")
+            for line in lines:
+                f.write(line + "\n")
+        return 0
     results, has_bt = read_result_db(args.result_db)
     # the reference always uses a stored backtrace for alnlen/mismatch/
     # gapopen, whatever the column set (structureconvertalis.cpp:727)

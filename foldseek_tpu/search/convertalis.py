@@ -308,6 +308,83 @@ def _names(db: StructDB, i: int) -> str:
     return db.headers[i].split()[0] if db.headers[i] else db.names[i]
 
 
+# multimer/complex columns (LocalParameters getOutputFormat: the complex*
+# names are the pre-rename aliases of the multimer* ones)
+MULTIMER_COLUMNS = {
+    "complexqtmscore", "multimerqtmscore", "complexttmscore",
+    "multimerttmscore", "complexu", "multimeru", "complext", "multimert",
+    "complexassignid", "multimerassignid", "qcomplexcoverage",
+    "qmultimercoverage", "tcomplexcoverage", "tmultimercoverage",
+    "qchaintms", "tchaintms", "interfacelddt", "qchains", "tchains",
+}
+
+
+def format_complex_results(qdb: StructDB, tdb: StructDB,
+                           complex_lines, fmt: str,
+                           with_backtrace: bool = True) -> List[str]:
+    """Render columns for a scoremultimer complexres DB: standard columns
+    come from the embedded alignment record, multimer columns from the
+    appended qTm/tTm/u/t[/filter]/assId fields (record layout:
+    MultimerUtil.h:240 parseScoreComplexResult, 16 or 21 words).
+    Format parity vs structureconvertalis.cpp:1075-1143: TM scores and
+    complex coverages re-parsed then SSTR(double) = %.3E; u/t/chainTms/
+    interfaceLddt strings echoed verbatim; unfiltered (16-col) records
+    default coverage 0 and chainTms/interfaceLddt "0"; qchains/tchains
+    have no renderer in the reference's switch (OUTFMT_COMPLEX_QNAME is
+    parsed but unhandled) so they emit empty cells."""
+    from .resultdb import parse_result_line
+    cols = fmt.split(",")
+    std_cols = [c for c in cols if c not in MULTIMER_COLUMNS]
+    qkey_to_idx = qdb.key_to_index()
+    tkey_to_idx = tdb.key_to_index()
+    lines = []
+    for qkey in sorted(complex_lines):
+        qi = qkey_to_idx[int(qkey)]
+        qname = _names(qdb, qi)
+        for rest in complex_lines[qkey]:
+            parts = rest.split("\t")
+            # alignment record: 10 cols + optional backtrace
+            n_aln = 11 if with_backtrace else 10
+            _, r = parse_result_line(f"{qkey}\t" + "\t".join(parts[:n_aln]))
+            extras = parts[n_aln:]
+            q_tm, t_tm, ustr, tstr = extras[0], extras[1], extras[2], extras[3]
+            filt = extras[4:-1]  # [qcov, tcov, qtms, ttms, ilddt] or []
+            ass_id = extras[-1]
+            ti = tkey_to_idx[r.db_key]
+            row = []
+            std_iter = iter(
+                format_row(r, qname, _names(tdb, ti), qdb, tdb, qi, ti,
+                           std_cols, with_backtrace).split("\t")
+                if std_cols else [])
+            for c in cols:
+                if c not in MULTIMER_COLUMNS:
+                    row.append(next(std_iter))
+                elif c in ("complexqtmscore", "multimerqtmscore"):
+                    row.append(f"{float(q_tm):.3E}")
+                elif c in ("complexttmscore", "multimerttmscore"):
+                    row.append(f"{float(t_tm):.3E}")
+                elif c in ("complexu", "multimeru"):
+                    row.append(ustr)
+                elif c in ("complext", "multimert"):
+                    row.append(tstr)
+                elif c in ("complexassignid", "multimerassignid"):
+                    row.append(ass_id)
+                elif c in ("qcomplexcoverage", "qmultimercoverage"):
+                    row.append(f"{float(filt[0]) if filt else 0.0:.3E}")
+                elif c in ("tcomplexcoverage", "tmultimercoverage"):
+                    row.append(f"{float(filt[1]) if filt else 0.0:.3E}")
+                elif c == "qchaintms":
+                    row.append(filt[2] if filt else "0")
+                elif c == "tchaintms":
+                    row.append(filt[3] if filt else "0")
+                elif c == "interfacelddt":
+                    row.append(filt[4] if filt else "0")
+                elif c in ("qchains", "tchains"):
+                    row.append("")
+            lines.append("\t".join(row))
+    return lines
+
+
 # Gapped Karlin-Altschul parameters of the default 3Di+AA scoring system
 # (gap 10/1): the reference fits these at startup with the ALP library
 # (EvalueComputation.h initGapped, random seed 42). Pinned empirically to

@@ -102,3 +102,47 @@ def test_set_and_3dialn_columns_vs_reference(example_dir, tmp_path):
                  "query,target,q3dialn,t3dialn,qset,qsetid,tset,tsetid",
                  "-v", "1"]) == 0
     assert open(out).read() == golden
+
+
+def test_complex_columns_vs_reference_binary(example_dir, golden_dir,
+                                             tmp_path):
+    """convertalis on a multimersearch (scoremultimer) result DB with the
+    complex* column family vs the reference binary
+    (tests/golden/timcomplex_cols.m8). Complex-specific cells are
+    byte-compared: TM scores SSTR(double)=%.3E, coverages 0.000E+00 on
+    unfiltered records, chainTms/interfaceLddt "0", assignid verbatim,
+    qchains/tchains empty (the reference parses OUTFMT_COMPLEX_QNAME but
+    has no renderer for it, structureconvertalis.cpp switch). u/t vectors
+    numeric to 1e-3 (float32 superposition round-off); evalue/bits within
+    the alignment-path band the timcomplex_report golden already uses."""
+    from foldseek_tpu.cli import main
+    golden = (golden_dir / "timcomplex_cols.m8").read_text().splitlines()
+    qdb, tdb = str(tmp_path / "qdb"), str(tmp_path / "tdb")
+    assert main(["createdb", str(example_dir / "1tim.pdb.gz"), qdb,
+                 "-v", "1"]) == 0
+    assert main(["createdb", str(example_dir / "8tim.pdb.gz"), tdb,
+                 "-v", "1"]) == 0
+    cres = str(tmp_path / "cres")
+    assert main(["multimersearch", qdb, tdb, cres, str(tmp_path / "t"),
+                 "-a", "-v", "1"]) == 0
+    out = str(tmp_path / "cplx.m8")
+    cols = ("query,target,fident,alnlen,evalue,bits,complexqtmscore,"
+            "complexttmscore,complexu,complext,qcomplexcoverage,"
+            "tcomplexcoverage,qchaintms,tchaintms,interfacelddt,"
+            "complexassignid,qchains,tchains")
+    assert main(["convertalis", qdb, tdb, cres, out,
+                 "--format-output", cols, "-v", "1"]) == 0
+    mine = open(out).read().splitlines()
+    assert len(mine) == len(golden)
+    for a, b in zip(mine, golden):
+        pa, pb = a.split("\t"), b.split("\t")
+        assert len(pa) == len(pb) == 18
+        # query,target,fident,alnlen + every complex column except u/t:
+        # byte-identical
+        for i in (0, 1, 2, 3, 6, 7, 10, 11, 12, 13, 14, 15, 16, 17):
+            assert pa[i] == pb[i], (i, pa[i], pb[i])
+        # u (9 floats) to 1e-3; t (3 floats, Angstrom) to 0.05 — rotation
+        # round-off is amplified into the translation by the centroid arm
+        for i, tol in ((8, 1e-3), (9, 5e-2)):
+            for x, y in zip(pa[i].split(","), pb[i].split(",")):
+                assert abs(float(x) - float(y)) < tol, (i, x, y)
