@@ -2423,12 +2423,11 @@ def cmd_createtsv(argv):
 def cmd_swapresults(argv):
     """Swap query/target sides of a result DB (reference:
     lib/mmseqs/src/util/swapresults.cpp — entries regrouped under the
-    target key with q/t columns exchanged). E-values are recomputed for
-    the swapped DB size like Matcher::swapResult, but with the simple
-    Karlin-Altschul bit model E = m*n*2^-S rather than the reference's
-    ALP-fitted (lambda, K) + finite-size length correction: swapped
-    e-values differ in magnitude (same ordering — verified column-exact
-    otherwise against the reference binary, tests/golden/msa/swapped.tsv)."""
+    target key with q/t columns exchanged). E-values are recomputed like
+    Matcher::result_t::swapResult with the reference's ALP model: raw
+    score from the stored bit score, then K*exp(-lambda*raw) times the
+    finite-size-corrected area (search/alp.py; Gumbel fit for the default
+    3Di/gap-10-1 system pinned from the reference's own seed-42 fit)."""
     p = argparse.ArgumentParser(prog="foldseek-tpu swapresults")
     p.add_argument("query_db")
     p.add_argument("target_db")
@@ -2442,19 +2441,18 @@ def cmd_swapresults(argv):
     from .search.results import AlnResult, compare_hits
     results, has_bt = read_result_db(args.result_db)
     # Matcher::result_t::swapResult recomputes the e-value for the swapped
-    # direction: E = K·m·n·exp(-λ·raw) with m = new query length (the old
-    # target length) and n = the residue count of the new target DB (the
-    # old QUERY DB, swapresults.cpp:76 builds the evaluer over db1). With
-    # the bit-score definition K·exp(-λ·raw) = 2^-S this is m·n·2^-S; the
-    # reference's ALP finite-size area correction is not reproduced here.
-    swap_db_res = float(load_db(args.query_db).lengths().sum())
+    # direction from the stored bit score, against the pre-swap target
+    # length and the residue count of the new target DB (the old QUERY DB,
+    # swapresults.cpp:76 builds the evaluer over db1).
+    from .search.alp import AlpEvaluer
+    evaluer = AlpEvaluer(float(load_db(args.query_db).lengths().sum()))
     out = {}
     for qkey, rs in results.items():
         for r in rs:
             bt = r.backtrace
             if bt:  # I (gap in target) <-> D (gap in query)
                 bt = bt.replace("I", "x").replace("D", "I").replace("x", "D")
-            ev = float(r.t_len) * swap_db_res * (2.0 ** -min(float(r.score), 1022.0))
+            ev = evaluer.swapped_evalue(float(r.score), float(r.t_len))
             out.setdefault(int(r.db_key), []).append(AlnResult(
                 db_key=int(qkey), score=r.score, seq_id=r.seq_id,
                 seq_id_str=r.seq_id_str, evalue=ev,

@@ -74,8 +74,10 @@ def test_swapresults_recomputes_evalue(tmp_path):
     assert has_bt
     [r] = swapped[1]
     assert r.db_key == 0
-    # E = m·n·2^-S with m = new query length 12, n = 36 DB residues
-    assert r.evalue == pytest.approx(12.0 * 36.0 * 2.0 ** -42)
+    # swapResult e-value: ALP Gumbel model over the new target DB
+    # (36 residues), pre-swap target length 12, stored bit score 42
+    from foldseek_tpu.search.alp import AlpEvaluer
+    assert r.evalue == pytest.approx(AlpEvaluer(36.0).swapped_evalue(42.0, 12.0))
     assert r.backtrace == "M" * 10  # M-only backtrace unchanged by I<->D swap
 
 

@@ -648,11 +648,11 @@ def test_createtsv_byte_exact_vs_reference(small_setup, tmp_path):
     assert open(tsv).read() == (golden / "createtsv.tsv").read_text()
 
 
-def test_swapresults_matches_reference_except_evalue(small_setup, tmp_path):
-    """swapresults: every column matches the reference binary's output
-    except the recomputed e-value (ours: m*n*2^-S; reference: ALP-fitted
-    Karlin-Altschul with finite-size correction — same ordering, see the
-    cmd_swapresults docstring)."""
+def test_swapresults_matches_reference(small_setup, tmp_path):
+    """swapresults: byte-identical to the reference binary's output,
+    including the recomputed e-values (ALP Gumbel fit + finite-size
+    area correction, search/alp.py — constants pinned from the
+    reference's own deterministic seed-42 fit of mat3di/gap 10-1)."""
     import pathlib
     from foldseek_tpu.cli import main
     golden = pathlib.Path(__file__).parent / "golden" / "msa"
@@ -664,10 +664,26 @@ def test_swapresults_matches_reference_except_evalue(small_setup, tmp_path):
     assert main(["swapresults", db, db, aln, sw, "-v", "1"]) == 0
     tsv = str(tmp_path / "sw.tsv")
     assert main(["createtsv", db, db, sw, tsv, "-v", "1"]) == 0
-    ours = [l.split("\t") for l in open(tsv).read().splitlines()]
-    ref = [l.split("\t") for l in
-           (golden / "swapped.tsv").read_text().splitlines()]
-    assert len(ours) == len(ref)
-    for a, b in zip(ours, ref):
-        ea, eb = a.pop(4), b.pop(4)  # evalue column differs by model
-        assert a == b
+    assert open(tsv).read() == (golden / "swapped.tsv").read_text()
+
+
+def test_alp_evaluer_matches_reference_probe():
+    """AlpEvaluer vs 24 (bit score, seq len) probe points dumped from the
+    reference's EvalueComputation (mat3di, 2.0, 0.0, gap 10/1, dbRes
+    123456): raw score and e-value to 1e-12 relative."""
+    from foldseek_tpu.search.alp import AlpEvaluer
+    ev = AlpEvaluer(123456)
+    # (bits, seqlen) -> (rawScore, evalue) from the reference probe
+    probes = [
+        (10, 30, 15.194596577992284, 3174.4829451625942),
+        (10, 1000, 15.194596577992284, 120116.63243027948),
+        (50, 250, 102.9203145103952, 2.0446740351751916e-08),
+        (100, 120, 212.5774619258988, 5.1388893992774611e-25),
+        (300, 1000, 651.20605158791341, 3.4002772378265631e-83),
+        (1000, 30, 2186.4061154049641, 0.0),  # exp underflow, like the ref
+    ]
+    for bits, slen, raw_ref, e_ref in probes:
+        raw = ev.raw_score_from_bit_score(bits)
+        assert abs(raw - raw_ref) <= 1e-12 * abs(raw_ref)
+        e = ev.compute_evalue(raw, slen)
+        assert abs(e - e_ref) <= 1e-12 * abs(e_ref), (bits, slen, e, e_ref)
