@@ -385,13 +385,13 @@ def format_complex_results(qdb: StructDB, tdb: StructDB,
     return lines
 
 
-# Gapped Karlin-Altschul parameters of the default 3Di+AA scoring system
-# (gap 10/1): the reference fits these at startup with the ALP library
-# (EvalueComputation.h initGapped, random seed 42). Pinned empirically to
-# reproduce the binary's integer raw scores exactly over bit scores
-# 29..8870 (17 data points, SAM AS:i: column).
-SAM_KA_LAMBDA = 0.3160570368
-SAM_KA_LOGK = -2.1661502836
+# Gapped Karlin-Altschul parameters of the default 3Di scoring system
+# (mat3di, bit factor 2.0, gap 10/1): the reference fits these at startup
+# with the ALP library (EvalueComputation.h initGapped, random seed 42 —
+# deterministic). Exact values extracted from the reference's own fit
+# (same constants as search/alp.py MAT3DI_GAP_10_1).
+SAM_KA_LAMBDA = 0.31605198425120906
+SAM_KA_LOGK = -2.1291894072283601  # log(K), K = 0.11893366155601298
 
 
 def raw_score_from_bits(bits: int) -> int:
