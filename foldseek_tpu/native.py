@@ -90,6 +90,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, i32p, i32p, i32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, i32p, i32p, i32p, ctypes.c_char_p, i64p, i32p]
         lib.batch_recover.restype = ctypes.c_int
+        lib.batch_gates.argtypes = [
+            fp, ctypes.c_int, fp, fp, i64p, i32p, i32p,
+            ctypes.c_char_p, i64p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            dp, dp, dp, dp, dp]
+        lib.batch_gates.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -184,6 +190,62 @@ def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):
     if rc != 0:
         return None
     return y2x
+
+
+def batch_gates(q_ca, q_deg, t_cas, q_starts, t_starts, backtraces,
+                norm_lens, need_tm: bool, need_lddt: bool):
+    """Batched TM (+u/t/rmsd) and/or LDDT for a block of one query's hits
+    in ONE ctypes call (the host analogue of the device survivor-gating
+    phase). t_cas: list of [Lt,3] float32 arrays, backtraces: list of
+    M/I/D strings. Returns dict with 'tm','rmsd','u','t','lddt' arrays
+    (keys present per need flags), or None when the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(t_cas)
+    if n == 0:
+        return {}
+    q = np.ascontiguousarray(q_ca, dtype=np.float32)
+    deg = (np.ascontiguousarray(q_deg, dtype=np.float32)
+           if need_lddt else np.zeros(1, dtype=np.float32))
+    t_res = np.array([len(t) for t in t_cas], dtype=np.int64)
+    t_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(t_res[:-1], out=t_off[1:])
+    t_flat = (np.concatenate(
+        [np.ascontiguousarray(t, dtype=np.float32).reshape(-1)
+         for t in t_cas]) if n else np.zeros(0, np.float32))
+    bt_len = np.array([len(b) for b in backtraces], dtype=np.int32)
+    bt_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(bt_len[:-1].astype(np.int64), out=bt_off[1:])
+    bt_flat = "".join(backtraces).encode("ascii")
+    qs = np.ascontiguousarray(q_starts, dtype=np.int32)
+    ts = np.ascontiguousarray(t_starts, dtype=np.int32)
+    nl = np.ascontiguousarray(norm_lens, dtype=np.int32)
+    tm = np.zeros(n, dtype=np.float64)
+    rmsd = np.zeros(n, dtype=np.float64)
+    u = np.zeros(n * 9, dtype=np.float64)
+    tv = np.zeros(n * 3, dtype=np.float64)
+    ld = np.zeros(n, dtype=np.float64)
+    rc = lib.batch_gates(
+        _ptr(q, ctypes.c_float), len(q), _ptr(deg, ctypes.c_float),
+        _ptr(t_flat, ctypes.c_float), _ptr(t_off, ctypes.c_int64),
+        _ptr(qs, ctypes.c_int32), _ptr(ts, ctypes.c_int32),
+        bt_flat, _ptr(bt_off, ctypes.c_int64), _ptr(bt_len, ctypes.c_int32),
+        _ptr(nl, ctypes.c_int32), n, int(need_tm), int(need_lddt),
+        _ptr(tm, ctypes.c_double), _ptr(rmsd, ctypes.c_double),
+        _ptr(u, ctypes.c_double), _ptr(tv, ctypes.c_double),
+        _ptr(ld, ctypes.c_double))
+    if rc != 0:
+        return None
+    out = {}
+    if need_tm:
+        out["tm"] = tm
+        out["rmsd"] = rmsd
+        out["u"] = u.reshape(n, 3, 3)
+        out["t"] = tv.reshape(n, 3)
+    if need_lddt:
+        out["lddt"] = ld
+    return out
 
 
 def lddt_aligned(qa: np.ndarray, ta: np.ndarray, deg: np.ndarray):

@@ -392,13 +392,27 @@ def align_all(qdb: StructDB, tdb: StructDB,
     # ~0.8 ms/pair on one core beats the batched device path's fixed
     # launch+readback cost; fleets amortize it and free the host core
     gate_min = 4096 if gate_env == "" else (0 if gate_env == "1" else 1 << 62)
-    defer_gates = (
+    # TM/LDDT as pure scoring inputs (thresholds 0, no alt-ali): the
+    # accept/reject loop is independent of their values, so they can be
+    # computed after the loop — on device for TPU fleets, else in one
+    # batched native call per query (native batch_gates; identical C code
+    # to the inline per-hit path, so results are bit-identical)
+    can_defer = (
         (need_tm or need_lddt)
         and params.tmscore_threshold <= 0 and params.lddt_threshold <= 0
-        and params.alt_alignment == 0
-        and gate_env != "0"
+        and params.alt_alignment == 0)
+    defer_gates = (
+        can_defer and gate_env != "0"
         and jax.default_backend() == "tpu"
         and sum(len(v) for v in prefilter.values()) >= gate_min)
+    if defer_gates:
+        gates_mode = "device"
+    elif (can_defer
+          and os.environ.get("FOLDSEEK_TPU_HOST_BATCH_GATES", "1") != "0"):
+        from .. import native as _native
+        gates_mode = "host" if _native.get_lib() is not None else "inline"
+    else:
+        gates_mode = "inline"
 
     def one(qkey_cands):
         qkey, cand_keys = qkey_cands
@@ -406,7 +420,7 @@ def align_all(qdb: StructDB, tdb: StructDB,
         return int(qkey), align_query(
             qi, qdb, tdb, cand_keys, params, ev, scorer, tkey_to_idx,
             need_tm=need_tm, need_lddt=need_lddt, same_db=same_db,
-            defer_gates=defer_gates)
+            gates_mode=gates_mode)
 
     _t0 = _time.perf_counter()
     out = dict(map_queries(one, prefilter.items()))
@@ -573,7 +587,7 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 cand_keys: Sequence[int], params: SearchParams,
                 ev: EvalueComputer, scorer: PairScorer, tkey_to_idx,
                 need_tm: bool, need_lddt: bool, same_db: bool,
-                defer_gates: bool = False) -> List[AlnResult]:
+                gates_mode: str = "inline") -> List[AlnResult]:
     q_aa = qdb.get_aa(qi)
     q_ss = qdb.get_ss(qi)
     q_len = len(q_aa)
@@ -665,7 +679,7 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
             rejected += 1
             continue
 
-        if (need_tm or need_lddt) and not defer_gates:
+        if (need_tm or need_lddt) and gates_mode == "inline":
             t_ca = tdb.get_ca(ti)
             if need_tm:
                 norm_len = tm_ops.normalization(
@@ -740,10 +754,52 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 results.append(alt)
                 prev = alt
 
-    if defer_gates:
+    if gates_mode == "device":
         return results  # caller sorts after the batched TM/LDDT scaling
+    if gates_mode == "host":
+        _host_gates_batch(results, tdb, tkey_to_idx, params, q_len, q_ca,
+                          lddt_ctx, need_tm, need_lddt)
     if params.sort_by_structure_bits:
         results.sort(key=compare_hits_by_structure_bits)
     else:
         results.sort(key=compare_hits)
     return results
+
+
+def _host_gates_batch(results, tdb, tkey_to_idx, params, q_len, q_ca,
+                      lddt_ctx, need_tm, need_lddt):
+    """TM/LDDT for one query's accepted hits in ONE native call
+    (native batch_gates — the same C routines as the per-hit path, so the
+    scores are bit-identical; only the per-hit python marshalling goes)."""
+    if not results:
+        return
+    from .. import native as native_mod
+    t_cas, qs, ts, bts, nls = [], [], [], [], []
+    for res in results:
+        ti = tkey_to_idx[res.db_key]
+        t_cas.append(tdb.get_ca(ti))
+        qs.append(res.q_start)
+        ts.append(res.t_start)
+        bts.append(res.backtrace)
+        nls.append(tm_ops.normalization(
+            params.tmscore_threshold_mode,
+            min(res.q_end - res.q_start, res.t_end - res.t_start),
+            q_len, res.t_len) if need_tm else 0)
+    out = native_mod.batch_gates(
+        q_ca, lddt_ctx[1] if lddt_ctx is not None else None,
+        t_cas, qs, ts, bts, nls, need_tm, need_lddt)
+    if out is None:  # library vanished mid-run: per-hit fallback
+        for res in results:
+            ti = tkey_to_idx[res.db_key]
+            _host_gates_one(res, q_ca, tdb.get_ca(ti), lddt_ctx, params,
+                            q_len, res.t_len, need_tm, need_lddt)
+        return
+    for j, res in enumerate(results):
+        if need_tm:
+            res.tm = float(out["tm"][j])
+            res.u = out["u"][j]
+            res.t = out["t"][j]
+        if need_lddt:
+            res.lddt = float(out["lddt"][j])
+        if params.sort_by_structure_bits and need_tm and need_lddt:
+            res.score = int(res.score * math.sqrt(res.lddt * res.tm))

@@ -532,6 +532,89 @@ int tm_search8(const double* xtm, const double* ytm, int l_ali,
     return 0;
 }
 
+// Batched per-query TM + LDDT over a block of accepted hits — the host
+// analogue of the device survivor-gating phase (structurealign.cpp:377-407
+// runs these per hit inside the omp loop). One ctypes call replaces, per
+// hit: the backtrace-index numpy pass, two coordinate gathers, and two
+// native calls. Inputs: q_ca [lq*3] f32 (+ q_deg [lq] f32 full-chain
+// neighbor degrees when need_lddt); t_ca_flat = concatenated per-hit
+// target coords with residue offsets t_off; backtraces concatenated in
+// bt_flat (M/I/D chars, bt_off/bt_len); norm_len = per-hit TM
+// normalization. Outputs: tm/rmsd [n], u [n*9], tvec [n*3], lddt [n].
+// n_cols==0 hits follow the python conventions (tm 0, identity u, lddt 0).
+int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
+                 double* out2, float* per_col);  // defined below
+
+int batch_gates(const float* q_ca, int lq, const float* q_deg,
+                const float* t_ca_flat, const int64_t* t_off,
+                const int32_t* q_start, const int32_t* t_start,
+                const char* bt_flat, const int64_t* bt_off,
+                const int32_t* bt_len, const int32_t* norm_len,
+                int n_hits, int need_tm, int need_lddt,
+                double* tm, double* rmsd, double* u, double* tvec,
+                double* lddt_out) {
+    (void)lq;
+    std::vector<double> xtm, ytm;
+    std::vector<float> qa, ta, deg, percol;
+    double out14[14];
+    double o2[2];
+    for (int h = 0; h < n_hits; h++) {
+        const char* bt = bt_flat + bt_off[h];
+        const float* tca = t_ca_flat + 3 * t_off[h];
+        xtm.clear(); ytm.clear(); qa.clear(); ta.clear(); deg.clear();
+        int qi = q_start[h], ti = t_start[h];
+        for (int k = 0; k < bt_len[h]; k++) {
+            const char c = bt[k];
+            if (c == 'M') {
+                const float* qp = q_ca + 3 * qi;
+                const float* tp = tca + 3 * ti;
+                if (need_tm) {
+                    // x = target, y = query (TMaligner invmap convention);
+                    // f32 -> f64 exactly like the numpy gather
+                    xtm.push_back(tp[0]); xtm.push_back(tp[1]); xtm.push_back(tp[2]);
+                    ytm.push_back(qp[0]); ytm.push_back(qp[1]); ytm.push_back(qp[2]);
+                }
+                if (need_lddt) {
+                    qa.push_back(qp[0]); qa.push_back(qp[1]); qa.push_back(qp[2]);
+                    ta.push_back(tp[0]); ta.push_back(tp[1]); ta.push_back(tp[2]);
+                    deg.push_back(q_deg[qi]);
+                }
+                qi++; ti++;
+            } else if (c == 'I') {
+                qi++;
+            } else {
+                ti++;
+            }
+        }
+        if (need_tm) {
+            const int n = (int)ytm.size() / 3;
+            if (n > 0 && tm_score_aligned(xtm.data(), ytm.data(), n,
+                                          norm_len[h], out14) == 0) {
+                tm[h] = out14[0];
+                rmsd[h] = out14[1];
+                std::memcpy(u + 9 * h, out14 + 2, 9 * sizeof(double));
+                std::memcpy(tvec + 3 * h, out14 + 11, 3 * sizeof(double));
+            } else {
+                tm[h] = 0.0; rmsd[h] = 0.0;
+                for (int a = 0; a < 9; a++) u[9 * h + a] = (a % 4 == 0) ? 1.0 : 0.0;
+                tvec[3 * h] = tvec[3 * h + 1] = tvec[3 * h + 2] = 0.0;
+            }
+        }
+        if (need_lddt) {
+            const int n = (int)deg.size();
+            if (n > 0) {
+                percol.resize(n);
+                lddt_aligned(qa.data(), ta.data(), deg.data(), n, o2,
+                             percol.data());
+                lddt_out[h] = o2[0];
+            } else {
+                lddt_out[h] = 0.0;
+            }
+        }
+    }
+    return 0;
+}
+
 // Gotoh Needleman-Wunsch over a dense float32 score matrix with the
 // TM-align boundary conditions (negative boundaries clamp to FLT_MIN) and
 // trace tie rules: E/F prefer extension on ties, H priority diag > F > E
