@@ -396,11 +396,12 @@ struct TMSearchResult {
 
 static void score_fun8(const double* xt, const double* y, int n, double d,
                        double score_d8, double d0, double lnorm,
-                       std::vector<int>& cut, double* score) {
+                       std::vector<int>& cut, double* score,
+                       std::vector<double>& di) {
     double d8sq = score_d8 * score_d8;
     double d0sq = d0 * d0;
     double sum = 0;
-    std::vector<double> di(n);
+    di.resize(n);
     for (int k = 0; k < n; k++) {
         double dx = xt[3 * k] - y[3 * k];
         double dy = xt[3 * k + 1] - y[3 * k + 1];
@@ -445,8 +446,10 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
     if ((int)l_ini.size() == 5 && l_ini.back() > l_ini_min) l_ini.push_back(l_ini_min);
 
     res->score = -1.0;
-    std::vector<double> xt(3 * l_ali);
+    std::vector<double> xt(3 * l_ali), di;
+    di.reserve(l_ali);
     std::vector<int> cut, prev_cut, frag(l_ali);
+    cut.reserve(l_ali); prev_cut.reserve(l_ali);
     double u[3][3], t[3];
 
     for (int lf : l_ini) {
@@ -458,7 +461,7 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
             rotate_all(xtm, l_ali, u, t, xt.data());
             double d = local_d0_search - 1.0;
             double sc;
-            score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc);
+            score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc, di);
             if (sc > res->score) {
                 res->score = sc;
                 std::memcpy(res->u, u, sizeof(u));
@@ -469,7 +472,7 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
                 prev_cut = cut;
                 kabsch_d(xtm, ytm, cut.data(), (int)cut.size(), u, t);
                 rotate_all(xtm, l_ali, u, t, xt.data());
-                score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc);
+                score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc, di);
                 if (sc > res->score) {
                     res->score = sc;
                     std::memcpy(res->u, u, sizeof(u));
