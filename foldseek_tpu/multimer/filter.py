@@ -188,7 +188,9 @@ def filter_assignment(assignment: Assignment, q_chains: List[int],
             return None
 
     def f(v):
-        return f"{v:.6f}"
+        # SSTR(float) = "{:.3f}" (Util.cpp:677); all filter fields are
+        # floats in the reference (scoremultimer.cpp:1066-1086)
+        return f"{np.float32(v):.3f}"
 
     a.filter_result = "\t".join([
         f(q_cov), f(t_cov),

@@ -146,3 +146,33 @@ def test_complex_columns_vs_reference_binary(example_dir, golden_dir,
         for i, tol in ((8, 1e-3), (9, 5e-2)):
             for x, y in zip(pa[i].split(","), pb[i].split(",")):
                 assert abs(float(x) - float(y)) < tol, (i, x, y)
+
+
+def test_complex_filter_columns_vs_reference_binary(example_dir, golden_dir,
+                                                    tmp_path):
+    """scoremultimer with --multimer-tm-threshold (21-col records: filter
+    columns populated) -> convertalis complex columns, byte-identical to
+    the reference binary (tests/golden/timcomplex_filt.m8): chain TM lists
+    and interface LDDT echo the stored SSTR(float)=%.3f text, coverages
+    re-format %.3E, assignment ids match."""
+    from foldseek_tpu.cli import main
+    golden = (golden_dir / "timcomplex_filt.m8").read_text()
+    qdb, tdb = str(tmp_path / "qdb"), str(tmp_path / "tdb")
+    assert main(["createdb", str(example_dir / "1tim.pdb.gz"), qdb,
+                 "-v", "1"]) == 0
+    assert main(["createdb", str(example_dir / "8tim.pdb.gz"), tdb,
+                 "-v", "1"]) == 0
+    aln = str(tmp_path / "aln")
+    assert main(["search", qdb, tdb, aln, str(tmp_path / "t"),
+                 "-a", "-v", "1"]) == 0
+    cres = str(tmp_path / "cresf")
+    assert main(["scoremultimer", qdb, tdb, aln, cres,
+                 "--multimer-tm-threshold", "0.5", "--cov-mode", "0",
+                 "-v", "1"]) == 0
+    out = str(tmp_path / "cplxf.m8")
+    cols = ("query,target,bits,complexqtmscore,complexttmscore,"
+            "qcomplexcoverage,tcomplexcoverage,qchaintms,tchaintms,"
+            "interfacelddt,complexassignid")
+    assert main(["convertalis", qdb, tdb, cres, out,
+                 "--format-output", cols, "-v", "1"]) == 0
+    assert open(out).read() == golden
