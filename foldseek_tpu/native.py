@@ -76,6 +76,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_double, ctypes.c_double,
                                    ctypes.c_int, dp]
         lib.tm_search8.restype = ctypes.c_int
+        lib.score_fast.argtypes = [dp, dp, ctypes.c_int, ctypes.c_double,
+                                   ctypes.c_double, dp]
+        lib.score_fast.restype = ctypes.c_int
+        lib.dp_iter_c.argtypes = [fp, ctypes.c_int, fp, ctypes.c_int, i64p,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_double, ctypes.c_double,
+                                  ctypes.c_double, ctypes.c_double,
+                                  dp, i64p, i32p]
+        lib.dp_iter_c.restype = ctypes.c_int
+        lib.score_fast_batch.argtypes = [fp, fp, ctypes.c_int, i64p,
+                                         ctypes.c_int, ctypes.c_double,
+                                         ctypes.c_double, dp]
+        lib.score_fast_batch.restype = ctypes.c_int
+        lib.nw_xyz_c.argtypes = [fp, ctypes.c_int, fp, ctypes.c_int,
+                                 dp, dp, ctypes.c_double, ctypes.c_float,
+                                 i8p, i8p, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_long)]
+        lib.nw_xyz_c.restype = ctypes.c_int
         lib.nw_gotoh_f32.argtypes = [fp, ctypes.c_int, ctypes.c_int,
                                      ctypes.c_float, ctypes.c_float,
                                      ctypes.POINTER(ctypes.c_long)]
@@ -174,6 +192,99 @@ def tm_search8(xtm: np.ndarray, ytm: np.ndarray, simplify_step: int,
     if rc != 0:
         return None
     return float(out[0]), out[1:10].reshape(3, 3).copy(), out[10:13].copy()
+
+
+def dp_iter(x: np.ndarray, y: np.ndarray, y2x_seed: np.ndarray,
+            g1: int, g2: int, iteration_max: int,
+            local_d0_search: float, lnorm: float, d0: float,
+            score_d8: float):
+    """Native DP_iter. Returns (best_score, best_y2x | None) or None when
+    the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xf = np.ascontiguousarray(x, dtype=np.float32)
+    yf = np.ascontiguousarray(y, dtype=np.float32)
+    seed = np.ascontiguousarray(y2x_seed, dtype=np.int64)
+    out_score = np.zeros(1, dtype=np.float64)
+    out_y2x = np.zeros(len(yf), dtype=np.int64)
+    found = np.zeros(1, dtype=np.int32)
+    rc = lib.dp_iter_c(
+        _ptr(xf, ctypes.c_float), len(xf), _ptr(yf, ctypes.c_float),
+        len(yf), _ptr(seed, ctypes.c_int64), int(g1), int(g2),
+        int(iteration_max), ctypes.c_double(local_d0_search),
+        ctypes.c_double(lnorm), ctypes.c_double(d0),
+        ctypes.c_double(score_d8), _ptr(out_score, ctypes.c_double),
+        _ptr(out_y2x, ctypes.c_int64), _ptr(found, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return float(out_score[0]), (out_y2x if found[0] else None)
+
+
+def nw_xyz(x: np.ndarray, y: np.ndarray, u: np.ndarray, t: np.ndarray,
+           d02: float, gap_open: float, secx=None, secy=None):
+    """Rotated-distance score matrix + TM-align NW in one native call.
+    Returns y2x [ylen] or None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xf = np.ascontiguousarray(x, dtype=np.float32)
+    yf = np.ascontiguousarray(y, dtype=np.float32)
+    ud = np.ascontiguousarray(u, dtype=np.float64).reshape(-1)
+    td = np.ascontiguousarray(t, dtype=np.float64)
+    use_sec = secx is not None
+    sx = np.ascontiguousarray(secx if use_sec else np.zeros(1), dtype=np.int8)
+    sy = np.ascontiguousarray(secy if use_sec else np.zeros(1), dtype=np.int8)
+    y2x = np.empty(len(yf), dtype=np.int64)
+    rc = lib.nw_xyz_c(
+        _ptr(xf, ctypes.c_float), len(xf), _ptr(yf, ctypes.c_float),
+        len(yf), _ptr(ud, ctypes.c_double), _ptr(td, ctypes.c_double),
+        ctypes.c_double(d02), ctypes.c_float(gap_open),
+        _ptr(sx, ctypes.c_int8), _ptr(sy, ctypes.c_int8), int(use_sec),
+        _ptr(y2x, ctypes.c_long))
+    if rc != 0:
+        return None
+    return y2x
+
+
+def score_fast_batch(x: np.ndarray, y: np.ndarray, y2x_batch: np.ndarray,
+                     d0: float, d0_search: float):
+    """get_score_fast over a [n, ylen] batch of candidate alignments in one
+    call. Returns scores [n] or None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xf = np.ascontiguousarray(x, dtype=np.float32)
+    yf = np.ascontiguousarray(y, dtype=np.float32)
+    batch = np.ascontiguousarray(y2x_batch, dtype=np.int64)
+    n = len(batch)
+    out = np.zeros(n, dtype=np.float64)
+    rc = lib.score_fast_batch(
+        _ptr(xf, ctypes.c_float), _ptr(yf, ctypes.c_float), len(yf),
+        _ptr(batch, ctypes.c_int64), n, ctypes.c_double(d0),
+        ctypes.c_double(d0_search), _ptr(out, ctypes.c_double))
+    if rc != 0:
+        return None
+    return out
+
+
+def score_fast(xtm: np.ndarray, ytm: np.ndarray, d0: float,
+               d0_search: float):
+    """get_score_fast three-Kabsch scorer over a gathered alignment.
+    Returns the score, or None if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(xtm, dtype=np.float64)
+    y = np.ascontiguousarray(ytm, dtype=np.float64)
+    out = np.zeros(1, dtype=np.float64)
+    rc = lib.score_fast(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                        len(x), ctypes.c_double(d0),
+                        ctypes.c_double(d0_search),
+                        _ptr(out, ctypes.c_double))
+    if rc != 0:
+        return None
+    return float(out[0])
 
 
 def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):

@@ -241,7 +241,13 @@ def nw_xyz(x: np.ndarray, y: np.ndarray, t: np.ndarray, u: np.ndarray,
            d02: float, gap_open: float,
            sec_bonus: Optional[Tuple[np.ndarray, np.ndarray]] = None) -> np.ndarray:
     """NW over score(i,j) = 1/(1 + |u x_j + t - y_i|^2 / d02)
-    (+0.5 ss-match bonus for the ssplus variant). Returns y2x."""
+    (+0.5 ss-match bonus for the ssplus variant). Returns y2x.
+    Delegates score build + NW to the native library when available."""
+    from .. import native
+    secy_b, secx_b = sec_bonus if sec_bonus is not None else (None, None)
+    y2x = native.nw_xyz(x, y, u, t, d02, gap_open, secx=secx_b, secy=secy_b)
+    if y2x is not None:
+        return y2x
     xt = (x.astype(np.float32) @ np.asarray(u, dtype=np.float32).T
           + np.asarray(t, dtype=np.float32))
     diff = y.astype(np.float32)[:, None, :] - xt[None, :, :]
@@ -383,11 +389,18 @@ def detailed_search(x: np.ndarray, y: np.ndarray, y2x: np.ndarray,
 
 
 def get_score_fast(x, y, y2x, d0, d0_search):
-    """get_score_fast (TMalign.cpp:627-768): three Kabsch iterations."""
+    """get_score_fast (TMalign.cpp:627-768): three Kabsch iterations.
+    Delegates to the native implementation (same kabsch_d used by
+    tm_search8); numpy fallback below."""
     xtm, ytm = _gather(x, y, y2x)
     k = len(xtm)
     if k < 3:
         return -1.0
+    from .. import native
+    s = native.score_fast(np.asarray(xtm, dtype=np.float64),
+                          np.asarray(ytm, dtype=np.float64), d0, d0_search)
+    if s is not None:
+        return s
     u, t, _ = kabsch(xtm, ytm)
     d02 = d0 * d0
     d002 = d0_search * d0_search
@@ -424,24 +437,33 @@ def get_score_fast(x, y, y2x, d0, d0_search):
 # ---------------------------------------------------------------------------
 # initial alignments
 
+def _best_candidate(x, y, y2x_all, d0, d0_search):
+    """Score a [n, ylen] candidate batch (one native call when available)
+    and return the row the sequential `>=`-update loop would keep: the
+    LAST row attaining the max."""
+    if len(y2x_all) == 0:
+        return None
+    from .. import native
+    scores = native.score_fast_batch(x, y, y2x_all, d0, d0_search)
+    if scores is None:
+        scores = np.array([get_score_fast(x, y, y2x, d0, d0_search)
+                           for y2x in y2x_all])
+    best = np.nonzero(scores == scores.max())[0][-1]
+    return y2x_all[best]
+
+
 def get_initial(x, y, d0, d0_search, fast_opt):
     xlen, ylen = len(x), len(y)
     min_len = min(xlen, ylen)
     min_ali = max(5, min_len // 2)
     n1 = -ylen + min_ali
     n2 = xlen - min_ali
-    best = None
-    best_score = -1.0
     step = 5 if fast_opt else 1
     jj = np.arange(ylen)
-    for k in range(n1, n2 + 1, step):
-        ii = jj + k
-        y2x = np.where((ii >= 0) & (ii < xlen), ii, -1)
-        s = get_score_fast(x, y, y2x, d0, d0_search)
-        if s >= best_score:
-            best_score = s
-            best = y2x
-    return best
+    ks = np.arange(n1, n2 + 1, step)
+    ii = jj[None, :] + ks[:, None]
+    y2x_all = np.where((ii >= 0) & (ii < xlen), ii, -1)
+    return _best_candidate(x, y, y2x_all, d0, d0_search)
 
 
 def get_initial5(x, y, d0, d0_search, d0_min, fast_opt):
@@ -550,42 +572,39 @@ def get_initial_fgt(x, y, d0, d0_search, dcu0, fast_opt):
         ifr = ifr[n1:n2 + 1]
         L_fr = len(ifr)
 
-    best = None
-    best_score = -1.0
     ifr = np.asarray(ifr)
     if x_side:
         L1 = L_fr
         min_ali = max(fra_min1, int(min(L1, ylen) / 2.5))
         n1, n2 = -ylen + min_ali, L1 - min_ali
         jj = np.arange(ylen)
-        for k in range(n1, n2 + 1, 3 if fast_opt else 1):
-            ii = jj + k
-            valid = (ii >= 0) & (ii < L1)
-            y2x = np.where(valid, ifr[np.clip(ii, 0, L1 - 1)], -1)
-            s = get_score_fast(x, y, y2x, d0, d0_search)
-            if s >= best_score:
-                best_score = s
-                best = y2x
+        ks = np.arange(n1, n2 + 1, 3 if fast_opt else 1)
+        ii = jj[None, :] + ks[:, None]
+        valid = (ii >= 0) & (ii < L1)
+        y2x_all = np.where(valid, ifr[np.clip(ii, 0, L1 - 1)], -1)
     else:
         L2 = L_fr
         min_ali = max(fra_min1, int(min(xlen, L2) / 2.5))
         n1, n2 = -L2 + min_ali, xlen - min_ali
-        for k in range(n1, n2 + 1):
-            y2x = np.full(ylen, -1, dtype=np.int64)
-            for j in range(L2):
-                i = j + k
-                if 0 <= i < xlen:
-                    y2x[ifr[j]] = i
-            s = get_score_fast(x, y, y2x, d0, d0_search)
-            if s >= best_score:
-                best_score = s
-                best = y2x
-    return best
+        ks = np.arange(n1, n2 + 1)
+        y2x_all = np.full((len(ks), ylen), -1, dtype=np.int64)
+        jj = np.arange(L2)
+        for r, k in enumerate(ks):
+            i = jj + k
+            valid = (i >= 0) & (i < xlen)
+            y2x_all[r, ifr[jj[valid]]] = i[valid]
+    return _best_candidate(x, y, y2x_all, d0, d0_search)
 
 
 def dp_iter(x, y, y2x_seed, g1, g2, iteration_max, local_d0_search, lnorm,
             d0, score_d8):
-    """DP_iter (TMalign.cpp:1276-1360)."""
+    """DP_iter (TMalign.cpp:1276-1360). Delegates to the native
+    implementation (same NW / TMscore8 engines); numpy fallback below."""
+    from .. import native
+    res = native.dp_iter(x, y, y2x_seed, g1, g2, iteration_max,
+                         local_d0_search, lnorm, d0, score_d8)
+    if res is not None:
+        return res
     d02 = d0 * d0
     gap_opens = [-0.6, 0.0]
     best_score = -1.0

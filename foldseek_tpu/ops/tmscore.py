@@ -98,7 +98,17 @@ def tmscore8_search_standard(xtm: np.ndarray, ytm: np.ndarray,
                              simplify_step: int, local_d0_search: float,
                              score_d8: float, d0: float):
     """reference: TMalign.cpp:394-547. xtm/ytm: aligned coordinate pairs
-    [L_ali, 3]. Returns (best raw score sum / Lali, u, t)."""
+    [L_ali, 3]. Returns (best raw score sum / Lali, u, t).
+
+    Delegates to the native engine (tmscore8_search with lnorm = L_ali and
+    n_it = 20 is exactly the standard variant); numpy fallback below."""
+    from .. import native
+    res = native.tm_search8(np.asarray(xtm, dtype=np.float64),
+                            np.asarray(ytm, dtype=np.float64),
+                            simplify_step, local_d0_search, score_d8, d0,
+                            float(len(xtm)), n_it=20)
+    if res is not None:
+        return res
     l_ali = len(xtm)
     l_ini_min = min(4, l_ali)
     l_ini = []

@@ -486,6 +486,222 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
     }
 }
 
+int nw_gotoh_f32(const float* score, int ylen, int xlen,
+                 float gap_open, float gap_extend, long* y2x);  // below
+
+// DP_iter (lib/tmalign/TMalign.cpp:1276-1360) fully native: per iteration
+// an NW over rotated-distance scores (float32, matching the numpy
+// wavefront) and a TMscore8 superposition search. x: [xlen*3] f32 target,
+// y: [ylen*3] f32 query, y2x_seed: [ylen] i64 (-1 = unaligned).
+// gap opens follow the reference's {-0.6, 0.0} table indexed g1..g2-1.
+// Returns best score in *out_score and alignment in out_y2x (valid only
+// when *out_found != 0).
+int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
+              const int64_t* y2x_seed, int g1, int g2, int iteration_max,
+              double local_d0_search, double lnorm, double d0,
+              double score_d8, double* out_score, int64_t* out_y2x,
+              int32_t* out_found) {
+    const double d02d = d0 * d0;
+    const float d02 = (float)d02d;
+    const double gap_opens[2] = {-0.6, 0.0};
+    *out_found = 0;
+    *out_score = -1.0;
+
+    std::vector<double> xtm, ytm;
+    xtm.reserve(3 * ylen); ytm.reserve(3 * ylen);
+    auto gather = [&](const long* y2x) {
+        xtm.clear(); ytm.clear();
+        for (int j = 0; j < ylen; j++) {
+            long i = y2x[j];
+            if (i < 0) continue;
+            xtm.push_back(x[3 * i]); xtm.push_back(x[3 * i + 1]);
+            xtm.push_back(x[3 * i + 2]);
+            ytm.push_back(y[3 * j]); ytm.push_back(y[3 * j + 1]);
+            ytm.push_back(y[3 * j + 2]);
+        }
+        return (int)ytm.size() / 3;
+    };
+
+    std::vector<long> seed(ylen), y2x(ylen);
+    for (int j = 0; j < ylen; j++) seed[j] = (long)y2x_seed[j];
+    if (gather(seed.data()) == 0) return 0;
+    TMSearchResult r;
+    tmscore8_search(xtm.data(), ytm.data(), (int)ytm.size() / 3, 40,
+                    local_d0_search, score_d8, d0, lnorm, 10, &r);
+
+    std::vector<float> sc((size_t)ylen * xlen);
+    for (int g = g1; g < g2; g++) {
+        const float go = (float)(-gap_opens[g]);
+        double tmscore_old = 0.0;
+        double uu[3][3]; double tt[3];
+        std::memcpy(uu, r.u, sizeof(uu));
+        std::memcpy(tt, r.t, sizeof(tt));
+        for (int it = 0; it < iteration_max; it++) {
+            // score(i,j) = 1/(1 + |u x_i + t - y_j|^2 / d0^2), float32
+            // with the numpy path's op order (last-ulp drift from FMA
+            // contraction stays inside the tmalign tolerance band)
+            float uf[3][3], tf[3];
+            for (int a = 0; a < 3; a++) {
+                tf[a] = (float)tt[a];
+                for (int b = 0; b < 3; b++) uf[a][b] = (float)uu[a][b];
+            }
+            std::vector<float> xt(3 * xlen);
+            for (int i = 0; i < xlen; i++) {
+                const float* p = x + 3 * i;
+                for (int a = 0; a < 3; a++)
+                    xt[3 * i + a] = uf[a][0] * p[0] + uf[a][1] * p[1]
+                                  + uf[a][2] * p[2] + tf[a];
+            }
+            for (int j = 0; j < ylen; j++) {
+                const float* yp = y + 3 * j;
+                float* row = sc.data() + (size_t)j * xlen;
+                for (int i = 0; i < xlen; i++) {
+                    float dx = yp[0] - xt[3 * i];
+                    float dy = yp[1] - xt[3 * i + 1];
+                    float dz = yp[2] - xt[3 * i + 2];
+                    float dij = dx * dx + dy * dy + dz * dz;
+                    row[i] = 1.0f / (1.0f + dij / d02);
+                }
+            }
+            if (nw_gotoh_f32(sc.data(), ylen, xlen, go, 0.0f,
+                             y2x.data()) != 0)
+                break;
+            if (gather(y2x.data()) == 0) break;
+            TMSearchResult ri;
+            tmscore8_search(xtm.data(), ytm.data(), (int)ytm.size() / 3, 40,
+                            local_d0_search, score_d8, d0, lnorm, 10, &ri);
+            std::memcpy(uu, ri.u, sizeof(uu));
+            std::memcpy(tt, ri.t, sizeof(tt));
+            if (ri.score > *out_score) {
+                *out_score = ri.score;
+                for (int j = 0; j < ylen; j++) out_y2x[j] = y2x[j];
+                *out_found = 1;
+            }
+            if (it > 0 && std::fabs(tmscore_old - ri.score) < 0.000001)
+                break;
+            tmscore_old = ri.score;
+        }
+    }
+    return 0;
+}
+
+// NW over rotated-distance scores (ops/tmalign.py nw_xyz): builds the
+// float32 score matrix 1/(1 + |u x_i + t - y_j|^2/d02) (+0.5 where the
+// secondary-structure states match, for the ssplus variant) and runs the
+// TM-align Gotoh NW. u/t are float64 (cast to f32 like the numpy path).
+int nw_xyz_c(const float* x, int xlen, const float* y, int ylen,
+             const double* u, const double* t, double d02d, float gap_open,
+             const int8_t* secx, const int8_t* secy, int use_sec,
+             long* y2x) {
+    const float d02 = (float)d02d;
+    float uf[3][3], tf[3];
+    for (int a = 0; a < 3; a++) {
+        tf[a] = (float)t[a];
+        for (int b = 0; b < 3; b++) uf[a][b] = (float)u[3 * a + b];
+    }
+    std::vector<float> xt(3 * xlen);
+    for (int i = 0; i < xlen; i++) {
+        const float* p = x + 3 * i;
+        for (int a = 0; a < 3; a++)
+            xt[3 * i + a] = uf[a][0] * p[0] + uf[a][1] * p[1]
+                          + uf[a][2] * p[2] + tf[a];
+    }
+    std::vector<float> sc((size_t)ylen * xlen);
+    for (int j = 0; j < ylen; j++) {
+        const float* yp = y + 3 * j;
+        float* row = sc.data() + (size_t)j * xlen;
+        for (int i = 0; i < xlen; i++) {
+            float dx = yp[0] - xt[3 * i];
+            float dy = yp[1] - xt[3 * i + 1];
+            float dz = yp[2] - xt[3 * i + 2];
+            float dij = dx * dx + dy * dy + dz * dz;
+            row[i] = 1.0f / (1.0f + dij / d02);
+        }
+        if (use_sec) {
+            for (int i = 0; i < xlen; i++)
+                if (secy[j] == secx[i]) row[i] += 0.5f;
+        }
+    }
+    return nw_gotoh_f32(sc.data(), ylen, xlen, gap_open, 0.0f, y2x);
+}
+
+// get_score_fast (lib/tmalign/TMalign.cpp:627-768): three Kabsch
+// iterations over a gathered alignment — the inner scorer of every
+// initial-alignment generator in full TM-align. xtm/ytm: [n*3] f64.
+int score_fast(const double* xtm, const double* ytm, int n,
+               double d0, double d0_search, double* out_score) {
+    if (n < 3) { *out_score = -1.0; return 0; }
+    const double d02 = d0 * d0;
+    const double d002 = d0_search * d0_search;
+    double u[3][3], t[3];
+    std::vector<double> xt(3 * n), dis(n);
+    std::vector<int> sub;
+    sub.reserve(n);
+
+    auto score_and_dis = [&]() {
+        rotate_all(xtm, n, u, t, xt.data());
+        double s = 0;
+        for (int k = 0; k < n; k++) {
+            double dx = xt[3 * k] - ytm[3 * k];
+            double dy = xt[3 * k + 1] - ytm[3 * k + 1];
+            double dz = xt[3 * k + 2] - ytm[3 * k + 2];
+            dis[k] = dx * dx + dy * dy + dz * dz;
+            s += 1.0 / (1.0 + dis[k] / d02);
+        }
+        return s;
+    };
+    auto grow_sub = [&](double d002t) {
+        for (;;) {
+            sub.clear();
+            for (int k = 0; k < n; k++) if (dis[k] <= d002t) sub.push_back(k);
+            if ((int)sub.size() >= 3 || n <= 3) break;
+            d002t += 0.5;
+        }
+    };
+
+    kabsch_d(xtm, ytm, nullptr, n, u, t);
+    double tmscore = score_and_dis();
+    grow_sub(d002);
+    double tm1, tm2;
+    if ((int)sub.size() != n) {
+        kabsch_d(xtm, ytm, sub.data(), (int)sub.size(), u, t);
+        tm1 = score_and_dis();
+        grow_sub(d002 + 1.0);
+        kabsch_d(xtm, ytm, sub.data(), (int)sub.size(), u, t);
+        tm2 = score_and_dis();
+    } else {
+        tm1 = tm2 = tmscore;
+    }
+    *out_score = std::max(tmscore, std::max(tm1, tm2));
+    return 0;
+}
+
+// Batched get_score_fast over candidate alignments of one pair: one call
+// scores a whole gapless-threading sweep (get_initial / get_initial_fgt
+// offset loops). x: [xlen*3] f32, y: [ylen*3] f32, y2x_batch: [n*ylen]
+// i64 (-1 = unaligned).
+int score_fast_batch(const float* x, const float* y, int ylen,
+                     const int64_t* y2x_batch, int n,
+                     double d0, double d0_search, double* out_scores) {
+    std::vector<double> xtm, ytm;
+    xtm.reserve(3 * ylen); ytm.reserve(3 * ylen);
+    for (int r = 0; r < n; r++) {
+        const int64_t* y2x = y2x_batch + (size_t)r * ylen;
+        xtm.clear(); ytm.clear();
+        for (int j = 0; j < ylen; j++) {
+            int64_t i = y2x[j];
+            if (i < 0) continue;
+            xtm.push_back(x[3 * i]); xtm.push_back(x[3 * i + 1]);
+            xtm.push_back(x[3 * i + 2]);
+            ytm.push_back(y[3 * j]); ytm.push_back(y[3 * j + 1]);
+            ytm.push_back(y[3 * j + 2]);
+        }
+        score_fast(xtm.data(), ytm.data(), (int)ytm.size() / 3, d0,
+                   d0_search, out_scores + r);
+    }
+    return 0;
+}
+
 // compute_tm_score: approximate TM of a fixed alignment
 // x = target matched coords [n*3], y = query matched [n*3] (pre-gathered)
 // out: [tm, rmsd, u(9), t(3)] = 14 doubles
