@@ -76,7 +76,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_double, ctypes.c_double,
                                    ctypes.c_int, dp]
         lib.tm_search8.restype = ctypes.c_int
-        lib.score_fast.argtypes = [dp, dp, ctypes.c_int, ctypes.c_double,
+        lib.tm_search8f.argtypes = [fp, fp, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_double, ctypes.c_double,
+                                    ctypes.c_double, ctypes.c_double,
+                                    ctypes.c_int, dp]
+        lib.tm_search8f.restype = ctypes.c_int
+        lib.score_fast.argtypes = [fp, fp, ctypes.c_int, ctypes.c_double,
                                    ctypes.c_double, dp]
         lib.score_fast.restype = ctypes.c_int
         lib.dp_iter_c.argtypes = [fp, ctypes.c_int, fp, ctypes.c_int, i64p,
@@ -270,21 +275,44 @@ def score_fast_batch(x: np.ndarray, y: np.ndarray, y2x_batch: np.ndarray,
 
 def score_fast(xtm: np.ndarray, ytm: np.ndarray, d0: float,
                d0_search: float):
-    """get_score_fast three-Kabsch scorer over a gathered alignment.
-    Returns the score, or None if the library is missing."""
+    """get_score_fast three-Kabsch scorer over a gathered alignment
+    (float32 engine, like the reference's TM-align). Returns the score,
+    or None if the library is missing."""
     lib = get_lib()
     if lib is None:
         return None
-    x = np.ascontiguousarray(xtm, dtype=np.float64)
-    y = np.ascontiguousarray(ytm, dtype=np.float64)
+    x = np.ascontiguousarray(xtm, dtype=np.float32)
+    y = np.ascontiguousarray(ytm, dtype=np.float32)
     out = np.zeros(1, dtype=np.float64)
-    rc = lib.score_fast(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+    rc = lib.score_fast(_ptr(x, ctypes.c_float), _ptr(y, ctypes.c_float),
                         len(x), ctypes.c_double(d0),
                         ctypes.c_double(d0_search),
                         _ptr(out, ctypes.c_double))
     if rc != 0:
         return None
     return float(out[0])
+
+
+def tm_search8f(xtm: np.ndarray, ytm: np.ndarray, simplify_step: int,
+                local_d0_search: float, score_d8: float, d0: float,
+                lnorm: float, n_it: int = 10):
+    """Float32-engine TMscore8 search (full-TM-align path).
+    Returns (score, u [3,3], t [3]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(xtm, dtype=np.float32)
+    y = np.ascontiguousarray(ytm, dtype=np.float32)
+    out = np.zeros(13, dtype=np.float64)
+    rc = lib.tm_search8f(_ptr(x, ctypes.c_float), _ptr(y, ctypes.c_float),
+                         len(x), int(simplify_step),
+                         ctypes.c_double(local_d0_search),
+                         ctypes.c_double(score_d8), ctypes.c_double(d0),
+                         ctypes.c_double(lnorm), int(n_it),
+                         _ptr(out, ctypes.c_double))
+    if rc != 0:
+        return None
+    return float(out[0]), out[1:10].reshape(3, 3).copy(), out[10:13].copy()
 
 
 def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):

@@ -322,10 +322,10 @@ def tmscore8_search(xtm: np.ndarray, ytm: np.ndarray, simplify_step: int,
     """TMscore8_search (TMalign.cpp:225-395): n_it=10, up to 6 fragment
     lengths, score normalized by lnorm. Returns (score, u, t)."""
     from .. import native
-    res = native.tm_search8(np.asarray(xtm, dtype=np.float64),
-                            np.asarray(ytm, dtype=np.float64),
-                            simplify_step, local_d0_search, score_d8, d0,
-                            lnorm, n_it=10)
+    res = native.tm_search8f(np.asarray(xtm, dtype=np.float32),
+                             np.asarray(ytm, dtype=np.float32),
+                             simplify_step, local_d0_search, score_d8, d0,
+                             lnorm, n_it=10)
     if res is not None:
         return res
     l_ali = len(xtm)
@@ -397,8 +397,8 @@ def get_score_fast(x, y, y2x, d0, d0_search):
     if k < 3:
         return -1.0
     from .. import native
-    s = native.score_fast(np.asarray(xtm, dtype=np.float64),
-                          np.asarray(ytm, dtype=np.float64), d0, d0_search)
+    s = native.score_fast(np.asarray(xtm, dtype=np.float32),
+                          np.asarray(ytm, dtype=np.float32), d0, d0_search)
     if s is not None:
         return s
     u, t, _ = kabsch(xtm, ytm)

@@ -264,6 +264,11 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
 // ---------------------------------------------------------------------------
 // Kabsch superposition (double precision, matches numpy's svd-based path)
 
+}  // extern "C" — the TM helpers below are templated over the coordinate
+// type (float engine for the full-TM-align path mirroring the reference's
+// float arithmetic; double engine for the bit-pinned default search path),
+// and templates cannot carry C linkage.
+
 static void jacobi_eigen3(double a[3][3], double v[3][3], double w[3]) {
     // cyclic Jacobi for a symmetric 3x3; a is destroyed
     for (int i = 0; i < 3; i++)
@@ -306,21 +311,23 @@ static double det3(const double m[3][3]) {
          + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]);
 }
 
-// superpose x onto y (double precision): y ~ u x + t; returns rmsd
-static double kabsch_d(const double* x, const double* y, const int* idx, int n,
+// superpose x onto y: y ~ u x + t; returns rmsd. Accumulation runs in
+// double for either coordinate type.
+template <typename T>
+static double kabsch_t(const T* x, const T* y, const int* idx, int n,
                        double u[3][3], double t[3]) {
     double xc[3] = {0, 0, 0}, yc[3] = {0, 0, 0};
     for (int k = 0; k < n; k++) {
-        const double* xp = x + 3 * (idx ? idx[k] : k);
-        const double* yp = y + 3 * (idx ? idx[k] : k);
+        const T* xp = x + 3 * (idx ? idx[k] : k);
+        const T* yp = y + 3 * (idx ? idx[k] : k);
         for (int d = 0; d < 3; d++) { xc[d] += xp[d]; yc[d] += yp[d]; }
     }
     for (int d = 0; d < 3; d++) { xc[d] /= n; yc[d] /= n; }
     // covariance C = sum (x-xc)(y-yc)^T  (3x3), e0 for rmsd
     double c[3][3] = {{0}}, e0 = 0;
     for (int k = 0; k < n; k++) {
-        const double* xp = x + 3 * (idx ? idx[k] : k);
-        const double* yp = y + 3 * (idx ? idx[k] : k);
+        const T* xp = x + 3 * (idx ? idx[k] : k);
+        const T* yp = y + 3 * (idx ? idx[k] : k);
         double dx[3], dy[3];
         for (int d = 0; d < 3; d++) {
             dx[d] = xp[d] - xc[d];
@@ -385,6 +392,11 @@ static double kabsch_d(const double* x, const double* y, const int* idx, int n,
     return std::sqrt(rms2 / n);
 }
 
+static double kabsch_d(const double* x, const double* y, const int* idx,
+                       int n, double u[3][3], double t[3]) {
+    return kabsch_t<double>(x, y, idx, n, u, t);
+}
+
 // ---------------------------------------------------------------------------
 // TM-score search (tmscore8_search_standard port, double precision)
 
@@ -394,7 +406,8 @@ struct TMSearchResult {
     double t[3];
 };
 
-static void score_fun8(const double* xt, const double* y, int n, double d,
+template <typename T>
+static void score_fun8(const T* xt, const T* y, int n, double d,
                        double score_d8, double d0, double lnorm,
                        std::vector<int>& cut, double* score,
                        std::vector<double>& di) {
@@ -403,10 +416,10 @@ static void score_fun8(const double* xt, const double* y, int n, double d,
     double sum = 0;
     di.resize(n);
     for (int k = 0; k < n; k++) {
-        double dx = xt[3 * k] - y[3 * k];
-        double dy = xt[3 * k + 1] - y[3 * k + 1];
-        double dz = xt[3 * k + 2] - y[3 * k + 2];
-        double dd = dx * dx + dy * dy + dz * dz;
+        T dx = xt[3 * k] - y[3 * k];
+        T dy = xt[3 * k + 1] - y[3 * k + 1];
+        T dz = xt[3 * k + 2] - y[3 * k + 2];
+        double dd = (double)(dx * dx + dy * dy + dz * dz);
         di[k] = dd;
         if (dd < d8sq) sum += 1.0 / (1.0 + dd / d0sq);
     }
@@ -423,16 +436,19 @@ static void score_fun8(const double* xt, const double* y, int n, double d,
     }
 }
 
-static void rotate_all(const double* x, int n, const double u[3][3],
-                       const double t[3], double* xt) {
+template <typename T>
+static void rotate_all(const T* x, int n, const double u[3][3],
+                       const double t[3], T* xt) {
     for (int k = 0; k < n; k++) {
-        const double* p = x + 3 * k;
+        const T* p = x + 3 * k;
         for (int a = 0; a < 3; a++)
-            xt[3 * k + a] = u[a][0] * p[0] + u[a][1] * p[1] + u[a][2] * p[2] + t[a];
+            xt[3 * k + a] = (T)(u[a][0] * p[0] + u[a][1] * p[1]
+                                + u[a][2] * p[2] + t[a]);
     }
 }
 
-static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
+template <typename T>
+static void tmscore8_search(const T* xtm, const T* ytm, int l_ali,
                             int simplify_step, double local_d0_search,
                             double score_d8, double d0, double lnorm,
                             int n_it, TMSearchResult* res) {
@@ -446,7 +462,8 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
     if ((int)l_ini.size() == 5 && l_ini.back() > l_ini_min) l_ini.push_back(l_ini_min);
 
     res->score = -1.0;
-    std::vector<double> xt(3 * l_ali), di;
+    std::vector<T> xt(3 * l_ali);
+    std::vector<double> di;
     di.reserve(l_ali);
     std::vector<int> cut, prev_cut, frag(l_ali);
     cut.reserve(l_ali); prev_cut.reserve(l_ali);
@@ -457,7 +474,7 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
         int i = 0;
         for (;;) {
             for (int k = 0; k < lf; k++) frag[k] = i + k;
-            kabsch_d(xtm, ytm, frag.data(), lf, u, t);
+            kabsch_t<T>(xtm, ytm, frag.data(), lf, u, t);
             rotate_all(xtm, l_ali, u, t, xt.data());
             double d = local_d0_search - 1.0;
             double sc;
@@ -470,7 +487,7 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
             d = local_d0_search + 1.0;
             for (int it = 0; it < n_it; it++) {
                 prev_cut = cut;
-                kabsch_d(xtm, ytm, cut.data(), (int)cut.size(), u, t);
+                kabsch_t<T>(xtm, ytm, cut.data(), (int)cut.size(), u, t);
                 rotate_all(xtm, l_ali, u, t, xt.data());
                 score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc, di);
                 if (sc > res->score) {
@@ -485,6 +502,8 @@ static void tmscore8_search(const double* xtm, const double* ytm, int l_ali,
         }
     }
 }
+
+extern "C" {
 
 int nw_gotoh_f32(const float* score, int ylen, int xlen,
                  float gap_open, float gap_extend, long* y2x);  // below
@@ -507,7 +526,7 @@ int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
     *out_found = 0;
     *out_score = -1.0;
 
-    std::vector<double> xtm, ytm;
+    std::vector<float> xtm, ytm;
     xtm.reserve(3 * ylen); ytm.reserve(3 * ylen);
     auto gather = [&](const long* y2x) {
         xtm.clear(); ytm.clear();
@@ -628,13 +647,14 @@ int nw_xyz_c(const float* x, int xlen, const float* y, int ylen,
 // get_score_fast (lib/tmalign/TMalign.cpp:627-768): three Kabsch
 // iterations over a gathered alignment — the inner scorer of every
 // initial-alignment generator in full TM-align. xtm/ytm: [n*3] f64.
-int score_fast(const double* xtm, const double* ytm, int n,
+int score_fast(const float* xtm, const float* ytm, int n,
                double d0, double d0_search, double* out_score) {
     if (n < 3) { *out_score = -1.0; return 0; }
     const double d02 = d0 * d0;
     const double d002 = d0_search * d0_search;
     double u[3][3], t[3];
-    std::vector<double> xt(3 * n), dis(n);
+    std::vector<float> xt(3 * n);
+    std::vector<double> dis(n);
     std::vector<int> sub;
     sub.reserve(n);
 
@@ -642,10 +662,10 @@ int score_fast(const double* xtm, const double* ytm, int n,
         rotate_all(xtm, n, u, t, xt.data());
         double s = 0;
         for (int k = 0; k < n; k++) {
-            double dx = xt[3 * k] - ytm[3 * k];
-            double dy = xt[3 * k + 1] - ytm[3 * k + 1];
-            double dz = xt[3 * k + 2] - ytm[3 * k + 2];
-            dis[k] = dx * dx + dy * dy + dz * dz;
+            float dx = xt[3 * k] - ytm[3 * k];
+            float dy = xt[3 * k + 1] - ytm[3 * k + 1];
+            float dz = xt[3 * k + 2] - ytm[3 * k + 2];
+            dis[k] = (double)(dx * dx + dy * dy + dz * dz);
             s += 1.0 / (1.0 + dis[k] / d02);
         }
         return s;
@@ -659,15 +679,15 @@ int score_fast(const double* xtm, const double* ytm, int n,
         }
     };
 
-    kabsch_d(xtm, ytm, nullptr, n, u, t);
+    kabsch_t<float>(xtm, ytm, nullptr, n, u, t);
     double tmscore = score_and_dis();
     grow_sub(d002);
     double tm1, tm2;
     if ((int)sub.size() != n) {
-        kabsch_d(xtm, ytm, sub.data(), (int)sub.size(), u, t);
+        kabsch_t<float>(xtm, ytm, sub.data(), (int)sub.size(), u, t);
         tm1 = score_and_dis();
         grow_sub(d002 + 1.0);
-        kabsch_d(xtm, ytm, sub.data(), (int)sub.size(), u, t);
+        kabsch_t<float>(xtm, ytm, sub.data(), (int)sub.size(), u, t);
         tm2 = score_and_dis();
     } else {
         tm1 = tm2 = tmscore;
@@ -683,7 +703,7 @@ int score_fast(const double* xtm, const double* ytm, int n,
 int score_fast_batch(const float* x, const float* y, int ylen,
                      const int64_t* y2x_batch, int n,
                      double d0, double d0_search, double* out_scores) {
-    std::vector<double> xtm, ytm;
+    std::vector<float> xtm, ytm;
     xtm.reserve(3 * ylen); ytm.reserve(3 * ylen);
     for (int r = 0; r < n; r++) {
         const int64_t* y2x = y2x_batch + (size_t)r * ylen;
@@ -741,6 +761,22 @@ int tm_score_aligned(const double* x, const double* y, int n, int norm_len,
 int tm_search8(const double* xtm, const double* ytm, int l_ali,
                int simplify_step, double local_d0_search, double score_d8,
                double d0, double lnorm, int n_it, double* out13) {
+    if (l_ali < 1) return -1;
+    TMSearchResult r;
+    tmscore8_search(xtm, ytm, l_ali, simplify_step, local_d0_search,
+                    score_d8, d0, lnorm, n_it, &r);
+    out13[0] = r.score;
+    std::memcpy(out13 + 1, r.u, 9 * sizeof(double));
+    std::memcpy(out13 + 10, r.t, 3 * sizeof(double));
+    return 0;
+}
+
+// float-engine variant for the full-TM-align path (the reference's
+// TM-align runs float32 coordinates; the default-search parity path keeps
+// the double engine above)
+int tm_search8f(const float* xtm, const float* ytm, int l_ali,
+                int simplify_step, double local_d0_search, double score_d8,
+                double d0, double lnorm, int n_it, double* out13) {
     if (l_ali < 1) return -1;
     TMSearchResult r;
     tmscore8_search(xtm, ytm, l_ali, simplify_step, local_d0_search,
