@@ -415,13 +415,20 @@ static void score_fun8(const T* xt, const T* y, int n, double d,
     double d0sq = d0 * d0;
     double sum = 0;
     di.resize(n);
+    // two passes: distance fill (strided), then a branchless masked sum
+    // over the dense di[] so the compiler vectorizes the division — the
+    // conditional-sum single loop was scalar and division-latency-bound,
+    // the hot op of the whole TM search
     for (int k = 0; k < n; k++) {
         T dx = xt[3 * k] - y[3 * k];
         T dy = xt[3 * k + 1] - y[3 * k + 1];
         T dz = xt[3 * k + 2] - y[3 * k + 2];
-        double dd = (double)(dx * dx + dy * dy + dz * dz);
-        di[k] = dd;
-        if (dd < d8sq) sum += 1.0 / (1.0 + dd / d0sq);
+        di[k] = (double)(dx * dx + dy * dy + dz * dz);
+    }
+    const double* dip = di.data();
+    for (int k = 0; k < n; k++) {
+        double q = 1.0 / (1.0 + dip[k] / d0sq);
+        sum += (dip[k] < d8sq) ? q : 0.0;
     }
     *score = sum / lnorm;
     double d2 = d * d;
