@@ -119,6 +119,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             dp, dp, dp, dp, dp]
         lib.batch_gates.restype = ctypes.c_int
+        lib.diag_score_batch.argtypes = [i32p, ctypes.c_int, i8p, i64p,
+                                         i32p, i64p, i32p, ctypes.c_int,
+                                         i32p]
+        lib.diag_score_batch.restype = ctypes.c_int
+        lib.double_diag_detect.argtypes = [i64p, i64p, ctypes.c_int64,
+                                           ctypes.c_int64, i64p, i64p]
+        lib.double_diag_detect.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -329,6 +336,52 @@ def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):
     if rc != 0:
         return None
     return y2x
+
+
+def double_diag_detect(tid: np.ndarray, d16: np.ndarray, n_targets: int):
+    """Double-diagonal candidate detection over posting matches in arrival
+    order. Returns (cand_tid, cand_d16) int64 arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    td = np.ascontiguousarray(tid, dtype=np.int64)
+    dd = np.ascontiguousarray(d16, dtype=np.int64)
+    n = len(td)
+    out_t = np.empty(n, dtype=np.int64)
+    out_d = np.empty(n, dtype=np.int64)
+    m = lib.double_diag_detect(
+        _ptr(td, ctypes.c_int64), _ptr(dd, ctypes.c_int64),
+        ctypes.c_int64(n), ctypes.c_int64(int(n_targets)),
+        _ptr(out_t, ctypes.c_int64), _ptr(out_d, ctypes.c_int64))
+    if m < 0:
+        return None
+    return out_t[:m], out_d[:m]
+
+
+def diag_score_batch(prof: np.ndarray, seqs_flat: np.ndarray,
+                     seq_off: np.ndarray, seq_len: np.ndarray,
+                     tids: np.ndarray, d16s: np.ndarray):
+    """Exact ungapped diagonal Kadane for a whole candidate list in one
+    call. prof: [lq, 21] int; returns int32 scores [n] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(prof, dtype=np.int32)
+    sf = np.ascontiguousarray(seqs_flat, dtype=np.int8)
+    so = np.ascontiguousarray(seq_off, dtype=np.int64)
+    sl = np.ascontiguousarray(seq_len, dtype=np.int32)
+    td = np.ascontiguousarray(tids, dtype=np.int64)
+    dd = np.ascontiguousarray(d16s, dtype=np.int32)
+    n = len(td)
+    out = np.zeros(n, dtype=np.int32)
+    rc = lib.diag_score_batch(
+        _ptr(p, ctypes.c_int32), len(p), _ptr(sf, ctypes.c_int8),
+        _ptr(so, ctypes.c_int64), _ptr(sl, ctypes.c_int32),
+        _ptr(td, ctypes.c_int64), _ptr(dd, ctypes.c_int32), n,
+        _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return out
 
 
 def batch_gates(q_ca, q_deg, t_cas, q_starts, t_starts, backtraces,

@@ -152,6 +152,9 @@ class KmerPrefilter:
             offs = self.tdb.offsets
             self.masked_seqs = [masked[offs[i]:offs[i + 1]]
                                 for i in range(self.tdb.size)]
+            self.masked_flat = masked
+            self.seq_off = np.asarray(offs[:-1], dtype=np.int64)
+            self.seq_len = np.diff(np.asarray(offs)).astype(np.int32)
             logger.info("kmer prefilter: using precomputed posting index")
             return
         k, span = self.k, self.span
@@ -179,6 +182,9 @@ class KmerPrefilter:
             masked_total += int((seq == X).sum()) - before
             flat[offs[li]:offs[li + 1]] = seq
         self.masked_seqs = [flat[offs[i]:offs[i + 1]] for i in range(n)]
+        self.masked_flat = flat
+        self.seq_off = np.asarray(offs[:-1], dtype=np.int64)
+        self.seq_len = lens.astype(np.int32)
 
         # vectorized window pass over the whole range in bounded chunks
         # (transient per-chunk buffers stay ~O(chunk * k), independent of
@@ -362,10 +368,19 @@ class KmerPrefilter:
             arr_d16 = np.zeros(0, dtype=np.int64)
 
         # double-diagonal detection (diag byte) + dedup, per target id —
-        # vectorized over arrivals grouped per tid in arrival order.
-        # The reference's duplicateBitArray starts zeroed, so the FIRST
-        # posting of an id on diagonal byte 0 already counts as a duplicate
-        # (CacheFriendlyOperations.cpp:186,200-207).
+        # grouped per tid in arrival order. The reference's
+        # duplicateBitArray starts zeroed, so the FIRST posting of an id on
+        # diagonal byte 0 already counts as a duplicate
+        # (CacheFriendlyOperations.cpp:186,200-207). One native O(n) pass;
+        # numpy fallback below is the same algorithm over a stable sort.
+        from .. import native as _native
+        dd_res = _native.double_diag_detect(
+            arr_tid, arr_d16, self.entry_range[1] - self.entry_range[0])
+        if dd_res is not None:
+            cand_ids, cand_diags = dd_res
+            return self._rescore_and_rank(
+                cand_ids, cand_diags, q, comp_bias, max_seqs,
+                identity_id, r0)
         order = np.argsort(arr_tid, kind="stable")
         st = arr_tid[order]
         sd16 = arr_d16[order]
@@ -385,20 +400,40 @@ class KmerPrefilter:
         keep[~dfirst] = dprev[~dfirst] != dd8[~dfirst]
         cand_ids = dt[keep]
         cand_diags = dd16[keep]
+        return self._rescore_and_rank(cand_ids, cand_diags, q, comp_bias,
+                                      max_seqs, identity_id, r0)
 
-        # diagonal rescoring (exact int, capped 255)
+    def _rescore_and_rank(self, cand_ids, cand_diags, q, comp_bias,
+                          max_seqs, identity_id, r0):
+        # diagonal rescoring (exact int, capped 255): one native call for
+        # the whole candidate list, then a vectorized best-per-target
+        # reduction (strict '>' keeps the earliest max, like the dict loop)
         prof = self._ungapped_profile(q, comp_bias)
-        best: Dict[int, Tuple[int, int, int]] = {}  # tid -> (count, diag, order)
-        for n, (tid, d16) in enumerate(zip(cand_ids, cand_diags)):
-            score = self._diag_score(prof, self.masked_seqs[tid], d16)
-            count = min(255, score)
-            cur = best.get(tid)
-            if cur is None or count > cur[0]:
-                best[tid] = (count, d16, n)
-        if not best:
-            items = []
+        from .. import native
+        scores = native.diag_score_batch(
+            prof, self.masked_flat, self.seq_off, self.seq_len,
+            cand_ids, cand_diags) if len(cand_ids) else None
+        if scores is not None:
+            counts = np.minimum(scores, 255)
+            order = np.arange(len(cand_ids))
+            sel = np.lexsort((order, -counts, cand_ids))
+            tid_sorted = cand_ids[sel]
+            first = np.ones(len(sel), dtype=bool)
+            first[1:] = tid_sorted[1:] != tid_sorted[:-1]
+            pick = sel[first]
+            items = list(zip(cand_ids[pick].tolist(),
+                             counts[pick].tolist(),
+                             cand_diags[pick].tolist()))
         else:
-            items = [(tid, c, d) for tid, (c, d, _) in best.items()]
+            best: Dict[int, Tuple[int, int, int]] = {}  # tid -> (count, diag, order)
+            for n, (tid, d16) in enumerate(zip(cand_ids, cand_diags)):
+                score = self._diag_score(prof, self.masked_seqs[tid], d16)
+                count = min(255, score)
+                cur = best.get(tid)
+                if cur is None or count > cur[0]:
+                    best[tid] = (count, d16, n)
+            items = ([(tid, c, d) for tid, (c, d, _) in best.items()]
+                     if best else [])
 
         # adaptive threshold
         hist = np.zeros(256, dtype=np.int64)
@@ -415,11 +450,11 @@ class KmerPrefilter:
             # saturated: rescore exact, rescale to byte, keep only saturated
             self_score = self._diag_score(prof, q.astype(np.int8), 0, exact=True)
             max_self = max(1, min(self_score - 255, 65535))
+            sat = [(tid, d) for tid, c, d in items if c >= 255]
+            exacts = self._diag_scores([t_ for t_, _ in sat],
+                                       [d_ for _, d_ in sat], prof)
             rescored = []
-            for tid, c, d in items:
-                if c < 255:
-                    continue
-                exact = self._diag_score(prof, self.masked_seqs[tid], d, exact=True)
+            for (tid, d), exact in zip(sat, exacts):
                 new = min(max(exact - 255, 0), 65535)
                 c8 = int(min(new / max_self * 255.0 + 0.5, 255))
                 rescored.append((tid, c8, d))
@@ -434,14 +469,15 @@ class KmerPrefilter:
         else:
             kept = [(tid, c, d) for tid, c, d in items if c >= thr]
             kept.sort(key=lambda x: (-x[1], x[0]))
+            sat = [(tid, d) for tid, c, d in kept if c >= 255]
+            exact_of = dict(zip(sat, self._diag_scores(
+                [t_ for t_, _ in sat], [d_ for _, d_ in sat], prof)))
             for tid, c, d in kept:
                 if len(results) >= max_hits:
                     break
                 if identity_id is not None and tid == identity_id:
                     continue
-                score = c
-                if c >= 255:
-                    score = self._diag_score(prof, self.masked_seqs[tid], d, exact=True)
+                score = exact_of[(tid, d)] if c >= 255 else c
                 results.append((tid, score, d))
         # final ordering: identity first, rest by (score desc, id asc)
         head = results[:1] if identity_id is not None else []
@@ -451,6 +487,20 @@ class KmerPrefilter:
         if r0:
             out = [(t + r0, s, d) for t, s, d in out]
         return out
+
+    def _diag_scores(self, tids, d16s, prof):
+        """Exact diagonal scores for a (tid, d16) list — one native call,
+        per-candidate python fallback."""
+        if not tids:
+            return []
+        from .. import native
+        out = native.diag_score_batch(prof, self.masked_flat, self.seq_off,
+                                      self.seq_len, np.asarray(tids),
+                                      np.asarray(d16s))
+        if out is not None:
+            return [int(v) for v in out]
+        return [self._diag_score(prof, self.masked_seqs[t], d)
+                for t, d in zip(tids, d16s)]
 
     def _ungapped_profile(self, q: np.ndarray, comp_bias: np.ndarray) -> np.ndarray:
         """[L, 21] int profile: mat2[q[pos]][a] + round(bias/4). The /4 and

@@ -160,6 +160,95 @@ int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
 }
 
 // ---------------------------------------------------------------------------
+// double-diagonal candidate detection (QueryMatcher /
+// CacheFriendlyOperations duplicateBitArray semantics): group the posting
+// matches by target id (stable counting sort — arrival order preserved
+// within a target, matching the python stable argsort), flag arrivals
+// whose diagonal byte equals the previous arrival's for that target
+// (first arrival compares against 0, the zero-initialized
+// duplicateBitArray quirk), then keep one candidate per run of equal
+// diagonal bytes. Replaces an O(n log n) numpy argsort over ~1M matches
+// per query. Returns the candidate count.
+int double_diag_detect(const int64_t* tid, const int64_t* d16, int64_t n,
+                       int64_t n_targets,
+                       int64_t* out_tid, int64_t* out_d16) {
+    std::vector<int64_t> counts(n_targets + 1, 0);
+    for (int64_t i = 0; i < n; i++) counts[tid[i] + 1]++;
+    for (int64_t t = 0; t < n_targets; t++) counts[t + 1] += counts[t];
+    std::vector<int64_t> pos(counts.begin(), counts.end() - 1);
+    std::vector<int64_t> sd16(n);
+    std::vector<int64_t> stid(n);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t p = pos[tid[i]]++;
+        stid[p] = tid[i];
+        sd16[p] = d16[i];
+    }
+    int64_t m = 0;
+    int64_t i = 0;
+    while (i < n) {
+        const int64_t t = stid[i];
+        int64_t j = i;
+        uint8_t prev = 0;          // zeroed duplicateBitArray
+        int64_t last_kept_d8 = -1;  // -1 = no candidate kept yet this target
+        for (; j < n && stid[j] == t; j++) {
+            uint8_t d8 = (uint8_t)(sd16[j] & 0xFF);
+            if (d8 == prev) {
+                if (last_kept_d8 != (int64_t)d8) {
+                    out_tid[m] = t;
+                    out_d16[m] = sd16[j];
+                    m++;
+                    last_kept_d8 = d8;
+                }
+            }
+            prev = d8;
+        }
+        i = j;
+    }
+    return (int)m;
+}
+
+// ---------------------------------------------------------------------------
+// batched ungapped diagonal rescoring (UngappedAlignment::
+// computeSingelSequenceScores analogue): exact integer Kadane along one
+// query-profile diagonal per candidate, one call per query instead of one
+// python call per candidate (~200k candidates/query at the biased
+// prefilter threshold). prof: [lq*21] int32 (row = query position);
+// d16: 16-bit wrapped diagonal (QueryMatcher convention).
+int diag_score_batch(const int32_t* prof, int lq,
+                     const int8_t* seqs_flat, const int64_t* seq_off,
+                     const int32_t* seq_len,
+                     const int64_t* tids, const int32_t* d16s, int n,
+                     int32_t* out_scores) {
+    for (int c = 0; c < n; c++) {
+        const int8_t* t_seq = seqs_flat + seq_off[tids[c]];
+        const int lt = seq_len[tids[c]];
+        int d = d16s[c] >= 32768 ? d16s[c] - 65536 : d16s[c];
+        const int32_t* qrow;
+        const int8_t* ts;
+        int m;
+        if (d >= 0) {
+            if (d >= lq) { out_scores[c] = 0; continue; }
+            m = std::min(lt, lq - d);
+            qrow = prof + (size_t)d * 21;
+            ts = t_seq;
+        } else {
+            if (-d >= lt) { out_scores[c] = 0; continue; }
+            m = std::min(lt + d, lq);
+            qrow = prof;
+            ts = t_seq - d;
+        }
+        int64_t best = 0, cur = 0;
+        for (int i = 0; i < m; i++) {
+            cur += qrow[(size_t)i * 21 + ts[i]];
+            if (cur < 0) cur = 0;
+            if (cur > best) best = cur;
+        }
+        out_scores[c] = (int32_t)best;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // batched start + traceback recovery: one call per query block instead of
 // two ctypes round trips per hit (the ~0.1 ms/hit python marshalling was
 // ~15% of a 64k-survivor fleet's host time). Per hit: the reversed-profile
