@@ -126,6 +126,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.double_diag_detect.argtypes = [i64p, i64p, ctypes.c_int64,
                                            ctypes.c_int64, i64p, i64p]
         lib.double_diag_detect.restype = ctypes.c_int
+        lib.posting_candidates.argtypes = [
+            i64p, ctypes.c_int64, i64p, i64p, i64p,
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int, i8p, i64p, i32p,
+            i64p, i32p, i64p]
+        lib.posting_candidates.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -336,6 +342,41 @@ def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):
     if rc != 0:
         return None
     return y2x
+
+
+def posting_candidates(post_ids, post_off, post_tid, post_pos,
+                       K, P, n_targets, prof, seqs_flat, seq_off, seq_len):
+    """Posting lookup + double-diagonal detection + per-candidate Kadane +
+    best-per-target reduction for one query in a single call. Returns
+    (tid, count, d16) arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pi = np.ascontiguousarray(post_ids, dtype=np.int64)
+    po = np.ascontiguousarray(post_off, dtype=np.int64)
+    pt = np.ascontiguousarray(post_tid, dtype=np.int64)
+    pp = np.ascontiguousarray(post_pos, dtype=np.int64)
+    Ka = np.ascontiguousarray(K, dtype=np.int64)
+    Pa = np.ascontiguousarray(P, dtype=np.int64)
+    pr = np.ascontiguousarray(prof, dtype=np.int32)
+    sf = np.ascontiguousarray(seqs_flat, dtype=np.int8)
+    so = np.ascontiguousarray(seq_off, dtype=np.int64)
+    sl = np.ascontiguousarray(seq_len, dtype=np.int32)
+    out_t = np.empty(int(n_targets), dtype=np.int64)
+    out_c = np.empty(int(n_targets), dtype=np.int32)
+    out_d = np.empty(int(n_targets), dtype=np.int64)
+    m = lib.posting_candidates(
+        _ptr(pi, ctypes.c_int64), len(pi), _ptr(po, ctypes.c_int64),
+        _ptr(pt, ctypes.c_int64), _ptr(pp, ctypes.c_int64),
+        _ptr(Ka, ctypes.c_int64), _ptr(Pa, ctypes.c_int64), len(Ka),
+        ctypes.c_int64(int(n_targets)),
+        _ptr(pr, ctypes.c_int32), len(pr), _ptr(sf, ctypes.c_int8),
+        _ptr(so, ctypes.c_int64), _ptr(sl, ctypes.c_int32),
+        _ptr(out_t, ctypes.c_int64), _ptr(out_c, ctypes.c_int32),
+        _ptr(out_d, ctypes.c_int64))
+    if m < 0:
+        return None
+    return out_t[:m], out_c[:m], out_d[:m]
 
 
 def double_diag_detect(tid: np.ndarray, d16: np.ndarray, n_targets: int):

@@ -347,10 +347,24 @@ class KmerPrefilter:
                 kidx_parts.append(kidxs)
                 pos_parts.append(np.full(len(kidxs), p, dtype=np.int64))
 
-        # batched posting lookup over the flat sorted arrays
+        # batched posting lookup over the flat sorted arrays; the native
+        # fast path runs lookup + double-diagonal detection + Kadane
+        # rescore + best-per-target in ONE call (QueryMatcher::matchQuery)
         if kidx_parts:
             K = np.concatenate(kidx_parts)
             P = np.concatenate(pos_parts)
+            from .. import native as _native
+            prof = self._ungapped_profile(q, comp_bias)
+            pc = _native.posting_candidates(
+                self.post_ids, self.post_off, self.post_tid, self.post_pos,
+                K, P, self.entry_range[1] - self.entry_range[0],
+                prof, self.masked_flat, self.seq_off, self.seq_len)
+            if pc is not None:
+                tids, cnts, d16s = pc
+                items = list(zip(tids.tolist(), cnts.tolist(),
+                                 d16s.tolist()))
+                return self._rank_items(items, prof, q, max_seqs,
+                                        identity_id, r0)
             loc = np.searchsorted(self.post_ids, K)
             found = loc < len(self.post_ids)
             found &= self.post_ids[np.minimum(loc, len(self.post_ids) - 1)] == K
@@ -434,7 +448,9 @@ class KmerPrefilter:
                     best[tid] = (count, d16, n)
             items = ([(tid, c, d) for tid, (c, d, _) in best.items()]
                      if best else [])
+        return self._rank_items(items, prof, q, max_seqs, identity_id, r0)
 
+    def _rank_items(self, items, prof, q, max_seqs, identity_id, r0):
         # adaptive threshold
         hist = np.zeros(256, dtype=np.int64)
         for _, c, _ in items:

@@ -160,6 +160,110 @@ int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
 }
 
 // ---------------------------------------------------------------------------
+// full posting-match -> candidate pipeline for one k-mer prefilter query
+// (QueryMatcher::matchQuery analogue): binary-search each similar k-mer in
+// the sorted posting ids, walk its posting list in arrival order, stable
+// counting-sort matches by target, detect double-diagonal candidates
+// (zeroed duplicateBitArray semantics), Kadane-rescore each candidate on
+// its diagonal, and keep the best (capped) count per target (first max on
+// ties). Replaces four numpy passes + two ctypes calls with one call and
+// int32/uint16 scratch. out_* must hold n_targets entries; returns m.
+int posting_candidates(
+        const int64_t* post_ids, int64_t n_ids, const int64_t* post_off,
+        const int64_t* post_tid, const int64_t* post_pos,
+        const int64_t* K, const int64_t* P, int64_t nk, int64_t n_targets,
+        const int32_t* prof, int lq,
+        const int8_t* seqs_flat, const int64_t* seq_off,
+        const int32_t* seq_len,
+        int64_t* out_tid, int32_t* out_count, int64_t* out_d16) {
+    // 1) gather matches (arrival order)
+    int64_t total = 0;
+    std::vector<int64_t> loc(nk, -1);
+    for (int64_t i = 0; i < nk; i++) {
+        int64_t lo = 0, hi = n_ids;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (post_ids[mid] < K[i]) lo = mid + 1; else hi = mid;
+        }
+        if (lo < n_ids && post_ids[lo] == K[i]) {
+            loc[i] = lo;
+            total += post_off[lo + 1] - post_off[lo];
+        }
+    }
+    std::vector<int32_t> mtid(total);
+    std::vector<uint16_t> md16(total);
+    int64_t w = 0;
+    for (int64_t i = 0; i < nk; i++) {
+        if (loc[i] < 0) continue;
+        for (int64_t p = post_off[loc[i]]; p < post_off[loc[i] + 1]; p++) {
+            mtid[w] = (int32_t)post_tid[p];
+            md16[w] = (uint16_t)((P[i] - post_pos[p]) & 0xFFFF);
+            w++;
+        }
+    }
+    // 2) stable counting sort by target
+    std::vector<int64_t> counts(n_targets + 1, 0);
+    for (int64_t i = 0; i < total; i++) counts[mtid[i] + 1]++;
+    for (int64_t t = 0; t < n_targets; t++) counts[t + 1] += counts[t];
+    std::vector<int64_t> pos(counts.begin(), counts.end() - 1);
+    std::vector<uint16_t> sd16(total);
+    for (int64_t i = 0; i < total; i++) sd16[pos[mtid[i]]++] = md16[i];
+    // 3) per-target dup detection + Kadane rescore + best-count keep
+    int64_t m = 0;
+    for (int64_t t = 0; t < n_targets; t++) {
+        int64_t i = counts[t], end = counts[t + 1];
+        if (i >= end) continue;
+        uint8_t prev = 0;
+        int best_count = -1;
+        int64_t best_d16 = 0;
+        int64_t last_kept_d8 = -1;
+        const int8_t* t_seq = seqs_flat + seq_off[t];
+        const int lt = seq_len[t];
+        for (; i < end; i++) {
+            uint8_t d8 = (uint8_t)(sd16[i] & 0xFF);
+            if (d8 == prev && last_kept_d8 != (int64_t)d8) {
+                last_kept_d8 = d8;
+                // Kadane on this diagonal
+                int d = sd16[i] >= 32768 ? (int)sd16[i] - 65536 : (int)sd16[i];
+                int64_t best = 0, cur = 0;
+                const int32_t* qrow;
+                const int8_t* ts;
+                int len = 0;
+                if (d >= 0) {
+                    if (d < lq) {
+                        len = std::min(lt, lq - d);
+                        qrow = prof + (size_t)d * 21;
+                        ts = t_seq;
+                    }
+                } else if (-d < lt) {
+                    len = std::min(lt + d, lq);
+                    qrow = prof;
+                    ts = t_seq - d;
+                }
+                for (int j = 0; j < len; j++) {
+                    cur += qrow[(size_t)j * 21 + ts[j]];
+                    if (cur < 0) cur = 0;
+                    if (cur > best) best = cur;
+                }
+                int count = (int)std::min<int64_t>(255, best);
+                if (count > best_count) {
+                    best_count = count;
+                    best_d16 = sd16[i];
+                }
+            }
+            prev = d8;
+        }
+        if (best_count >= 0) {
+            out_tid[m] = t;
+            out_count[m] = best_count;
+            out_d16[m] = best_d16;
+            m++;
+        }
+    }
+    return (int)m;
+}
+
+// ---------------------------------------------------------------------------
 // double-diagonal candidate detection (QueryMatcher /
 // CacheFriendlyOperations duplicateBitArray semantics): group the posting
 // matches by target id (stable counting sort — arrival order preserved
