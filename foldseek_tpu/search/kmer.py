@@ -171,16 +171,24 @@ class KmerPrefilter:
         base = int(offs_g[r0])
         offs = offs_g[r0:r1 + 1] - base
         lens = np.diff(offs)
-        flat = np.empty(int(offs[-1]), dtype=np.int8)
-        for li in range(n):
-            ti = r0 + li
-            seq = np.asarray(self.tdb.get_ss(ti), dtype=np.int64)
-            lc = self.tdb.mask[offs_g[ti]:offs_g[ti + 1]]
-            seq = np.where(lc > 0, X, seq)
-            before = int((seq == X).sum())
-            seq = mask_repeats(seq)
-            masked_total += int((seq == X).sum()) - before
-            flat[offs[li]:offs[li + 1]] = seq
+        # whole-range vectorized masking: lowercase mask, then repeat runs
+        # (Masker::maskRepeats) over the flat array with entry-boundary
+        # breaks — the per-entry python loop cost ~0.5 ms x entries
+        n_res = int(offs[-1])
+        flat = np.array(self.tdb.ss[base:base + n_res], dtype=np.int8)
+        lc = np.asarray(self.tdb.mask[base:base + n_res])
+        flat[lc > 0] = X
+        before = int((flat == X).sum())
+        brk = np.ones(n_res, dtype=bool)
+        if n_res:
+            brk[1:] = flat[1:] != flat[:-1]
+            brk[offs[1:-1]] = True  # runs never cross entries
+            starts = np.nonzero(brk)[0]
+            run_len = np.diff(np.append(starts, n_res))
+            long_run = run_len > MASK_N_REPEATS
+            run_id = np.cumsum(brk) - 1
+            flat[long_run[run_id]] = X
+        masked_total = int((flat == X).sum()) - before
         self.masked_seqs = [flat[offs[i]:offs[i + 1]] for i in range(n)]
         self.masked_flat = flat
         self.seq_off = np.asarray(offs[:-1], dtype=np.int64)
@@ -211,16 +219,19 @@ class KmerPrefilter:
 
         # only the first occurrence of each k-mer per sequence is indexed
         # (IndexTable::addSequence dedups after sorting by (kmer, position),
-        # IndexTable.h:386-400)
-        order = np.lexsort((pos_a, kmer_a, tid_a))
+        # IndexTable.h:386-400). One lexsort by (kmer, tid, pos) gives the
+        # dedup (first of each (kmer, tid) group = min position) AND the
+        # final kmer-major / target-id-minor on-disk layout in one pass.
+        order = np.lexsort((pos_a, tid_a, kmer_a))
         kmer_a, tid_a, pos_a = kmer_a[order], tid_a[order], pos_a[order]
         first = np.ones(len(kmer_a), dtype=bool)
         first[1:] = (tid_a[1:] != tid_a[:-1]) | (kmer_a[1:] != kmer_a[:-1])
         kmer_a, tid_a, pos_a = kmer_a[first], tid_a[first], pos_a[first]
-        # final layout: kmer-major, target-id-minor (the on-disk order)
-        order = np.lexsort((tid_a, kmer_a))
-        kmer_a, tid_a, pos_a = kmer_a[order], tid_a[order], pos_a[order]
-        self.post_ids, counts = np.unique(kmer_a, return_counts=True)
+        kfirst = np.ones(len(kmer_a), dtype=bool)
+        kfirst[1:] = kmer_a[1:] != kmer_a[:-1]
+        self.post_ids = kmer_a[kfirst]
+        kstarts = np.nonzero(kfirst)[0]
+        counts = np.diff(np.append(kstarts, len(kmer_a)))
         off = np.zeros(len(self.post_ids) + 1, dtype=np.int64)
         np.cumsum(counts, out=off[1:])
         self.post_off = off
