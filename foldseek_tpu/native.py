@@ -132,6 +132,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i32p, ctypes.c_int, i8p, i64p, i32p,
             i64p, i32p, i64p]
         lib.posting_candidates.restype = ctypes.c_int
+        lib.tmalign_c.argtypes = [fp, ctypes.c_int, fp, ctypes.c_int,
+                                  ctypes.c_int, dp, dp, dp, i64p]
+        lib.tmalign_c.restype = ctypes.c_int
         _lib = lib
         logger.info("native host library loaded (%s)", _SO)
         return _lib
@@ -342,6 +345,30 @@ def nw_gotoh_f32(score: np.ndarray, gap_open: float, gap_extend: float):
     if rc != 0:
         return None
     return y2x
+
+
+def tmalign_full(x: np.ndarray, y: np.ndarray, fast: bool):
+    """Full TM-align (x = target, y = query coords [L,3]) in one native
+    call. Returns (tm_query, tm_target, rmsd, n_ali8, u, t, sel_y2x) or
+    None when the library is missing; raises nothing — a -1 rc (no
+    alignment) returns the string "none"."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xf = np.ascontiguousarray(x, dtype=np.float32)
+    yf = np.ascontiguousarray(y, dtype=np.float32)
+    out4 = np.zeros(4, dtype=np.float64)
+    u = np.zeros(9, dtype=np.float64)
+    tv = np.zeros(3, dtype=np.float64)
+    sel = np.empty(len(yf), dtype=np.int64)
+    rc = lib.tmalign_c(_ptr(xf, ctypes.c_float), len(xf),
+                       _ptr(yf, ctypes.c_float), len(yf), int(fast),
+                       _ptr(out4, ctypes.c_double), _ptr(u, ctypes.c_double),
+                       _ptr(tv, ctypes.c_double), _ptr(sel, ctypes.c_int64))
+    if rc != 0:
+        return "none"
+    return (float(out4[0]), float(out4[1]), float(out4[2]), int(out4[3]),
+            u.reshape(3, 3), tv, sel)
 
 
 def posting_candidates(post_ids, post_off, post_tid, post_pos,

@@ -663,6 +663,36 @@ def tmalign(q_ca: np.ndarray, t_ca: np.ndarray,
     if xlen <= 5 or ylen <= 5:
         return None
 
+    # one-call native path (same engines orchestrated in C; python below
+    # is the reference/fallback implementation)
+    from .. import native
+    nf = native.tmalign_full(x, y, fast)
+    if nf == "none":
+        return None
+    if nf is not None:
+        tm1, tm2, rmsd0, n_ali8, u0, t0, sel = nf
+        m1, m2 = [], []
+        for j in range(ylen):
+            if sel[j] >= 0:
+                m1.append(int(sel[j]))
+                m2.append(j)
+        bt = []
+        ident = 0
+        pi, pj = m1[0], m2[0]
+        for i, j in zip(m1, m2):
+            bt.extend("D" * (i - pi))
+            bt.extend("I" * (j - pj))
+            bt.append("M")
+            if q_seq is not None and t_seq is not None and q_seq[j] == t_seq[i]:
+                ident += 1
+            pi, pj = i + 1, j + 1
+        return TMalignResult(
+            tm_query=float(tm1), tm_target=float(tm2), rmsd=float(rmsd0),
+            n_ali8=n_ali8, backtrace="".join(bt),
+            q_start=int(m2[0]), q_end=int(m2[-1]),
+            t_start=int(m1[0]), t_end=int(m1[-1]),
+            identical=ident, u=u0, t=t0)
+
     d0_min, lnorm, score_d8, d0, d0_search, dcu0 = parameter_set4search(xlen, ylen)
     local_d0_search = d0_search
     ddcc = 0.1 if lnorm <= 40 else 0.4

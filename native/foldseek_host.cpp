@@ -922,6 +922,366 @@ int score_fast_batch(const float* x, const float* y, int ylen,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// full TM-align in one call (ops/tmalign.py::tmalign orchestration over
+// the native engines; reference: lib/tmalign/TMalign.cpp TMalign_main).
+// x = target [xlen*3] f32, y = query [ylen*3] f32. Outputs: out4 =
+// {tm_query, tm_target, rmsd, n_ali8}, u/t = final superposition from the
+// query-normalized search, sel_y2x[ylen] = selected pair map (-1 = none).
+// Returns 0, or -1 when no alignment exists (python returns None).
+
+static void make_sec_c(const float* ca, int L, int8_t* sec) {
+    for (int i = 0; i < L; i++) sec[i] = 1;
+    if (L < 5) return;
+    auto dist = [&](int a, int b) {
+        float dx = ca[3*a] - ca[3*b], dy = ca[3*a+1] - ca[3*b+1],
+              dz = ca[3*a+2] - ca[3*b+2];
+        return std::sqrt(dx*dx + dy*dy + dz*dz);
+    };
+    for (int i = 2; i < L - 2; i++) {
+        float d13 = dist(i-2, i), d14 = dist(i-2, i+1), d15 = dist(i-2, i+2);
+        float d24 = dist(i-1, i+1), d25 = dist(i-1, i+2), d35 = dist(i, i+2);
+        int8_t s = 1;
+        if (d15 < 8.0f) s = 3;
+        if (std::fabs(d15-13.0f) < 1.42f && std::fabs(d14-10.4f) < 1.42f
+            && std::fabs(d25-10.4f) < 1.42f && std::fabs(d13-6.1f) < 1.42f
+            && std::fabs(d24-6.1f) < 1.42f && std::fabs(d35-6.1f) < 1.42f)
+            s = 4;
+        if (std::fabs(d15-6.37f) < 2.1f && std::fabs(d14-5.18f) < 2.1f
+            && std::fabs(d25-5.18f) < 2.1f && std::fabs(d13-5.45f) < 2.1f
+            && std::fabs(d24-5.45f) < 2.1f && std::fabs(d35-5.45f) < 2.1f)
+            s = 2;
+        sec[i] = s;
+    }
+}
+
+static int gather_fl(const float* x, const float* y, const long* y2x,
+                     int ylen, std::vector<float>& xtm,
+                     std::vector<float>& ytm) {
+    xtm.clear(); ytm.clear();
+    for (int j = 0; j < ylen; j++) {
+        long i = y2x[j];
+        if (i < 0) continue;
+        xtm.push_back(x[3*i]); xtm.push_back(x[3*i+1]); xtm.push_back(x[3*i+2]);
+        ytm.push_back(y[3*j]); ytm.push_back(y[3*j+1]); ytm.push_back(y[3*j+2]);
+    }
+    return (int)ytm.size() / 3;
+}
+
+int tmalign_c(const float* x, int xlen, const float* y, int ylen,
+              int fast_opt, double* out4, double* u_out, double* t_out,
+              int64_t* sel_y2x) {
+    if (xlen <= 5 || ylen <= 5) return -1;
+    // parameter_set4search
+    const double lnorm = std::min(xlen, ylen);
+    double d0 = (lnorm <= 19) ? 0.168 : 1.24 * std::cbrt(lnorm - 15.0) - 1.8;
+    const double d0_min = d0 + 0.8;
+    d0 = d0_min;
+    const double d0_search = std::min(8.0, std::max(4.5, d0));
+    const double score_d8 = 1.5 * std::pow(lnorm, 0.3) + 3.5;
+    const double dcu0 = 4.25;
+    const double local_d0_search = d0_search;
+    const double ddcc = (lnorm <= 40) ? 0.1 : 0.4;
+
+    std::vector<int8_t> secx(xlen), secy(ylen);
+    make_sec_c(x, xlen, secx.data());
+    make_sec_c(y, ylen, secy.data());
+
+    std::vector<float> xtm, ytm;
+    std::vector<long> y2x(ylen), invmap0(ylen, -1), dp_out(ylen);
+    bool have_map = false;
+    double tm_max = -1.0;
+    double out_sc;
+    int64_t dp_seed64_storage = 0; (void)dp_seed64_storage;
+    std::vector<int64_t> seed64(ylen);
+    int32_t found = 0;
+
+    // consider(): detailed_search + conditional DP refinement
+    // cond: 0 = always, 1 = tm > tm_max*0.2, 2 = tm > tm_max*ddcc
+    auto consider = [&](const long* cand, int cond, int iters, int g1) {
+        if (!cand) return;
+        int n = gather_fl(x, y, cand, ylen, xtm, ytm);
+        if (n == 0) return;
+        TMSearchResult r;
+        tmscore8_search(xtm.data(), ytm.data(), n, 40, local_d0_search,
+                        score_d8, d0, lnorm, 10, &r);
+        if (r.score > tm_max) {
+            tm_max = r.score;
+            std::copy(cand, cand + ylen, invmap0.begin());
+            have_map = true;
+        }
+        bool run_dp = (cond == 0) || (cond == 1 && r.score > tm_max * 0.2)
+                      || (cond == 2 && r.score > tm_max * ddcc);
+        if (!run_dp) return;
+        for (int j = 0; j < ylen; j++) seed64[j] = cand[j];
+        double dsc;
+        dp_iter_c(x, xlen, y, ylen, seed64.data(), g1, 2, iters,
+                  local_d0_search, lnorm, d0, score_d8, &dsc,
+                  (int64_t*)dp_out.data(), &found);
+        if (found && dsc > tm_max) {
+            tm_max = dsc;
+            std::copy(dp_out.begin(), dp_out.end(), invmap0.begin());
+            have_map = true;
+        }
+    };
+
+    std::vector<long> cand(ylen);
+    std::vector<double> scores;
+    const int dp_iters = fast_opt ? 2 : 30;
+
+    // 1) gapless threading (get_initial): batch-score all offsets, keep
+    //    the LAST max (python '>=' update rule)
+    {
+        const int min_ali = std::max(5, (int)std::min(xlen, ylen) / 2);
+        const int n1 = -ylen + min_ali, n2 = xlen - min_ali;
+        const int step = fast_opt ? 5 : 1;
+        std::vector<long> best(ylen, -1);
+        double best_sc = -1.0;
+        for (int k = n1; k <= n2; k += step) {
+            for (int j = 0; j < ylen; j++) {
+                int i = j + k;
+                cand[j] = (i >= 0 && i < xlen) ? i : -1;
+            }
+            int n = gather_fl(x, y, cand.data(), ylen, xtm, ytm);
+            double sc = -1.0;
+            if (n >= 3)
+                score_fast(xtm.data(), ytm.data(), n, d0, d0_search, &sc);
+            if (sc >= best_sc) { best_sc = sc; best = cand; }
+        }
+        consider(best.data(), 0, dp_iters, 0);
+    }
+
+    // 2) secondary-structure NW
+    {
+        std::vector<float> sc((size_t)ylen * xlen);
+        for (int j = 0; j < ylen; j++)
+            for (int i = 0; i < xlen; i++)
+                sc[(size_t)j * xlen + i] = (secy[j] == secx[i]) ? 1.0f : 0.0f;
+        if (nw_gotoh_f32(sc.data(), ylen, xlen, 1.0f, 0.0f,
+                         cand.data()) == 0)
+            consider(cand.data(), 1, dp_iters, 0);
+    }
+
+    // 3) local fragment superposition (get_initial5); FIRST max wins
+    {
+        const double d01 = std::max(d0 + 1.5, d0_min);
+        const double d02 = d01 * d01;
+        const int aL = std::min(xlen, ylen);
+        auto jump = [](int L) {
+            int n = (L > 250) ? 45 : (L > 200) ? 35 : (L > 150) ? 25 : 15;
+            return std::min(n, L / 3);
+        };
+        int n_jump1 = jump(xlen), n_jump2 = jump(ylen);
+        if (fast_opt) { n_jump1 *= 5; n_jump2 *= 5; }
+        const int n_frag[2] = {std::min(20, aL / 3), std::min(100, aL / 2)};
+        std::vector<long> best(ylen, -1);
+        double gl_max = 0.0;
+        bool any = false;
+        double u[3][3], t[3];
+        double u9[9], t3[3];
+        for (int f = 0; f < 2; f++) {
+            const int nf = n_frag[f];
+            const int m1 = xlen - nf + 1, m2 = ylen - nf + 1;
+            for (int i = 0; i < m1; i += std::max(1, n_jump1)) {
+                for (int j = 0; j < m2; j += std::max(1, n_jump2)) {
+                    kabsch_t<float>(x + 3 * i, y + 3 * j, nullptr, nf, u, t);
+                    for (int a = 0; a < 3; a++) {
+                        t3[a] = t[a];
+                        for (int b = 0; b < 3; b++) u9[3*a+b] = u[a][b];
+                    }
+                    if (nw_xyz_c(x, xlen, y, ylen, u9, t3, d02, 0.0f,
+                                 nullptr, nullptr, 0, cand.data()) != 0)
+                        continue;
+                    int n = gather_fl(x, y, cand.data(), ylen, xtm, ytm);
+                    double gl = -1.0;
+                    if (n >= 3)
+                        score_fast(xtm.data(), ytm.data(), n, d0,
+                                   d0_search, &gl);
+                    if (gl > gl_max) { gl_max = gl; best = cand; any = true; }
+                }
+            }
+        }
+        if (any) consider(best.data(), 2, 2, 0);
+    }
+
+    // 4) ss + superposition rescoring over the current best map
+    // (python's get_initial_ssplus returns the previous map unchanged when
+    // fewer than 3 pairs gather — consider() then re-runs on it)
+    if (have_map) {
+        const double d01 = std::max(d0 + 1.5, d0_min);
+        const double d02 = d01 * d01;
+        int n = gather_fl(x, y, invmap0.data(), ylen, xtm, ytm);
+        const long* c4 = invmap0.data();
+        if (n >= 3) {
+            double u[3][3], t[3], u9[9], t3[3];
+            kabsch_t<float>(xtm.data(), ytm.data(), nullptr, n, u, t);
+            for (int a = 0; a < 3; a++) {
+                t3[a] = t[a];
+                for (int b = 0; b < 3; b++) u9[3*a+b] = u[a][b];
+            }
+            if (nw_xyz_c(x, xlen, y, ylen, u9, t3, d02, 1.0f,
+                         secx.data(), secy.data(), 1, cand.data()) == 0)
+                c4 = cand.data();
+        }
+        std::vector<long> c4copy(c4, c4 + ylen);  // consider may update invmap0
+        consider(c4copy.data(), 2, dp_iters, 0);
+    }
+
+    // 5) fragment gapless threading (get_initial_fgt), DP with g1=1
+    {
+        const int fra_min = fast_opt ? 8 : 4;
+        const int fra_min1 = fra_min - 1;
+        auto find_max_frag = [&](const float* c, int L, int* s_out,
+                                 int* e_out) {
+            const int r_min = std::min(L / 3, fra_min);
+            double dcu_cut = dcu0 * dcu0;
+            int inc = 0;
+            for (;;) {
+                int lfr_max = 0, start_max = 0, end_max = 0;
+                int j = 1, start = 0;
+                for (int i = 1; i < L; i++) {
+                    float dx = c[3*(i-1)] - c[3*i];
+                    float dy = c[3*(i-1)+1] - c[3*i+1];
+                    float dz = c[3*(i-1)+2] - c[3*i+2];
+                    if (dx*dx + dy*dy + dz*dz < dcu_cut) {
+                        j++;
+                        if (i == L - 1) {
+                            if (j > lfr_max) { lfr_max = j; start_max = start; end_max = i; }
+                            j = 1;
+                        }
+                    } else {
+                        if (j > lfr_max) { lfr_max = j; start_max = start; end_max = i - 1; }
+                        j = 1;
+                        start = i;
+                    }
+                }
+                if (lfr_max >= r_min) { *s_out = start_max; *e_out = end_max; return; }
+                inc++;
+                double dinc = std::pow(1.1, inc) * dcu0;
+                dcu_cut = dinc * dinc;
+            }
+        };
+        int xs, xe, ys, ye;
+        find_max_frag(x, xlen, &xs, &xe);
+        find_max_frag(y, ylen, &ys, &ye);
+        const int Lx = xe - xs + 1, Ly = ye - ys + 1;
+        int L_fr = std::min(Lx, Ly);
+        std::vector<int> ifr(L_fr);
+        bool x_side;
+        if (Lx < Ly || (Lx == Ly && xlen <= ylen)) {
+            for (int i = 0; i < L_fr; i++) ifr[i] = xs + i;
+            x_side = true;
+        } else {
+            for (int i = 0; i < L_fr; i++) ifr[i] = ys + i;
+            x_side = false;
+        }
+        const int L0 = std::min(xlen, ylen);
+        if (L_fr == L0) {
+            const int n1 = (int)(L0 * 0.1), n2 = (int)(L0 * 0.89);
+            ifr = std::vector<int>(ifr.begin() + n1,
+                                   ifr.begin() + std::min(n2 + 1, (int)ifr.size()));
+            L_fr = (int)ifr.size();
+        }
+        std::vector<long> best(ylen, -1);
+        double best_sc = -1.0;
+        bool any = false;
+        if (x_side) {
+            const int L1 = L_fr;
+            const int min_ali = std::max(fra_min1,
+                                         (int)(std::min(L1, ylen) / 2.5));
+            const int n1 = -ylen + min_ali, n2 = L1 - min_ali;
+            const int step = fast_opt ? 3 : 1;
+            for (int k = n1; k <= n2; k += step) {
+                for (int j = 0; j < ylen; j++) {
+                    int i = j + k;
+                    cand[j] = (i >= 0 && i < L1) ? ifr[i] : -1;
+                }
+                int n = gather_fl(x, y, cand.data(), ylen, xtm, ytm);
+                double sc = -1.0;
+                if (n >= 3)
+                    score_fast(xtm.data(), ytm.data(), n, d0, d0_search, &sc);
+                if (sc >= best_sc) { best_sc = sc; best = cand; any = true; }
+            }
+        } else {
+            const int L2 = L_fr;
+            const int min_ali = std::max(fra_min1,
+                                         (int)(std::min(xlen, L2) / 2.5));
+            const int n1 = -L2 + min_ali, n2 = xlen - min_ali;
+            for (int k = n1; k <= n2; k++) {
+                std::fill(cand.begin(), cand.end(), -1);
+                for (int j = 0; j < L2; j++) {
+                    int i = j + k;
+                    if (i >= 0 && i < xlen) cand[ifr[j]] = i;
+                }
+                int n = gather_fl(x, y, cand.data(), ylen, xtm, ytm);
+                double sc = -1.0;
+                if (n >= 3)
+                    score_fast(xtm.data(), ytm.data(), n, d0, d0_search, &sc);
+                if (sc >= best_sc) { best_sc = sc; best = cand; any = true; }
+            }
+        }
+        if (any) consider(best.data(), 2, 2, 1);
+    }
+
+    if (!have_map) return -1;
+    bool all_neg = true;
+    for (int j = 0; j < ylen; j++) if (invmap0[j] >= 0) { all_neg = false; break; }
+    if (all_neg) return -1;
+
+    // standard search for the final rotation
+    int n0 = gather_fl(x, y, invmap0.data(), ylen, xtm, ytm);
+    TMSearchResult rs;
+    tmscore8_search(xtm.data(), ytm.data(), n0, fast_opt ? 40 : 1,
+                    local_d0_search, score_d8, d0, (double)n0, 20, &rs);
+    // select pairs with d <= score_d8 under (u, t)
+    std::vector<float> xtm8, ytm8;
+    int n_ali8 = 0;
+    for (int j = 0; j < ylen; j++) {
+        sel_y2x[j] = -1;
+        long i = invmap0[j];
+        if (i < 0) continue;
+        double xt[3];
+        for (int a = 0; a < 3; a++)
+            xt[a] = rs.u[a][0]*x[3*i] + rs.u[a][1]*x[3*i+1]
+                  + rs.u[a][2]*x[3*i+2] + rs.t[a];
+        double dx = xt[0]-y[3*j], dy = xt[1]-y[3*j+1], dz = xt[2]-y[3*j+2];
+        if (std::sqrt(dx*dx + dy*dy + dz*dz) <= score_d8) {
+            sel_y2x[j] = i;
+            xtm8.push_back(x[3*i]); xtm8.push_back(x[3*i+1]); xtm8.push_back(x[3*i+2]);
+            ytm8.push_back(y[3*j]); ytm8.push_back(y[3*j+1]); ytm8.push_back(y[3*j+2]);
+            n_ali8++;
+        }
+    }
+    if (n_ali8 == 0) return -1;
+    double u[3][3], t[3];
+    double rmsd0 = kabsch_t<float>(xtm8.data(), ytm8.data(), nullptr, n_ali8,
+                                   u, t);
+    // final TM normalized by query then target length (parameter_set4final)
+    auto final_params = [](double length, double* d0f, double* d0sf) {
+        double d = (length <= 21) ? 0.5 : 1.24 * std::cbrt(length - 15.0) - 1.8;
+        if (d < 0.5) d = 0.5;
+        *d0f = d;
+        *d0sf = std::min(8.0, std::max(4.5, d));
+    };
+    double d0q, d0sq, d0t, d0st;
+    final_params((double)ylen, &d0q, &d0sq);
+    final_params((double)xlen, &d0t, &d0st);
+    TMSearchResult r1, r2;
+    tmscore8_search(xtm8.data(), ytm8.data(), n_ali8, 1, d0sq, score_d8,
+                    d0q, (double)ylen, 10, &r1);
+    tmscore8_search(xtm8.data(), ytm8.data(), n_ali8, 1, d0st, score_d8,
+                    d0t, (double)xlen, 10, &r2);
+    out4[0] = r1.score;
+    out4[1] = r2.score;
+    out4[2] = rmsd0;
+    out4[3] = n_ali8;
+    for (int a = 0; a < 3; a++) {
+        t_out[a] = r1.t[a];
+        for (int b = 0; b < 3; b++) u_out[3*a+b] = r1.u[a][b];
+    }
+    return 0;
+}
+
 // compute_tm_score: approximate TM of a fixed alignment
 // x = target matched coords [n*3], y = query matched [n*3] (pre-gathered)
 // out: [tm, rmsd, u(9), t(3)] = 14 doubles
