@@ -755,6 +755,7 @@ int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
         double uu[3][3]; double tt[3];
         std::memcpy(uu, r.u, sizeof(uu));
         std::memcpy(tt, r.t, sizeof(tt));
+        std::vector<float> xt(3 * xlen);
         for (int it = 0; it < iteration_max; it++) {
             // score(i,j) = 1/(1 + |u x_i + t - y_j|^2 / d0^2), float32
             // with the numpy path's op order (last-ulp drift from FMA
@@ -764,7 +765,6 @@ int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
                 tf[a] = (float)tt[a];
                 for (int b = 0; b < 3; b++) uf[a][b] = (float)uu[a][b];
             }
-            std::vector<float> xt(3 * xlen);
             for (int i = 0; i < xlen; i++) {
                 const float* p = x + 3 * i;
                 for (int a = 0; a < 3; a++)
