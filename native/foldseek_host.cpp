@@ -504,6 +504,113 @@ static double det3(const double m[3][3]) {
          + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]);
 }
 
+// Closed-form Kabsch via Theobald's quaternion characteristic polynomial
+// (QCP): the optimal proper rotation is the max-eigenvalue eigenvector of
+// Horn's 4x4 key matrix; the max eigenvalue solves a quartic whose
+// coefficients come straight from the covariance, found by Newton from
+// e0/2 (it is the largest real root). Eigenvector by an adjugate column,
+// fully unrolled. Same closed-form family as the TPU device path
+// (ops/tm_device.py). Returns false on degenerate adjugates (caller falls
+// back to the eigen-decomposition path). c[a][b] = sum dx_a dy_b, e0 =
+// sum |dx|^2 + |dy|^2; rotation u satisfies y ~ u x.
+static inline double det3x3(double a, double b, double c,
+                            double d, double e, double f,
+                            double g, double h, double i) {
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g);
+}
+
+static bool qcp_rotation(const double c[3][3], double e0,
+                         double u[3][3], double* rms2_out) {
+    const double Sxx = c[0][0], Sxy = c[0][1], Sxz = c[0][2];
+    const double Syx = c[1][0], Syy = c[1][1], Syz = c[1][2];
+    const double Szx = c[2][0], Szy = c[2][1], Szz = c[2][2];
+    const double K00 = Sxx + Syy + Szz, K01 = Syz - Szy,
+                 K02 = Szx - Sxz, K03 = Sxy - Syx;
+    const double K11 = Sxx - Syy - Szz, K12 = Sxy + Syx, K13 = Szx + Sxz;
+    const double K22 = -Sxx + Syy - Szz, K23 = Syz + Szy;
+    const double K33 = -Sxx - Syy + Szz;
+    // quartic: P(l) = l^4 + C2 l^2 + C1 l + C0 (K is traceless)
+    const double C2 = -2.0 * (Sxx * Sxx + Sxy * Sxy + Sxz * Sxz
+                              + Syx * Syx + Syy * Syy + Syz * Syz
+                              + Szx * Szx + Szy * Szy + Szz * Szz);
+    const double C1 = -8.0 * det3(c);
+    // C0 = det(K), cofactor expansion along row 0 (symmetric K)
+    const double M00 = det3x3(K11, K12, K13, K12, K22, K23, K13, K23, K33);
+    const double M01 = det3x3(K01, K12, K13, K02, K22, K23, K03, K23, K33);
+    const double M02 = det3x3(K01, K11, K13, K02, K12, K23, K03, K13, K33);
+    const double M03 = det3x3(K01, K11, K12, K02, K12, K22, K03, K13, K23);
+    const double C0 = K00 * M00 - K01 * M01 + K02 * M02 - K03 * M03;
+    double lam = 0.5 * e0;
+    const double tol = 1e-11 * std::max(1.0, std::fabs(lam));
+    for (int it = 0; it < 50; it++) {
+        const double l2 = lam * lam;
+        const double p = (l2 + C2) * l2 + C1 * lam + C0;
+        const double dp = (4.0 * l2 + 2.0 * C2) * lam + C1;
+        if (dp == 0.0) break;
+        const double step = p / dp;
+        lam -= step;
+        if (std::fabs(step) < tol) break;
+    }
+    // eigenvector of (K - lam I): adjugate column 0, unrolled (A symmetric,
+    // so the cofactor matrix equals the adjugate)
+    const double A00 = K00 - lam, A11 = K11 - lam, A22 = K22 - lam,
+                 A33 = K33 - lam;
+    double q0 =  det3x3(A11, K12, K13, K12, A22, K23, K13, K23, A33);
+    double q1 = -det3x3(K01, K02, K03, K12, A22, K23, K13, K23, A33);
+    double q2 =  det3x3(K01, K02, K03, A11, K12, K13, K13, K23, A33);
+    double q3 = -det3x3(K01, K02, K03, A11, K12, K13, K12, A22, K23);
+    double best_norm = q0 * q0 + q1 * q1 + q2 * q2 + q3 * q3;
+    // adjugate entries are 3-entry products -> scale ~ e0^3, norm^2 ~ e0^6
+    const double e1 = std::max(1.0, e0);
+    const double e3 = e1 * e1 * e1;
+    const double s6 = e3 * e3;
+    if (!(best_norm > 1e-12 * s6)) {
+        // cold path: try the remaining adjugate columns, keep the largest
+        const double A[4][4] = {{A00, K01, K02, K03}, {K01, A11, K12, K13},
+                                {K02, K12, A22, K23}, {K03, K13, K23, A33}};
+        double q[4] = {q0, q1, q2, q3};
+        for (int col = 1; col < 4; col++) {
+            double v[4];
+            for (int row = 0; row < 4; row++) {
+                double m[3][3];
+                int rr = 0;
+                for (int a = 0; a < 4; a++) {
+                    if (a == row) continue;
+                    int cc = 0;
+                    for (int b = 0; b < 4; b++) {
+                        if (b == col) continue;
+                        m[rr][cc++] = A[a][b];
+                    }
+                    rr++;
+                }
+                v[row] = (((row + col) & 1) ? -1.0 : 1.0) * det3(m);
+            }
+            double nrm = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+                         + v[3] * v[3];
+            if (nrm > best_norm) {
+                best_norm = nrm;
+                std::memcpy(q, v, sizeof(v));
+            }
+        }
+        if (!(best_norm > 1e-22 * s6))
+            return false;  // (near-)multiple eigenvalue: fall back
+        q0 = q[0]; q1 = q[1]; q2 = q[2]; q3 = q[3];
+    }
+    const double inv = 1.0 / std::sqrt(best_norm);
+    q0 *= inv; q1 *= inv; q2 *= inv; q3 *= inv;
+    u[0][0] = q0 * q0 + q1 * q1 - q2 * q2 - q3 * q3;
+    u[0][1] = 2.0 * (q1 * q2 - q0 * q3);
+    u[0][2] = 2.0 * (q1 * q3 + q0 * q2);
+    u[1][0] = 2.0 * (q1 * q2 + q0 * q3);
+    u[1][1] = q0 * q0 - q1 * q1 + q2 * q2 - q3 * q3;
+    u[1][2] = 2.0 * (q2 * q3 - q0 * q1);
+    u[2][0] = 2.0 * (q1 * q3 - q0 * q2);
+    u[2][1] = 2.0 * (q2 * q3 + q0 * q1);
+    u[2][2] = q0 * q0 - q1 * q1 - q2 * q2 + q3 * q3;
+    *rms2_out = std::max(0.0, e0 - 2.0 * lam);
+    return true;
+}
+
 // superpose x onto y: y ~ u x + t; returns rmsd. Accumulation runs in
 // double for either coordinate type.
 template <typename T>
@@ -516,29 +623,48 @@ static double kabsch_t(const T* x, const T* y, const int* idx, int n,
         for (int d = 0; d < 3; d++) { xc[d] += xp[d]; yc[d] += yp[d]; }
     }
     for (int d = 0; d < 3; d++) { xc[d] /= n; yc[d] /= n; }
-    // covariance C = sum (x-xc)(y-yc)^T  (3x3), e0 for rmsd
-    double c[3][3] = {{0}}, e0 = 0;
+    // covariance C = sum (x-xc)(y-yc)^T  (3x3), e0 for rmsd — accumulated
+    // in scalars (the array form escapes into qcp_rotation below, which
+    // forces the accumulators into memory through the whole loop)
+    double c00 = 0, c01 = 0, c02 = 0, c10 = 0, c11 = 0, c12 = 0,
+           c20 = 0, c21 = 0, c22 = 0, e0 = 0;
+    const double xc0 = xc[0], xc1 = xc[1], xc2 = xc[2];
+    const double yc0 = yc[0], yc1 = yc[1], yc2 = yc[2];
     for (int k = 0; k < n; k++) {
         const T* xp = x + 3 * (idx ? idx[k] : k);
         const T* yp = y + 3 * (idx ? idx[k] : k);
-        double dx[3], dy[3];
-        for (int d = 0; d < 3; d++) {
-            dx[d] = xp[d] - xc[d];
-            dy[d] = yp[d] - yc[d];
-            e0 += dx[d] * dx[d] + dy[d] * dy[d];
-        }
-        for (int a = 0; a < 3; a++)
-            for (int b = 0; b < 3; b++) c[a][b] += dx[a] * dy[b];
+        const double dx0 = xp[0] - xc0, dy0 = yp[0] - yc0;
+        const double dx1 = xp[1] - xc1, dy1 = yp[1] - yc1;
+        const double dx2 = xp[2] - xc2, dy2 = yp[2] - yc2;
+        e0 += dx0 * dx0 + dy0 * dy0;
+        e0 += dx1 * dx1 + dy1 * dy1;
+        e0 += dx2 * dx2 + dy2 * dy2;
+        c00 += dx0 * dy0; c01 += dx0 * dy1; c02 += dx0 * dy2;
+        c10 += dx1 * dy0; c11 += dx1 * dy1; c12 += dx1 * dy2;
+        c20 += dx2 * dy0; c21 += dx2 * dy1; c22 += dx2 * dy2;
     }
-    // SVD via eigen of C C^T and C^T C
-    double cct[3][3], ctc[3][3];
+    const double c[3][3] = {{c00, c01, c02}, {c10, c11, c12},
+                            {c20, c21, c22}};
+    // float (TM-align) engine: closed-form QCP rotation — ~4x cheaper than
+    // the iterative eigen path and well within the engine's tolerance band.
+    // The double engine keeps the eigen path that pins default-search parity.
+    if (sizeof(T) == sizeof(float)) {
+        double rms2;
+        if (qcp_rotation(c, e0, u, &rms2)) {
+            for (int a = 0; a < 3; a++) {
+                t[a] = yc[a];
+                for (int k = 0; k < 3; k++) t[a] -= u[a][k] * xc[k];
+            }
+            return std::sqrt(rms2 / n);
+        }
+    }
+    // SVD via eigen of C C^T
+    double cct[3][3];
     for (int a = 0; a < 3; a++)
         for (int b = 0; b < 3; b++) {
-            cct[a][b] = ctc[a][b] = 0;
-            for (int k = 0; k < 3; k++) {
+            cct[a][b] = 0;
+            for (int k = 0; k < 3; k++)
                 cct[a][b] += c[a][k] * c[b][k];
-                ctc[a][b] += c[k][a] * c[k][b];
-            }
         }
     double vv[3][3], ww[3], tmp[3][3];
     std::memcpy(tmp, cct, sizeof(tmp));
@@ -636,6 +762,53 @@ static void score_fun8(const T* xt, const T* y, int n, double d,
     }
 }
 
+// float-engine overload (exact-match beats the template): float distance
+// buffer and an 8-lane blocked sum — deterministic fixed-order lanes the
+// vectorizer maps straight onto AVX; the float engine's tolerance band
+// (~1e-6 TM) absorbs the float-vs-double summation drift. The double
+// engine keeps the exact sequential chain above (bit-pinned parity).
+static void score_fun8(const float* xt, const float* y, int n, double d,
+                       double score_d8, double d0, double lnorm,
+                       std::vector<int>& cut, double* score,
+                       std::vector<double>& di_unused) {
+    (void)di_unused;
+    const float d8sq = (float)(score_d8 * score_d8);
+    const float d0sq = (float)(d0 * d0);
+    static thread_local std::vector<float> dif;
+    dif.resize(n);
+    float* dp_ = dif.data();
+    for (int k = 0; k < n; k++) {
+        float dx = xt[3 * k] - y[3 * k];
+        float dy = xt[3 * k + 1] - y[3 * k + 1];
+        float dz = xt[3 * k + 2] - y[3 * k + 2];
+        dp_[k] = dx * dx + dy * dy + dz * dz;
+    }
+    float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    int k = 0;
+    for (; k + 8 <= n; k += 8)
+        for (int l = 0; l < 8; l++) {
+            float q = 1.0f / (1.0f + dp_[k + l] / d0sq);
+            acc[l] += (dp_[k + l] < d8sq) ? q : 0.0f;
+        }
+    double sum = 0;
+    for (int l = 0; l < 8; l++) sum += (double)acc[l];
+    for (; k < n; k++) {
+        float q = 1.0f / (1.0f + dp_[k] / d0sq);
+        sum += (dp_[k] < d8sq) ? (double)q : 0.0;
+    }
+    *score = sum / lnorm;
+    float d2 = (float)(d * d);
+    int inc = 0;
+    for (;;) {
+        cut.clear();
+        for (int kk = 0; kk < n; kk++) if (dp_[kk] < d2) cut.push_back(kk);
+        if ((int)cut.size() >= 3 || n <= 3) break;
+        inc++;
+        double dinc = d + inc * 0.5;
+        d2 = (float)(dinc * dinc);
+    }
+}
+
 template <typename T>
 static void rotate_all(const T* x, int n, const double u[3][3],
                        const double t[3], T* xt) {
@@ -644,6 +817,25 @@ static void rotate_all(const T* x, int n, const double u[3][3],
         for (int a = 0; a < 3; a++)
             xt[3 * k + a] = (T)(u[a][0] * p[0] + u[a][1] * p[1]
                                 + u[a][2] * p[2] + t[a]);
+    }
+}
+
+// float-engine rotate: u/t pre-cast to float once — 8-wide float muls
+// instead of widen-to-double per element (the engine's own precision;
+// the double engine keeps the double-arithmetic template).
+static void rotate_all(const float* x, int n, const double u[3][3],
+                       const double t[3], float* xt) {
+    const float u00 = (float)u[0][0], u01 = (float)u[0][1],
+                u02 = (float)u[0][2], t0 = (float)t[0];
+    const float u10 = (float)u[1][0], u11 = (float)u[1][1],
+                u12 = (float)u[1][2], t1 = (float)t[1];
+    const float u20 = (float)u[2][0], u21 = (float)u[2][1],
+                u22 = (float)u[2][2], t2 = (float)t[2];
+    for (int k = 0; k < n; k++) {
+        const float* p = x + 3 * k;
+        xt[3 * k] = u00 * p[0] + u01 * p[1] + u02 * p[2] + t0;
+        xt[3 * k + 1] = u10 * p[0] + u11 * p[1] + u12 * p[2] + t1;
+        xt[3 * k + 2] = u20 * p[0] + u21 * p[1] + u22 * p[2] + t2;
     }
 }
 
@@ -678,7 +870,8 @@ static void tmscore8_search(const T* xtm, const T* ytm, int l_ali,
             rotate_all(xtm, l_ali, u, t, xt.data());
             double d = local_d0_search - 1.0;
             double sc;
-            score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc, di);
+            score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut,
+                       &sc, di);
             if (sc > res->score) {
                 res->score = sc;
                 std::memcpy(res->u, u, sizeof(u));
@@ -689,7 +882,8 @@ static void tmscore8_search(const T* xtm, const T* ytm, int l_ali,
                 prev_cut = cut;
                 kabsch_t<T>(xtm, ytm, cut.data(), (int)cut.size(), u, t);
                 rotate_all(xtm, l_ali, u, t, xt.data());
-                score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm, cut, &sc, di);
+                score_fun8(xt.data(), ytm, l_ali, d, score_d8, d0, lnorm,
+                           cut, &sc, di);
                 if (sc > res->score) {
                     res->score = sc;
                     std::memcpy(res->u, u, sizeof(u));
@@ -1437,57 +1631,69 @@ int batch_gates(const float* q_ca, int lq, const float* q_deg,
 // anti-diagonal version in ops/tmalign.py.
 int nw_gotoh_f32(const float* score, int ylen, int xlen,
                  float gap_open, float gap_extend, long* y2x) {
+    // Rolling-row DP (H needs only the previous row; E is a within-row
+    // carry; F one row buffer) with a single packed trace byte per cell:
+    // bits 0-1 = H trace (0 diag, 1 F, 2 E), bit 2 = E extend, bit 3 =
+    // F extend. Per-cell float ops identical to the dense formulation.
     const float FLT_MIN_F = 1.1754943508222875e-38f;
-    const float NEGF = -3.0e38f;
     const int W = xlen + 1;
-    std::vector<float> H((ylen + 1) * W), E((ylen + 1) * W, NEGF),
-        F((ylen + 1) * W, NEGF);
-    std::vector<signed char> Ht(ylen * xlen), Et(ylen * xlen), Ft(ylen * xlen);
-    H[0] = 0.0f;
-    for (int i = 1; i <= ylen; i++) {
-        float v = -gap_open - gap_extend * (float)(i - 1);
-        H[i * W] = std::max(v, FLT_MIN_F);
-        E[i * W] = std::max(H[i * W] - gap_open, FLT_MIN_F);
-    }
+    // thread-local scratch: this runs under host thread pools
+    static thread_local std::vector<float> Hprev_s, Hcur_s, Frow_s;
+    static thread_local std::vector<unsigned char> T_s;
+    Hprev_s.resize(W); Hcur_s.resize(W); Frow_s.resize(W);
+    if (T_s.size() < (size_t)ylen * xlen) T_s.resize((size_t)ylen * xlen);
+    float* Hprev = Hprev_s.data();
+    float* Hcur = Hcur_s.data();
+    float* Frow = Frow_s.data();
+    unsigned char* T = T_s.data();
+
+    Hprev[0] = 0.0f;
     for (int j = 1; j <= xlen; j++) {
         float v = -gap_open - gap_extend * (float)(j - 1);
-        H[j] = std::max(v, FLT_MIN_F);
-        F[j] = FLT_MIN_F;
+        Hprev[j] = std::max(v, FLT_MIN_F);
+        Frow[j] = FLT_MIN_F;
     }
     for (int i = 0; i < ylen; i++) {
         const float* srow = score + (size_t)i * xlen;
+        unsigned char* trow = T + (size_t)i * xlen;
+        // boundary H(i, -1) and its E seed (column-0 init)
+        float v = -gap_open - gap_extend * (float)i;
+        Hcur[0] = std::max(v, FLT_MIN_F);
+        float e = std::max(Hcur[0] - gap_open, FLT_MIN_F);
         for (int j = 0; j < xlen; j++) {
-            float e_open = H[(i + 1) * W + j] - gap_open;
-            float e_ext = E[(i + 1) * W + j] - gap_extend;
-            float e = std::max(e_open, e_ext);
-            E[(i + 1) * W + j + 1] = e;
-            Et[(size_t)i * xlen + j] = (e_open > e_ext) ? 0 : 1;
-            float f_open = H[i * W + j + 1] - gap_open;
-            float f_ext = F[i * W + j + 1] - gap_extend;
+            float e_open = Hcur[j] - gap_open;
+            float e_ext = e - gap_extend;
+            unsigned char te = (e_open > e_ext) ? 0 : 4;
+            e = std::max(e_open, e_ext);
+            float f_open = Hprev[j + 1] - gap_open;
+            float f_ext = Frow[j + 1] - gap_extend;
+            unsigned char tf = (f_open > f_ext) ? 0 : 8;
             float f = std::max(f_open, f_ext);
-            F[(i + 1) * W + j + 1] = f;
-            Ft[(size_t)i * xlen + j] = (f_open > f_ext) ? 0 : 1;
-            float diag = H[i * W + j] + srow[j];
+            Frow[j + 1] = f;
+            float diag = Hprev[j] + srow[j];
             float h = std::max(std::max(diag, e), f);
-            H[(i + 1) * W + j + 1] = h;
-            Ht[(size_t)i * xlen + j] = (h == diag) ? 0 : ((h == f) ? 1 : 2);
+            Hcur[j + 1] = h;
+            unsigned char th = (h == diag) ? 0 : ((h == f) ? 1 : 2);
+            trow[j] = (unsigned char)(th | te | tf);
         }
+        std::swap(Hprev_s, Hcur_s);
+        Hprev = Hprev_s.data();
+        Hcur = Hcur_s.data();
     }
     for (int i = 0; i < ylen; i++) y2x[i] = -1;
     int i = ylen - 1, j = xlen - 1, state = 0;
     while (i >= 0 && j >= 0) {
+        unsigned char tr = T[(size_t)i * xlen + j];
         if (state == 0) {
-            signed char tr = Ht[(size_t)i * xlen + j];
-            if (tr == 0) { y2x[i] = j; i--; j--; }
-            else state = tr;
+            unsigned char th = tr & 3;
+            if (th == 0) { y2x[i] = j; i--; j--; }
+            else state = th;
         } else if (state == 1) {
-            signed char tr = Ft[(size_t)i * xlen + j];
             i--;
-            state = (tr == 0) ? 0 : 1;
+            state = (tr & 8) ? 1 : 0;
         } else {
-            signed char tr = Et[(size_t)i * xlen + j];
             j--;
-            state = (tr == 0) ? 0 : 2;
+            state = (tr & 4) ? 2 : 0;
         }
     }
     return 0;
