@@ -839,6 +839,286 @@ static void rotate_all(const float* x, int n, const double u[3][3],
     }
 }
 
+
+// ---------------------------------------------------------------------------
+// SoA float TM engine. The float (full TM-align) engine runs its hot loops
+// over deinterleaved coordinate arrays with a 0/1 float mask standing in
+// for the reference's cut-index lists: every pass (centroid, covariance,
+// rotate+distance, d8 sum, mask build) is a pure vertical loop the
+// vectorizer maps onto 8-wide AVX with no gathers. Blocked 8-lane float
+// accumulation is deterministic (fixed lane order) and sits well inside
+// the engine's tolerance band; the double engine above is untouched.
+
+struct TMSoAScratch {
+    std::vector<float> x0, x1, x2, y0, y1, y2;   // deinterleaved alignment
+    std::vector<float> dif, mask, prev_mask;
+    std::vector<float> gx, gy;                    // interleaved fallback
+};
+static TMSoAScratch& tm_soa_scratch() {
+    static thread_local TMSoAScratch s;
+    return s;
+}
+
+// masked Kabsch over SoA arrays (w = 0/1 floats, null = all points):
+// blocked 8-lane float moments feed the double QCP solve. Returns false
+// when QCP degenerates; the caller re-runs the interleaved scalar path
+// (which ends in the Jacobi fallback).
+static bool kabsch_soa(const float* x0, const float* x1, const float* x2,
+                       const float* y0, const float* y1, const float* y2,
+                       const float* w, int n, double u[3][3], double t[3]) {
+    float aw[8] = {0}, ax0[8] = {0}, ax1[8] = {0}, ax2[8] = {0},
+          ay0[8] = {0}, ay1[8] = {0}, ay2[8] = {0};
+    int k = 0;
+    if (w) {
+        for (; k + 8 <= n; k += 8)
+            for (int l = 0; l < 8; l++) {
+                const float ww = w[k + l];
+                aw[l] += ww;
+                ax0[l] += ww * x0[k + l];
+                ax1[l] += ww * x1[k + l];
+                ax2[l] += ww * x2[k + l];
+                ay0[l] += ww * y0[k + l];
+                ay1[l] += ww * y1[k + l];
+                ay2[l] += ww * y2[k + l];
+            }
+    } else {
+        for (; k + 8 <= n; k += 8)
+            for (int l = 0; l < 8; l++) {
+                aw[l] += 1.0f;
+                ax0[l] += x0[k + l];
+                ax1[l] += x1[k + l];
+                ax2[l] += x2[k + l];
+                ay0[l] += y0[k + l];
+                ay1[l] += y1[k + l];
+                ay2[l] += y2[k + l];
+            }
+    }
+    double sw = 0, sx0 = 0, sx1 = 0, sx2 = 0, sy0 = 0, sy1 = 0, sy2 = 0;
+    for (int l = 0; l < 8; l++) {
+        sw += aw[l];
+        sx0 += ax0[l]; sx1 += ax1[l]; sx2 += ax2[l];
+        sy0 += ay0[l]; sy1 += ay1[l]; sy2 += ay2[l];
+    }
+    for (; k < n; k++) {
+        const float ww = w ? w[k] : 1.0f;
+        sw += ww;
+        sx0 += ww * x0[k]; sx1 += ww * x1[k]; sx2 += ww * x2[k];
+        sy0 += ww * y0[k]; sy1 += ww * y1[k]; sy2 += ww * y2[k];
+    }
+    if (!(sw >= 1.0)) return false;
+    const float xc0 = (float)(sx0 / sw), xc1 = (float)(sx1 / sw),
+                xc2 = (float)(sx2 / sw);
+    const float yc0 = (float)(sy0 / sw), yc1 = (float)(sy1 / sw),
+                yc2 = (float)(sy2 / sw);
+    float c00f[8] = {0}, c01f[8] = {0}, c02f[8] = {0}, c10f[8] = {0},
+          c11f[8] = {0}, c12f[8] = {0}, c20f[8] = {0}, c21f[8] = {0},
+          c22f[8] = {0}, e0f[8] = {0};
+    k = 0;
+    if (w) {
+        for (; k + 8 <= n; k += 8)
+            for (int l = 0; l < 8; l++) {
+                const float ww = w[k + l];
+                const float dx0 = ww * (x0[k + l] - xc0);
+                const float dx1 = ww * (x1[k + l] - xc1);
+                const float dx2 = ww * (x2[k + l] - xc2);
+                const float dy0 = ww * (y0[k + l] - yc0);
+                const float dy1 = ww * (y1[k + l] - yc1);
+                const float dy2 = ww * (y2[k + l] - yc2);
+                e0f[l] += dx0 * dx0 + dy0 * dy0;
+                e0f[l] += dx1 * dx1 + dy1 * dy1;
+                e0f[l] += dx2 * dx2 + dy2 * dy2;
+                c00f[l] += dx0 * dy0; c01f[l] += dx0 * dy1; c02f[l] += dx0 * dy2;
+                c10f[l] += dx1 * dy0; c11f[l] += dx1 * dy1; c12f[l] += dx1 * dy2;
+                c20f[l] += dx2 * dy0; c21f[l] += dx2 * dy1; c22f[l] += dx2 * dy2;
+            }
+    } else {
+        for (; k + 8 <= n; k += 8)
+            for (int l = 0; l < 8; l++) {
+                const float dx0 = x0[k + l] - xc0;
+                const float dx1 = x1[k + l] - xc1;
+                const float dx2 = x2[k + l] - xc2;
+                const float dy0 = y0[k + l] - yc0;
+                const float dy1 = y1[k + l] - yc1;
+                const float dy2 = y2[k + l] - yc2;
+                e0f[l] += dx0 * dx0 + dy0 * dy0;
+                e0f[l] += dx1 * dx1 + dy1 * dy1;
+                e0f[l] += dx2 * dx2 + dy2 * dy2;
+                c00f[l] += dx0 * dy0; c01f[l] += dx0 * dy1; c02f[l] += dx0 * dy2;
+                c10f[l] += dx1 * dy0; c11f[l] += dx1 * dy1; c12f[l] += dx1 * dy2;
+                c20f[l] += dx2 * dy0; c21f[l] += dx2 * dy1; c22f[l] += dx2 * dy2;
+            }
+    }
+    double c[3][3] = {{0}}, e0 = 0;
+    for (int l = 0; l < 8; l++) {
+        e0 += e0f[l];
+        c[0][0] += c00f[l]; c[0][1] += c01f[l]; c[0][2] += c02f[l];
+        c[1][0] += c10f[l]; c[1][1] += c11f[l]; c[1][2] += c12f[l];
+        c[2][0] += c20f[l]; c[2][1] += c21f[l]; c[2][2] += c22f[l];
+    }
+    for (; k < n; k++) {
+        const float ww = w ? w[k] : 1.0f;
+        const double dx0 = ww * (x0[k] - xc0), dy0 = ww * (y0[k] - yc0);
+        const double dx1 = ww * (x1[k] - xc1), dy1 = ww * (y1[k] - yc1);
+        const double dx2 = ww * (x2[k] - xc2), dy2 = ww * (y2[k] - yc2);
+        e0 += dx0 * dx0 + dy0 * dy0 + dx1 * dx1 + dy1 * dy1
+            + dx2 * dx2 + dy2 * dy2;
+        c[0][0] += dx0 * dy0; c[0][1] += dx0 * dy1; c[0][2] += dx0 * dy2;
+        c[1][0] += dx1 * dy0; c[1][1] += dx1 * dy1; c[1][2] += dx1 * dy2;
+        c[2][0] += dx2 * dy0; c[2][1] += dx2 * dy1; c[2][2] += dx2 * dy2;
+    }
+    double rms2;
+    if (!qcp_rotation(c, e0, u, &rms2)) return false;
+    t[0] = yc0 - (u[0][0] * xc0 + u[0][1] * xc1 + u[0][2] * xc2);
+    t[1] = yc1 - (u[1][0] * xc0 + u[1][1] * xc1 + u[1][2] * xc2);
+    t[2] = yc2 - (u[2][0] * xc0 + u[2][1] * xc1 + u[2][2] * xc2);
+    return true;
+}
+
+// masked-kabsch fallback: gather the selected points into interleaved
+// buffers and run the scalar path (QCP retry + Jacobi inside).
+static void kabsch_soa_fallback(const TMSoAScratch& S, const float* w,
+                                int n, double u[3][3], double t[3]) {
+    auto& gx = const_cast<TMSoAScratch&>(S).gx;
+    auto& gy = const_cast<TMSoAScratch&>(S).gy;
+    gx.clear(); gy.clear();
+    for (int k = 0; k < n; k++) {
+        if (w && w[k] == 0.0f) continue;
+        gx.push_back(S.x0[k]); gx.push_back(S.x1[k]); gx.push_back(S.x2[k]);
+        gy.push_back(S.y0[k]); gy.push_back(S.y1[k]); gy.push_back(S.y2[k]);
+    }
+    if (gy.size() < 3) { return; }
+    kabsch_t<float>(gx.data(), gy.data(), nullptr, (int)gy.size() / 3, u, t);
+}
+
+// fused rotate + squared distances + masked d8 sum + cut-mask build with
+// the reference's grow-to-3 threshold loop. mask: 0/1 floats out.
+static void rotate_score_soa(const TMSoAScratch& S, int n,
+                             const double u[3][3], const double t[3],
+                             double d, double score_d8, double d0,
+                             double lnorm, float* mask, double* score) {
+    const float u00 = (float)u[0][0], u01 = (float)u[0][1],
+                u02 = (float)u[0][2], t0 = (float)t[0];
+    const float u10 = (float)u[1][0], u11 = (float)u[1][1],
+                u12 = (float)u[1][2], t1 = (float)t[1];
+    const float u20 = (float)u[2][0], u21 = (float)u[2][1],
+                u22 = (float)u[2][2], t2 = (float)t[2];
+    const float* x0 = S.x0.data(); const float* x1 = S.x1.data();
+    const float* x2 = S.x2.data();
+    const float* y0 = S.y0.data(); const float* y1 = S.y1.data();
+    const float* y2 = S.y2.data();
+    float* dif = const_cast<TMSoAScratch&>(S).dif.data();
+    for (int k = 0; k < n; k++) {
+        const float r0 = u00 * x0[k] + u01 * x1[k] + u02 * x2[k] + t0;
+        const float r1 = u10 * x0[k] + u11 * x1[k] + u12 * x2[k] + t1;
+        const float r2 = u20 * x0[k] + u21 * x1[k] + u22 * x2[k] + t2;
+        const float dx = r0 - y0[k], dy = r1 - y1[k], dz = r2 - y2[k];
+        dif[k] = dx * dx + dy * dy + dz * dz;
+    }
+    const float d8sq = (float)(score_d8 * score_d8);
+    const float d0sq = (float)(d0 * d0);
+    float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    int k = 0;
+    for (; k + 8 <= n; k += 8)
+        for (int l = 0; l < 8; l++) {
+            const float q = 1.0f / (1.0f + dif[k + l] / d0sq);
+            acc[l] += (dif[k + l] < d8sq) ? q : 0.0f;
+        }
+    double sum = 0;
+    for (int l = 0; l < 8; l++) sum += (double)acc[l];
+    for (; k < n; k++) {
+        const float q = 1.0f / (1.0f + dif[k] / d0sq);
+        sum += (dif[k] < d8sq) ? (double)q : 0.0;
+    }
+    *score = sum / lnorm;
+    float d2 = (float)(d * d);
+    int inc = 0;
+    for (;;) {
+        int cnt = 0;
+        for (int kk = 0; kk < n; kk++) {
+            const float m = (dif[kk] < d2) ? 1.0f : 0.0f;
+            mask[kk] = m;
+            cnt += (int)m;
+        }
+        if (cnt >= 3 || n <= 3) break;
+        inc++;
+        const double dinc = d + inc * 0.5;
+        d2 = (float)(dinc * dinc);
+    }
+}
+
+// float overload of tmscore8_search (exact-match beats the template):
+// deinterleaves the alignment once, then runs every fragment seed and
+// refinement iteration over the SoA engine above.
+static void tmscore8_search(const float* xtm, const float* ytm, int l_ali,
+                            int simplify_step, double local_d0_search,
+                            double score_d8, double d0, double lnorm,
+                            int n_it, TMSearchResult* res) {
+    int l_ini_min = std::min(4, l_ali);
+    std::vector<int> l_ini;
+    for (int i = 0; i < 5; i++) {
+        int lf = (int)(l_ali / std::pow(2.0, i));
+        if (lf <= l_ini_min) { l_ini.push_back(l_ini_min); break; }
+        l_ini.push_back(lf);
+    }
+    if ((int)l_ini.size() == 5 && l_ini.back() > l_ini_min)
+        l_ini.push_back(l_ini_min);
+
+    auto& S = tm_soa_scratch();
+    S.x0.resize(l_ali); S.x1.resize(l_ali); S.x2.resize(l_ali);
+    S.y0.resize(l_ali); S.y1.resize(l_ali); S.y2.resize(l_ali);
+    S.dif.resize(l_ali); S.mask.resize(l_ali); S.prev_mask.resize(l_ali);
+    for (int k = 0; k < l_ali; k++) {
+        S.x0[k] = xtm[3 * k]; S.x1[k] = xtm[3 * k + 1];
+        S.x2[k] = xtm[3 * k + 2];
+        S.y0[k] = ytm[3 * k]; S.y1[k] = ytm[3 * k + 1];
+        S.y2[k] = ytm[3 * k + 2];
+    }
+    res->score = -1.0;
+    float* mask = S.mask.data();
+    float* prev_mask = S.prev_mask.data();
+    double u[3][3], t[3];
+
+    for (int lf : l_ini) {
+        int il_max = l_ali - lf;
+        int i = 0;
+        for (;;) {
+            if (!kabsch_soa(S.x0.data() + i, S.x1.data() + i,
+                            S.x2.data() + i, S.y0.data() + i,
+                            S.y1.data() + i, S.y2.data() + i, nullptr, lf,
+                            u, t))
+                kabsch_t<float>(xtm + 3 * i, ytm + 3 * i, nullptr, lf, u, t);
+            double d = local_d0_search - 1.0;
+            double sc;
+            rotate_score_soa(S, l_ali, u, t, d, score_d8, d0, lnorm, mask,
+                             &sc);
+            if (sc > res->score) {
+                res->score = sc;
+                std::memcpy(res->u, u, sizeof(u));
+                std::memcpy(res->t, t, sizeof(t));
+            }
+            d = local_d0_search + 1.0;
+            for (int it = 0; it < n_it; it++) {
+                std::memcpy(prev_mask, mask, sizeof(float) * l_ali);
+                if (!kabsch_soa(S.x0.data(), S.x1.data(), S.x2.data(),
+                                S.y0.data(), S.y1.data(), S.y2.data(), mask,
+                                l_ali, u, t))
+                    kabsch_soa_fallback(S, mask, l_ali, u, t);
+                rotate_score_soa(S, l_ali, u, t, d, score_d8, d0, lnorm,
+                                 mask, &sc);
+                if (sc > res->score) {
+                    res->score = sc;
+                    std::memcpy(res->u, u, sizeof(u));
+                    std::memcpy(res->t, t, sizeof(t));
+                }
+                if (std::memcmp(mask, prev_mask, sizeof(float) * l_ali) == 0)
+                    break;
+            }
+            if (i < il_max) i = std::min(i + simplify_step, il_max);
+            else break;
+        }
+    }
+}
+
 template <typename T>
 static void tmscore8_search(const T* xtm, const T* ytm, int l_ali,
                             int simplify_step, double local_d0_search,
@@ -857,7 +1137,7 @@ static void tmscore8_search(const T* xtm, const T* ytm, int l_ali,
     std::vector<T> xt(3 * l_ali);
     std::vector<double> di;
     di.reserve(l_ali);
-    std::vector<int> cut, prev_cut, frag(l_ali);
+    std::vector<int> cut, prev_cut;
     cut.reserve(l_ali); prev_cut.reserve(l_ali);
     double u[3][3], t[3];
 
@@ -865,8 +1145,9 @@ static void tmscore8_search(const T* xtm, const T* ytm, int l_ali,
         int il_max = l_ali - lf;
         int i = 0;
         for (;;) {
-            for (int k = 0; k < lf; k++) frag[k] = i + k;
-            kabsch_t<T>(xtm, ytm, frag.data(), lf, u, t);
+            // the fragment is a contiguous slice of both arrays: pass
+            // pointer offsets (identical arithmetic, no index indirection)
+            kabsch_t<T>(xtm + 3 * i, ytm + 3 * i, nullptr, lf, u, t);
             rotate_all(xtm, l_ali, u, t, xt.data());
             double d = local_d0_search - 1.0;
             double sc;
@@ -943,17 +1224,18 @@ int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
                     local_d0_search, score_d8, d0, lnorm, 10, &r);
 
     std::vector<float> sc((size_t)ylen * xlen);
+    std::vector<float> xt0(xlen), xt1(xlen), xt2(xlen);
     for (int g = g1; g < g2; g++) {
         const float go = (float)(-gap_opens[g]);
         double tmscore_old = 0.0;
         double uu[3][3]; double tt[3];
         std::memcpy(uu, r.u, sizeof(uu));
         std::memcpy(tt, r.t, sizeof(tt));
-        std::vector<float> xt(3 * xlen);
         for (int it = 0; it < iteration_max; it++) {
             // score(i,j) = 1/(1 + |u x_i + t - y_j|^2 / d0^2), float32
             // with the numpy path's op order (last-ulp drift from FMA
-            // contraction stays inside the tmalign tolerance band)
+            // contraction stays inside the tmalign tolerance band);
+            // rotated coords kept SoA so the row loop runs vertical
             float uf[3][3], tf[3];
             for (int a = 0; a < 3; a++) {
                 tf[a] = (float)tt[a];
@@ -961,17 +1243,21 @@ int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
             }
             for (int i = 0; i < xlen; i++) {
                 const float* p = x + 3 * i;
-                for (int a = 0; a < 3; a++)
-                    xt[3 * i + a] = uf[a][0] * p[0] + uf[a][1] * p[1]
-                                  + uf[a][2] * p[2] + tf[a];
+                xt0[i] = uf[0][0] * p[0] + uf[0][1] * p[1]
+                       + uf[0][2] * p[2] + tf[0];
+                xt1[i] = uf[1][0] * p[0] + uf[1][1] * p[1]
+                       + uf[1][2] * p[2] + tf[1];
+                xt2[i] = uf[2][0] * p[0] + uf[2][1] * p[1]
+                       + uf[2][2] * p[2] + tf[2];
             }
             for (int j = 0; j < ylen; j++) {
-                const float* yp = y + 3 * j;
+                const float y0 = y[3 * j], y1 = y[3 * j + 1],
+                            y2 = y[3 * j + 2];
                 float* row = sc.data() + (size_t)j * xlen;
                 for (int i = 0; i < xlen; i++) {
-                    float dx = yp[0] - xt[3 * i];
-                    float dy = yp[1] - xt[3 * i + 1];
-                    float dz = yp[2] - xt[3 * i + 2];
+                    float dx = y0 - xt0[i];
+                    float dy = y1 - xt1[i];
+                    float dz = y2 - xt2[i];
                     float dij = dx * dx + dy * dy + dz * dz;
                     row[i] = 1.0f / (1.0f + dij / d02);
                 }
@@ -1012,21 +1298,22 @@ int nw_xyz_c(const float* x, int xlen, const float* y, int ylen,
         tf[a] = (float)t[a];
         for (int b = 0; b < 3; b++) uf[a][b] = (float)u[3 * a + b];
     }
-    std::vector<float> xt(3 * xlen);
+    // rotated coords kept SoA so the row loop runs vertical
+    std::vector<float> xt0(xlen), xt1(xlen), xt2(xlen);
     for (int i = 0; i < xlen; i++) {
         const float* p = x + 3 * i;
-        for (int a = 0; a < 3; a++)
-            xt[3 * i + a] = uf[a][0] * p[0] + uf[a][1] * p[1]
-                          + uf[a][2] * p[2] + tf[a];
+        xt0[i] = uf[0][0] * p[0] + uf[0][1] * p[1] + uf[0][2] * p[2] + tf[0];
+        xt1[i] = uf[1][0] * p[0] + uf[1][1] * p[1] + uf[1][2] * p[2] + tf[1];
+        xt2[i] = uf[2][0] * p[0] + uf[2][1] * p[1] + uf[2][2] * p[2] + tf[2];
     }
     std::vector<float> sc((size_t)ylen * xlen);
     for (int j = 0; j < ylen; j++) {
-        const float* yp = y + 3 * j;
+        const float y0 = y[3 * j], y1 = y[3 * j + 1], y2 = y[3 * j + 2];
         float* row = sc.data() + (size_t)j * xlen;
         for (int i = 0; i < xlen; i++) {
-            float dx = yp[0] - xt[3 * i];
-            float dy = yp[1] - xt[3 * i + 1];
-            float dz = yp[2] - xt[3 * i + 2];
+            float dx = y0 - xt0[i];
+            float dy = y1 - xt1[i];
+            float dz = y2 - xt2[i];
             float dij = dx * dx + dy * dy + dz * dz;
             row[i] = 1.0f / (1.0f + dij / d02);
         }
