@@ -16,6 +16,9 @@
 #include <cmath>
 #include <algorithm>
 #include <vector>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -762,53 +765,6 @@ static void score_fun8(const T* xt, const T* y, int n, double d,
     }
 }
 
-// float-engine overload (exact-match beats the template): float distance
-// buffer and an 8-lane blocked sum — deterministic fixed-order lanes the
-// vectorizer maps straight onto AVX; the float engine's tolerance band
-// (~1e-6 TM) absorbs the float-vs-double summation drift. The double
-// engine keeps the exact sequential chain above (bit-pinned parity).
-static void score_fun8(const float* xt, const float* y, int n, double d,
-                       double score_d8, double d0, double lnorm,
-                       std::vector<int>& cut, double* score,
-                       std::vector<double>& di_unused) {
-    (void)di_unused;
-    const float d8sq = (float)(score_d8 * score_d8);
-    const float d0sq = (float)(d0 * d0);
-    static thread_local std::vector<float> dif;
-    dif.resize(n);
-    float* dp_ = dif.data();
-    for (int k = 0; k < n; k++) {
-        float dx = xt[3 * k] - y[3 * k];
-        float dy = xt[3 * k + 1] - y[3 * k + 1];
-        float dz = xt[3 * k + 2] - y[3 * k + 2];
-        dp_[k] = dx * dx + dy * dy + dz * dz;
-    }
-    float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-    int k = 0;
-    for (; k + 8 <= n; k += 8)
-        for (int l = 0; l < 8; l++) {
-            float q = 1.0f / (1.0f + dp_[k + l] / d0sq);
-            acc[l] += (dp_[k + l] < d8sq) ? q : 0.0f;
-        }
-    double sum = 0;
-    for (int l = 0; l < 8; l++) sum += (double)acc[l];
-    for (; k < n; k++) {
-        float q = 1.0f / (1.0f + dp_[k] / d0sq);
-        sum += (dp_[k] < d8sq) ? (double)q : 0.0;
-    }
-    *score = sum / lnorm;
-    float d2 = (float)(d * d);
-    int inc = 0;
-    for (;;) {
-        cut.clear();
-        for (int kk = 0; kk < n; kk++) if (dp_[kk] < d2) cut.push_back(kk);
-        if ((int)cut.size() >= 3 || n <= 3) break;
-        inc++;
-        double dinc = d + inc * 0.5;
-        d2 = (float)(dinc * dinc);
-    }
-}
-
 template <typename T>
 static void rotate_all(const T* x, int n, const double u[3][3],
                        const double t[3], T* xt) {
@@ -817,25 +773,6 @@ static void rotate_all(const T* x, int n, const double u[3][3],
         for (int a = 0; a < 3; a++)
             xt[3 * k + a] = (T)(u[a][0] * p[0] + u[a][1] * p[1]
                                 + u[a][2] * p[2] + t[a]);
-    }
-}
-
-// float-engine rotate: u/t pre-cast to float once — 8-wide float muls
-// instead of widen-to-double per element (the engine's own precision;
-// the double engine keeps the double-arithmetic template).
-static void rotate_all(const float* x, int n, const double u[3][3],
-                       const double t[3], float* xt) {
-    const float u00 = (float)u[0][0], u01 = (float)u[0][1],
-                u02 = (float)u[0][2], t0 = (float)t[0];
-    const float u10 = (float)u[1][0], u11 = (float)u[1][1],
-                u12 = (float)u[1][2], t1 = (float)t[1];
-    const float u20 = (float)u[2][0], u21 = (float)u[2][1],
-                u22 = (float)u[2][2], t2 = (float)t[2];
-    for (int k = 0; k < n; k++) {
-        const float* p = x + 3 * k;
-        xt[3 * k] = u00 * p[0] + u01 * p[1] + u02 * p[2] + t0;
-        xt[3 * k + 1] = u10 * p[0] + u11 * p[1] + u12 * p[2] + t1;
-        xt[3 * k + 2] = u20 * p[0] + u21 * p[1] + u22 * p[2] + t2;
     }
 }
 
@@ -1178,6 +1115,201 @@ static void tmscore8_search(const T* xtm, const T* ytm, int l_ali,
     }
 }
 
+static int nw_xyz_diag(const float* xt0, const float* xt1, const float* xt2,
+                       int xlen, const float* yy0, const float* yy1,
+                       const float* yy2, int ylen, float d02, float go,
+                       const int8_t* secx, const int8_t* secy, int use_sec,
+                       long* y2x);  // below
+
+// ---------------------------------------------------------------------------
+// Anti-diagonal fused score+NW kernel (gap_extend = 0 specialization —
+// every TM-align NW uses ge=0, which collapses E/F to running maxima and
+// makes all boundary values constants). Scores 1/(1 + d2/d02) are
+// computed inline from SoA rotated coordinates, so no score matrix is
+// materialized and the cell loop over a diagonal is lane-independent —
+// the vectorizer runs it 8-wide (the scalar rolling-row kernel is bound
+// by the sequential in-row E carry). Trace is stored diagonal-major.
+// Identical per-cell float ops and tie rules as nw_gotoh_f32.
+static int nw_xyz_diag(const float* xt0, const float* xt1, const float* xt2,
+                       int xlen, const float* yy0, const float* yy1,
+                       const float* yy2, int ylen, float d02, float go,
+                       const int8_t* secx, const int8_t* secy, int use_sec,
+                       long* y2x) {
+    const float FLT_MIN_F = 1.1754943508222875e-38f;
+    const float B = std::max(-go, FLT_MIN_F);         // H(i,-1) = H(-1,j) = B
+    const float EB = std::max(B - go, FLT_MIN_F);     // E(i,-1)
+    const int ND = ylen + xlen - 1;
+    static thread_local std::vector<float> Hd1_s, Hd2_s, Ed1_s, Fd1_s,
+        Hn_s, En_s, Fn_s;
+    static thread_local std::vector<unsigned char> T_s;
+    static thread_local std::vector<size_t> off_s;
+    const int W = ylen + 2;  // slot [i+1] for i = -1..ylen
+    Hd1_s.assign(W, B); Hd2_s.assign(W, B); Ed1_s.assign(W, EB);
+    Fd1_s.assign(W, FLT_MIN_F); Hn_s.assign(W, B); En_s.assign(W, EB);
+    Fn_s.assign(W, FLT_MIN_F);
+    off_s.resize(ND + 1);
+    size_t total = 0;
+    for (int d = 0; d < ND; d++) {
+        off_s[d] = total;
+        const int i0 = std::max(0, d - xlen + 1);
+        const int i1 = std::min(ylen - 1, d);
+        total += (size_t)(i1 - i0 + 1);
+    }
+    off_s[ND] = total;
+    if (T_s.size() < total) T_s.resize(total);
+    unsigned char* T = T_s.data();
+
+    float* Hd1 = Hd1_s.data(); float* Hd2 = Hd2_s.data();
+    float* Ed1 = Ed1_s.data(); float* Fd1 = Fd1_s.data();
+    float* Hn = Hn_s.data(); float* En = En_s.data(); float* Fn = Fn_s.data();
+    Hd2[0] = 0.0f;  // H(-1,-1) for the d=0 diagonal cell
+
+    for (int d = 0; d < ND; d++) {
+        const int i0 = std::max(0, d - xlen + 1);
+        const int i1 = std::min(ylen - 1, d);
+        if (d < ylen) {            // new lane i=d: left neighbor (d,-1)
+            Hd1[d + 1] = B;
+            Ed1[d + 1] = EB;
+        }
+        unsigned char* trow = T + off_s[d] - i0;
+        if (use_sec) {
+            for (int i = i0; i <= i1; i++) {
+                const int j = d - i;
+                const float dx = yy0[i] - xt0[j];
+                const float dy = yy1[i] - xt1[j];
+                const float dz = yy2[i] - xt2[j];
+                float s = 1.0f / (1.0f + (dx * dx + dy * dy + dz * dz) / d02);
+                if (secy[i] == secx[j]) s += 0.5f;
+                const float eo = Hd1[i + 1] - go;
+                const float ee = Ed1[i + 1];
+                const float e = std::max(eo, ee);
+                const float fo = Hd1[i] - go;
+                const float fe = Fd1[i];
+                const float f = std::max(fo, fe);
+                const float dg = Hd2[i] + s;
+                const float h = std::max(std::max(dg, e), f);
+                En[i + 1] = e; Fn[i + 1] = f; Hn[i + 1] = h;
+                const unsigned char th = (h == dg) ? 0 : ((h == f) ? 1 : 2);
+                trow[i] = (unsigned char)(th | (eo > ee ? 0 : 4)
+                                          | (fo > fe ? 0 : 8));
+            }
+        } else {
+            int i = i0;
+#if defined(__AVX2__)
+            // 8 lanes per step: y/state arrays load forward, the rotated
+            // target coords load reversed (j = d - i) via a lane-reversing
+            // permute. Same per-cell float ops as the scalar tail.
+            const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+            const __m256 gov = _mm256_set1_ps(go);
+            const __m256 onev = _mm256_set1_ps(1.0f);
+            const __m256 d02v = _mm256_set1_ps(d02);
+            const __m256i one_i = _mm256_set1_epi32(1);
+            const __m256i two_i = _mm256_set1_epi32(2);
+            const __m256i four_i = _mm256_set1_epi32(4);
+            const __m256i eight_i = _mm256_set1_epi32(8);
+            const __m256i pickb = _mm256_setr_epi8(
+                0, 4, 8, 12, -128, -128, -128, -128, -128, -128, -128, -128,
+                -128, -128, -128, -128, 0, 4, 8, 12, -128, -128, -128, -128,
+                -128, -128, -128, -128, -128, -128, -128, -128);
+            for (; i + 8 <= i1 + 1; i += 8) {
+                const int jlo = d - i - 7;
+                const __m256 xr0 = _mm256_permutevar8x32_ps(
+                    _mm256_loadu_ps(xt0 + jlo), rev);
+                const __m256 xr1 = _mm256_permutevar8x32_ps(
+                    _mm256_loadu_ps(xt1 + jlo), rev);
+                const __m256 xr2 = _mm256_permutevar8x32_ps(
+                    _mm256_loadu_ps(xt2 + jlo), rev);
+                const __m256 dx = _mm256_sub_ps(_mm256_loadu_ps(yy0 + i), xr0);
+                const __m256 dy = _mm256_sub_ps(_mm256_loadu_ps(yy1 + i), xr1);
+                const __m256 dz = _mm256_sub_ps(_mm256_loadu_ps(yy2 + i), xr2);
+                const __m256 d2v = _mm256_add_ps(
+                    _mm256_add_ps(_mm256_mul_ps(dx, dx), _mm256_mul_ps(dy, dy)),
+                    _mm256_mul_ps(dz, dz));
+                const __m256 s = _mm256_div_ps(
+                    onev, _mm256_add_ps(onev, _mm256_div_ps(d2v, d02v)));
+                const __m256 eo =
+                    _mm256_sub_ps(_mm256_loadu_ps(Hd1 + i + 1), gov);
+                const __m256 ee = _mm256_loadu_ps(Ed1 + i + 1);
+                const __m256 e = _mm256_max_ps(eo, ee);
+                const __m256 fo = _mm256_sub_ps(_mm256_loadu_ps(Hd1 + i), gov);
+                const __m256 fe = _mm256_loadu_ps(Fd1 + i);
+                const __m256 f = _mm256_max_ps(fo, fe);
+                const __m256 dg = _mm256_add_ps(_mm256_loadu_ps(Hd2 + i), s);
+                const __m256 h = _mm256_max_ps(_mm256_max_ps(dg, e), f);
+                _mm256_storeu_ps(En + i + 1, e);
+                _mm256_storeu_ps(Fn + i + 1, f);
+                _mm256_storeu_ps(Hn + i + 1, h);
+                const __m256i m_dg = _mm256_castps_si256(
+                    _mm256_cmp_ps(h, dg, _CMP_EQ_OQ));
+                const __m256i m_hf = _mm256_castps_si256(
+                    _mm256_cmp_ps(h, f, _CMP_EQ_OQ));
+                const __m256i m_e = _mm256_castps_si256(
+                    _mm256_cmp_ps(eo, ee, _CMP_GT_OQ));
+                const __m256i m_fo = _mm256_castps_si256(
+                    _mm256_cmp_ps(fo, fe, _CMP_GT_OQ));
+                __m256i tr = _mm256_andnot_si256(
+                    m_dg, _mm256_blendv_epi8(two_i, one_i, m_hf));
+                tr = _mm256_or_si256(tr, _mm256_andnot_si256(m_e, four_i));
+                tr = _mm256_or_si256(tr, _mm256_andnot_si256(m_fo, eight_i));
+                const __m256i packed = _mm256_shuffle_epi8(tr, pickb);
+                const __m128i lo = _mm256_castsi256_si128(packed);
+                const __m128i hi = _mm256_extracti128_si256(packed, 1);
+                *(int32_t*)(trow + i) = _mm_cvtsi128_si32(lo);
+                *(int32_t*)(trow + i + 4) = _mm_cvtsi128_si32(hi);
+            }
+#endif
+            for (; i <= i1; i++) {
+                const int j = d - i;
+                const float dx = yy0[i] - xt0[j];
+                const float dy = yy1[i] - xt1[j];
+                const float dz = yy2[i] - xt2[j];
+                const float s =
+                    1.0f / (1.0f + (dx * dx + dy * dy + dz * dz) / d02);
+                const float eo = Hd1[i + 1] - go;
+                const float ee = Ed1[i + 1];
+                const float e = std::max(eo, ee);
+                const float fo = Hd1[i] - go;
+                const float fe = Fd1[i];
+                const float f = std::max(fo, fe);
+                const float dg = Hd2[i] + s;
+                const float h = std::max(std::max(dg, e), f);
+                En[i + 1] = e; Fn[i + 1] = f; Hn[i + 1] = h;
+                const unsigned char th = (h == dg) ? 0 : ((h == f) ? 1 : 2);
+                trow[i] = (unsigned char)(th | (eo > ee ? 0 : 4)
+                                          | (fo > fe ? 0 : 8));
+            }
+        }
+        // rotate: Hn -> Hd1 -> Hd2, En -> Ed1, Fn -> Fd1
+        std::swap(Hd2_s, Hd1_s); std::swap(Hd1_s, Hn_s);
+        std::swap(Ed1_s, En_s); std::swap(Fd1_s, Fn_s);
+        Hd1 = Hd1_s.data(); Hd2 = Hd2_s.data(); Hn = Hn_s.data();
+        Ed1 = Ed1_s.data(); En = En_s.data(); Fd1 = Fd1_s.data();
+        Fn = Fn_s.data();
+        Hn[0] = B; En[0] = EB; Fn[0] = FLT_MIN_F;  // (-1, d+1) boundaries
+        Hd2[0] = B;  // H(-1, d) for the next diagonal's diag term
+    }
+
+    for (int i = 0; i < ylen; i++) y2x[i] = -1;
+    int i = ylen - 1, j = xlen - 1, state = 0;
+    while (i >= 0 && j >= 0) {
+        const int d = i + j;
+        const int di0 = std::max(0, d - xlen + 1);
+        const unsigned char tr = T[off_s[d] + (size_t)(i - di0)];
+        if (state == 0) {
+            const unsigned char th = tr & 3;
+            if (th == 0) { y2x[i] = j; i--; j--; }
+            else state = th;
+        } else if (state == 1) {
+            i--;
+            state = (tr & 8) ? 1 : 0;
+        } else {
+            j--;
+            state = (tr & 4) ? 2 : 0;
+        }
+    }
+    return 0;
+}
+
 extern "C" {
 
 int nw_gotoh_f32(const float* score, int ylen, int xlen,
@@ -1223,8 +1355,11 @@ int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
     tmscore8_search(xtm.data(), ytm.data(), (int)ytm.size() / 3, 40,
                     local_d0_search, score_d8, d0, lnorm, 10, &r);
 
-    std::vector<float> sc((size_t)ylen * xlen);
     std::vector<float> xt0(xlen), xt1(xlen), xt2(xlen);
+    std::vector<float> ys0(ylen), ys1(ylen), ys2(ylen);
+    for (int j = 0; j < ylen; j++) {
+        ys0[j] = y[3 * j]; ys1[j] = y[3 * j + 1]; ys2[j] = y[3 * j + 2];
+    }
     for (int g = g1; g < g2; g++) {
         const float go = (float)(-gap_opens[g]);
         double tmscore_old = 0.0;
@@ -1250,20 +1385,9 @@ int dp_iter_c(const float* x, int xlen, const float* y, int ylen,
                 xt2[i] = uf[2][0] * p[0] + uf[2][1] * p[1]
                        + uf[2][2] * p[2] + tf[2];
             }
-            for (int j = 0; j < ylen; j++) {
-                const float y0 = y[3 * j], y1 = y[3 * j + 1],
-                            y2 = y[3 * j + 2];
-                float* row = sc.data() + (size_t)j * xlen;
-                for (int i = 0; i < xlen; i++) {
-                    float dx = y0 - xt0[i];
-                    float dy = y1 - xt1[i];
-                    float dz = y2 - xt2[i];
-                    float dij = dx * dx + dy * dy + dz * dz;
-                    row[i] = 1.0f / (1.0f + dij / d02);
-                }
-            }
-            if (nw_gotoh_f32(sc.data(), ylen, xlen, go, 0.0f,
-                             y2x.data()) != 0)
+            if (nw_xyz_diag(xt0.data(), xt1.data(), xt2.data(), xlen,
+                            ys0.data(), ys1.data(), ys2.data(), ylen,
+                            d02, go, nullptr, nullptr, 0, y2x.data()) != 0)
                 break;
             if (gather(y2x.data()) == 0) break;
             TMSearchResult ri;
@@ -1306,23 +1430,13 @@ int nw_xyz_c(const float* x, int xlen, const float* y, int ylen,
         xt1[i] = uf[1][0] * p[0] + uf[1][1] * p[1] + uf[1][2] * p[2] + tf[1];
         xt2[i] = uf[2][0] * p[0] + uf[2][1] * p[1] + uf[2][2] * p[2] + tf[2];
     }
-    std::vector<float> sc((size_t)ylen * xlen);
+    std::vector<float> ys0(ylen), ys1(ylen), ys2(ylen);
     for (int j = 0; j < ylen; j++) {
-        const float y0 = y[3 * j], y1 = y[3 * j + 1], y2 = y[3 * j + 2];
-        float* row = sc.data() + (size_t)j * xlen;
-        for (int i = 0; i < xlen; i++) {
-            float dx = y0 - xt0[i];
-            float dy = y1 - xt1[i];
-            float dz = y2 - xt2[i];
-            float dij = dx * dx + dy * dy + dz * dz;
-            row[i] = 1.0f / (1.0f + dij / d02);
-        }
-        if (use_sec) {
-            for (int i = 0; i < xlen; i++)
-                if (secy[j] == secx[i]) row[i] += 0.5f;
-        }
+        ys0[j] = y[3 * j]; ys1[j] = y[3 * j + 1]; ys2[j] = y[3 * j + 2];
     }
-    return nw_gotoh_f32(sc.data(), ylen, xlen, gap_open, 0.0f, y2x);
+    return nw_xyz_diag(xt0.data(), xt1.data(), xt2.data(), xlen,
+                       ys0.data(), ys1.data(), ys2.data(), ylen, d02,
+                       gap_open, secx, secy, use_sec, y2x);
 }
 
 // get_score_fast (lib/tmalign/TMalign.cpp:627-768): three Kabsch
@@ -1916,6 +2030,7 @@ int batch_gates(const float* q_ca, int lq, const float* q_deg,
 // trace tie rules: E/F prefer extension on ties, H priority diag > F > E
 // (lib/tmalign/TMalign.cpp NWDP_TM). Bit-identical to the numpy float32
 // anti-diagonal version in ops/tmalign.py.
+
 int nw_gotoh_f32(const float* score, int ylen, int xlen,
                  float gap_open, float gap_extend, long* y2x) {
     // Rolling-row DP (H needs only the previous row; E is a within-row
