@@ -105,6 +105,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.nw_gotoh_f32.restype = ctypes.c_int
         lib.lddt_aligned.argtypes = [fp, fp, fp, ctypes.c_int, dp, fp]
         lib.lddt_aligned.restype = ctypes.c_int
+        lib.lol_block.argtypes = [fp, ctypes.c_int, fp, ctypes.c_int,
+                                  i64p, i64p, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, fp, fp, fp, ctypes.c_float,
+                                  fp, i64p]
+        lib.lol_block.restype = ctypes.c_int
+        lib.fwbw_posterior_c.argtypes = [dp, ctypes.c_int, ctypes.c_int,
+                                         ctypes.c_double, ctypes.c_double,
+                                         ctypes.c_double, dp, dp]
+        lib.fwbw_posterior_c.restype = ctypes.c_int
         lib.fwbw_forward_m.argtypes = [dp, ctypes.c_int, ctypes.c_int,
                                        ctypes.c_double, ctypes.c_double, dp]
         lib.fwbw_forward_m.restype = ctypes.c_int
@@ -507,6 +517,56 @@ def batch_gates(q_ca, q_deg, t_cas, q_starts, t_starts, backtraces,
         out["lddt"] = ld
     return out
 
+
+
+def lol_block(dist_q: np.ndarray, dist_t: np.ndarray,
+              anchors_q: np.ndarray, anchors_t: np.ndarray,
+              g0: int, g1: int, g2: int, g3: int,
+              w1: np.ndarray, b1: np.ndarray, w2: np.ndarray, b2: float,
+              lol_m: np.ndarray):
+    """LoLalign lolMatrix block accumulation (adds into lol_m in place).
+    Returns (min_row, max_row) of contributing rows, or None without the
+    native library. w1 is the [2, 3] input-weight matrix."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dist_q = np.ascontiguousarray(dist_q, dtype=np.float32)
+    dist_t = np.ascontiguousarray(dist_t, dtype=np.float32)
+    aq = np.ascontiguousarray(anchors_q, dtype=np.int64)
+    at = np.ascontiguousarray(anchors_t, dtype=np.int64)
+    assert lol_m.dtype == np.float32 and lol_m.flags.c_contiguous
+    w1f = np.ascontiguousarray(w1, dtype=np.float32)   # [2, 3]
+    b1f = np.ascontiguousarray(b1, dtype=np.float32)
+    w2f = np.ascontiguousarray(w2, dtype=np.float32)
+    minmax = np.array([dist_q.shape[0], 0], dtype=np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.lol_block(dist_q.ctypes.data_as(fp), dist_q.shape[0],
+                  dist_t.ctypes.data_as(fp), dist_t.shape[0],
+                  aq.ctypes.data_as(i64p), at.ctypes.data_as(i64p),
+                  len(aq), g0, g1, g2, g3,
+                  w1f.ctypes.data_as(fp), b1f.ctypes.data_as(fp),
+                  w2f.ctypes.data_as(fp), ctypes.c_float(float(b2)),
+                  lol_m.ctypes.data_as(fp), minmax.ctypes.data_as(i64p))
+    return int(minmax[0]), int(minmax[1])
+
+
+def fwbw_posterior(s: np.ndarray, go: float, ge: float, temperature: float):
+    """Scaled linear-space FwBw posterior. Returns (P, max_p) or None
+    without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(s, dtype=np.float64)
+    L1, L2 = s.shape
+    P = np.empty((L1, L2), dtype=np.float64)
+    mp = np.zeros(1, dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.fwbw_posterior_c(s.ctypes.data_as(dp), L1, L2,
+                         ctypes.c_double(go), ctypes.c_double(ge),
+                         ctypes.c_double(temperature),
+                         P.ctypes.data_as(dp), mp.ctypes.data_as(dp))
+    return P, float(mp[0])
 
 def lddt_aligned(qa: np.ndarray, ta: np.ndarray, deg: np.ndarray):
     """C-alpha LDDT over aligned columns. Returns (avg, per_col, score_len)

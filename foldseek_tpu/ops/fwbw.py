@@ -66,7 +66,16 @@ def _forward_m(s: np.ndarray, go: float, ge: float) -> np.ndarray:
 def fwbw_posterior(score: np.ndarray, gap_open: float = -1.5,
                    gap_extend: float = -0.0,
                    temperature: float = 4.0) -> Tuple[np.ndarray, float]:
-    """Posterior alignment probabilities P [L1, L2] and max P."""
+    """Posterior alignment probabilities P [L1, L2] and max P.
+
+    Dispatches to the native scaled linear-space implementation (the
+    reference's own formulation family); the log-space numpy path below
+    is the semantics reference (exact vs brute force)."""
+    from .. import native
+    res = native.fwbw_posterior(np.asarray(score, dtype=np.float64),
+                                gap_open, gap_extend, temperature)
+    if res is not None:
+        return res
     s = np.asarray(score, dtype=np.float64) / temperature
     go = gap_open / temperature
     ge = gap_extend / temperature

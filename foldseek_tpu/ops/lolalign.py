@@ -138,8 +138,9 @@ class LoLAligner:
     def _fwd_score_matrix(self, t_aa, t_ss):
         ssq = np.minimum(self.q_ss, 19)
         sst = np.minimum(np.asarray(t_ss), 19)
-        return (self.sub_aa[self.q_aa][:, t_aa] * np.float32(1.4)
-                + MAT3DI_LOL[ssq][:, sst] * np.float32(2.1)).astype(np.float32)
+        return np.ascontiguousarray(
+            (self.sub_aa[self.q_aa][:, t_aa] * np.float32(1.4)
+             + MAT3DI_LOL[ssq][:, sst] * np.float32(2.1)).astype(np.float32))
 
     @staticmethod
     def _calc_gap(aq, at, gaps, q_len, t_len):
@@ -179,6 +180,14 @@ class LoLAligner:
         anchors_t = np.nonzero(at == 2)[0]
         n = min(len(anchors_q), len(anchors_t))
         if n == 0 or g1 <= g0 or g3 <= g2:
+            return
+        from .. import native
+        mm = native.lol_block(self.dist_q, dist_t, anchors_q[:n],
+                              anchors_t[:n], g0, g1, g2, g3,
+                              W1, B1, W2, float(B2), lol_m)
+        if mm is not None:
+            self._min_idx = min(self._min_idx, mm[0])
+            self._max_idx = max(self._max_idx, mm[1])
             return
         rows = np.arange(g0, g1)
         for k in range(n):

@@ -2101,6 +2101,55 @@ int nw_gotoh_f32(const float* score, int ylen, int xlen,
     return 0;
 }
 
+
+// LoLalign lolMatrix block accumulation (ops/lolalign.py::_lol_matrix_block;
+// reference src/strucclustutils/LoLAlign.cpp lolMatrix): for every new
+// anchor pair (aq[k], at[k]) add the 2->3->1 ReLU LoL net score of
+// |dist_q[aq,row] - dist_t[at,col]| and the log sequence offset to the
+// unanchored block rows [g0,g1) x cols [g2,g3) of lol_m. Rows with
+// dist_q <= 0 contribute nothing. Also reports the min/max contributing
+// row (the python caller tracks the touched row range). The inner column
+// loop is vertical: fabs + 3 fused mul-add + relu per cell.
+int lol_block(const float* dist_q, int qL, const float* dist_t, int tL,
+              const int64_t* anch_q, const int64_t* anch_t, int n_anch,
+              int g0, int g1, int g2, int g3,
+              const float* w1, const float* b1, const float* w2, float b2,
+              float* lol_m, int64_t* minmax_row) {
+    int64_t min_row = minmax_row[0], max_row = minmax_row[1];
+    const float w10 = w1[0], w11 = w1[1], w12 = w1[2];  // d_seq weights
+    const float w20 = w1[3], w21 = w1[4], w22 = w1[5];  // d_dist weights
+    for (int k = 0; k < n_anch; k++) {
+        const int aq = (int)anch_q[k];
+        const int at = (int)anch_t[k];
+        const float* dq_row = dist_q + (size_t)aq * qL;
+        const float* dt_row = dist_t + (size_t)at * tL;
+        for (int row = g0; row < g1; row++) {
+            const float dqv = dq_row[row];
+            if (!(dqv > 0.0f)) continue;
+            if (row < min_row) min_row = row;
+            if (row + 1 > max_row) max_row = row + 1;
+            const float diff = (float)aq - (float)row;
+            const float ds = std::copysign(1.0f, diff)
+                             * std::log1p(std::fabs(diff));
+            const float h0 = ds * w10 + b1[0];
+            const float h1 = ds * w11 + b1[1];
+            const float h2 = ds * w12 + b1[2];
+            float* out = lol_m + (size_t)row * tL;
+            for (int col = g2; col < g3; col++) {
+                const float dd = std::fabs(dqv - dt_row[col]);
+                float s = b2;
+                s += w2[0] * std::max(0.0f, h0 + dd * w20);
+                s += w2[1] * std::max(0.0f, h1 + dd * w21);
+                s += w2[2] * std::max(0.0f, h2 + dd * w22);
+                out[col] += s;
+            }
+        }
+    }
+    minmax_row[0] = min_row;
+    minmax_row[1] = max_row;
+    return 0;
+}
+
 // C-alpha LDDT over the aligned columns of one hit (src/commons/LDDT.cpp
 // semantics as re-derived in ops/lddt.py): query-side <15A pairs scored
 // 0.25 * #(|dq - dt| < {0.5,1,2,4}), column-normalized by the query
@@ -2145,6 +2194,122 @@ int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
     return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// FwBw posterior in scaled linear space (ops/fwbw.py::fwbw_posterior;
+// the reference's Fwbw.cpp uses the same rescaled-probability
+// formulation family, lib/mmseqs/src/alignment/Fwbw.cpp). State is kept
+// as probabilities scaled by exp(-C[b]) with one log scale per column
+// block per row: comparisons only ever span one block's content, and the
+// two cross-block terms (the serial E carry and the diagonal feed at a
+// block's first column) are adjusted by explicit exp(dC) factors, so
+// alignments living in different column regions never suppress each
+// other. Values more than ~700 log-units under their own block scale
+// underflow to zero — they could only produce posteriors below double
+// range anyway. Recurrences (Go = exp(go'), Ge = exp(ge')):
+//   m(i,j) = ES(i,j) * (m(i-1,j-1) + e(i-1,j-1) + f(i-1,j-1) + 1)
+//   e(i,j) = Go * m(i,j-1) + Ge * e(i,j-1)
+//   f(i,j) = Go * m(i-1,j) + Ge * f(i-1,j)
+//   Z = sum_ij m_fwd;  P = m_fwd * m_bwd / ES / Z
+
+static const int FWBW_BLK = 128;
+static const double FWBW_RENORM = 1e100;
+
+// One scaled forward pass. ES: [L1*L2] row-major exp(score/T).
+// Out: Ms [L1*L2] scaled m rows, C [L1*nb] per-(row, block) log scales.
+static void fwbw_forward_scaled(const double* ES, int L1, int L2,
+                                double Go, double Ge, double* Ms,
+                                double* C) {
+    const int nb = (L2 + FWBW_BLK - 1) / FWBW_BLK;
+    std::vector<double> m_prev(L2, 0.0), e_prev(L2, 0.0), f_prev(L2, 0.0);
+    std::vector<double> e_row(L2), f_row(L2);
+    std::vector<double> c_row(nb, 0.0);   // current row scales (inherited)
+    for (int i = 0; i < L1; i++) {
+        double* m_row = Ms + (size_t)i * L2;
+        const double* es = ES + (size_t)i * L2;
+        for (int b = 0; b < nb; b++) {
+            const int j0 = b * FWBW_BLK;
+            const int j1 = std::min(L2, j0 + FWBW_BLK);
+            const double fresh = std::exp(-c_row[b]);
+            // cross-block factor for the j0 column's left-neighbor terms
+            const double xadj =
+                (b > 0) ? std::exp(c_row[b - 1] - c_row[b]) : 0.0;
+            // f: vertical, no left deps — vectorizable over the block
+            if (i > 0) {
+                for (int j = j0; j < j1; j++)
+                    f_row[j] = Go * m_prev[j] + Ge * f_prev[j];
+            } else {
+                for (int j = j0; j < j1; j++) f_row[j] = 0.0;
+            }
+            // m: needs (i-1, j-1) — vectorizable; j0 handled separately
+            if (i > 0) {
+                if (j0 == 0) {
+                    m_row[0] = es[0] * fresh;
+                } else {
+                    m_row[j0] = es[j0]
+                        * ((m_prev[j0 - 1] + e_prev[j0 - 1]
+                            + f_prev[j0 - 1]) * xadj + fresh);
+                }
+                for (int j = j0 + 1; j < j1; j++)
+                    m_row[j] = es[j]
+                        * (m_prev[j - 1] + e_prev[j - 1] + f_prev[j - 1]
+                           + fresh);
+            } else {
+                for (int j = j0; j < j1; j++) m_row[j] = es[j] * fresh;
+            }
+        }
+        // e: serial left-to-right across the whole row with per-boundary
+        // scale adjustment (uses m of THIS row)
+        {
+            double carry_e = 0.0, carry_m = 0.0;
+            for (int b = 0; b < nb; b++) {
+                const int j0 = b * FWBW_BLK;
+                const int j1 = std::min(L2, j0 + FWBW_BLK);
+                if (b > 0) {
+                    const double xadj = std::exp(c_row[b - 1] - c_row[b]);
+                    carry_e *= xadj;
+                    carry_m *= xadj;
+                }
+                for (int j = j0; j < j1; j++) {
+                    const double e = Go * carry_m + Ge * carry_e;
+                    e_row[j] = e;
+                    carry_e = e;
+                    carry_m = m_row[j];
+                }
+            }
+        }
+        // record scales, then renormalize drifting blocks for the next row
+        for (int b = 0; b < nb; b++) {
+            const int j0 = b * FWBW_BLK;
+            const int j1 = std::min(L2, j0 + FWBW_BLK);
+            C[(size_t)i * nb + b] = c_row[b];
+            double mx = 0.0;
+            for (int j = j0; j < j1; j++) {
+                mx = std::max(mx, m_row[j]);
+                mx = std::max(mx, e_row[j]);
+                mx = std::max(mx, f_row[j]);
+            }
+            if (mx > FWBW_RENORM || (mx > 0.0 && mx < 1.0 / FWBW_RENORM)) {
+                // Ms stays in the scale recorded for THIS row; only the
+                // carried state renormalizes (the next row re-inherits)
+                const double r = 1.0 / mx;
+                for (int j = j0; j < j1; j++) {
+                    m_prev[j] = m_row[j] * r;
+                    e_prev[j] = e_row[j] * r;
+                    f_prev[j] = f_row[j] * r;
+                }
+                c_row[b] += std::log(mx);
+            } else {
+                for (int j = j0; j < j1; j++) {
+                    m_prev[j] = m_row[j];
+                    e_prev[j] = e_row[j];
+                    f_prev[j] = f_row[j];
+                }
+            }
+        }
+    }
+}
+
 // ---------------------------------------------------------------------------
 // FwBw log-space forward match matrix (ops/fwbw.py _forward_m; reference
 // lib/mmseqs/src/alignment/Fwbw.cpp forward pass). Same op order as the
@@ -2157,6 +2322,95 @@ static inline double laexp(double a, double b) {
     if (d > 0) return a + log1p(exp(-d));
     if (d <= 0) return b + log1p(exp(d));
     return a + b;  // propagates NaN
+}
+
+
+// Full posterior: forward + backward (forward on the reversed matrix) +
+// stable combine. s: [L1*L2] raw scores; P out [L1*L2]; *max_p out.
+int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
+                     double temperature, double* P, double* max_p) {
+    if (L1 <= 0 || L2 <= 0) { *max_p = 0.0; return 0; }
+    const double T = temperature;
+    const double Go = std::exp(go / T), Ge = std::exp(ge / T);
+    const int nb = (L2 + FWBW_BLK - 1) / FWBW_BLK;
+    const size_t NN = (size_t)L1 * L2;
+    std::vector<double> ES(NN), ESr(NN);
+    for (size_t k = 0; k < NN; k++) ES[k] = std::exp(s[k] / T);
+    for (int i = 0; i < L1; i++)
+        for (int j = 0; j < L2; j++)
+            ESr[(size_t)i * L2 + j] =
+                ES[(size_t)(L1 - 1 - i) * L2 + (L2 - 1 - j)];
+    std::vector<double> Mf(NN), Mb(NN);
+    std::vector<double> Cf((size_t)L1 * nb), Cb((size_t)L1 * nb);
+    fwbw_forward_scaled(ES.data(), L1, L2, Go, Ge, Mf.data(), Cf.data());
+    fwbw_forward_scaled(ESr.data(), L1, L2, Go, Ge, Mb.data(), Cb.data());
+    // logZ = logsumexp over (i, b) of log(sum_block Mf) + Cf
+    double zmax = -1e300;
+    std::vector<double> part((size_t)L1 * nb, -1e300);
+    for (int i = 0; i < L1; i++)
+        for (int b = 0; b < nb; b++) {
+            const int j0 = b * FWBW_BLK, j1 = std::min(L2, j0 + FWBW_BLK);
+            double sblk = 0.0;
+            const double* mr = Mf.data() + (size_t)i * L2;
+            for (int j = j0; j < j1; j++) sblk += mr[j];
+            if (sblk > 0.0) {
+                const double v = std::log(sblk) + Cf[(size_t)i * nb + b];
+                part[(size_t)i * nb + b] = v;
+                if (v > zmax) zmax = v;
+            }
+        }
+    if (zmax <= -1e300) {  // no mass at all
+        std::memset(P, 0, sizeof(double) * NN);
+        *max_p = 0.0;
+        return 0;
+    }
+    double zsum = 0.0;
+    for (size_t k = 0; k < part.size(); k++)
+        if (part[k] > -1e300) zsum += std::exp(part[k] - zmax);
+    const double logZ = zmax + std::log(zsum);
+    // P(i,j) = Mf(i,j) * Mb(L1-1-i, L2-1-j) / ES(i,j)
+    //          * exp(Cf[i][j/B] + Cb[L1-1-i][(L2-1-j)/B] - logZ)
+    double mp = 0.0;
+    for (int i = 0; i < L1; i++) {
+        const double* mfr = Mf.data() + (size_t)i * L2;
+        const double* mbr = Mb.data() + (size_t)(L1 - 1 - i) * L2;
+        const double* cfr = Cf.data() + (size_t)i * nb;
+        const double* cbr = Cb.data() + (size_t)(L1 - 1 - i) * nb;
+        const double* esr = ES.data() + (size_t)i * L2;
+        double* pr = P + (size_t)i * L2;
+        int j = 0;
+        while (j < L2) {
+            const int bf = j / FWBW_BLK;
+            const int jr = L2 - 1 - j;
+            const int bb = jr / FWBW_BLK;
+            // segment where both block indices stay constant
+            int jend = std::min((bf + 1) * FWBW_BLK, L2);
+            const int jr_lo = bb * FWBW_BLK;       // jr decreases with j
+            jend = std::min(jend, j + (jr - jr_lo) + 1);
+            const double arg = cfr[bf] + cbr[bb] - logZ;
+            if (arg < 690.0) {
+                const double fac = std::exp(arg);
+                for (; j < jend; j++) {
+                    const double p = mfr[j] * mbr[L2 - 1 - j];
+                    const double v = (p > 0.0) ? p / esr[j] * fac : 0.0;
+                    pr[j] = v;
+                    if (v > mp) mp = v;
+                }
+            } else {
+                // enormous scale gap: combine in log space cell by cell
+                for (; j < jend; j++) {
+                    const double p = mfr[j] * mbr[L2 - 1 - j];
+                    double v = 0.0;
+                    if (p > 0.0)
+                        v = std::exp(std::log(p) - std::log(esr[j]) + arg);
+                    pr[j] = v;
+                    if (v > mp) mp = v;
+                }
+            }
+        }
+    }
+    *max_p = mp;
+    return 0;
 }
 
 int fwbw_forward_m(const double* s, int L1, int L2, double go, double ge,
