@@ -115,6 +115,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                          ctypes.c_double, ctypes.c_double,
                                          ctypes.c_double, dp, dp]
         lib.fwbw_posterior_c.restype = ctypes.c_int
+        lib.lolalign_c.argtypes = [fp, ctypes.c_int, ctypes.c_int, fp, fp,
+                                   ctypes.c_int, ctypes.c_int,
+                                   fp, fp, fp, ctypes.c_float,
+                                   ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_int,
+                                   ctypes.c_int, i8p, i8p, i32p]
+        lib.lolalign_c.restype = ctypes.c_int
+        lib.lol_anchor_score_c.argtypes = [i8p, i8p, ctypes.c_int,
+                                           ctypes.c_int, fp, fp, fp, fp, fp,
+                                           fp, ctypes.c_float, i64p, i64p,
+                                           i32p, dp]
+        lib.lol_anchor_score_c.restype = ctypes.c_int
         lib.fwbw_forward_m.argtypes = [dp, ctypes.c_int, ctypes.c_int,
                                        ctypes.c_double, ctypes.c_double, dp]
         lib.fwbw_forward_m.restype = ctypes.c_int
@@ -567,6 +581,90 @@ def fwbw_posterior(s: np.ndarray, go: float, ge: float, temperature: float):
                          ctypes.c_double(temperature),
                          P.ctypes.data_as(dp), mp.ctypes.data_as(dp))
     return P, float(mp[0])
+
+
+def lolalign_full(lol_m0: np.ndarray, dist_q: np.ndarray, dist_t: np.ndarray,
+                  sal: int, multi_domain: bool,
+                  w1: np.ndarray, b1: np.ndarray, w2: np.ndarray, b2: float,
+                  sa_go: float, sa_ge: float, sa_t: float,
+                  lol_go: float, lol_ge: float, lol_t: float,
+                  lol_min_p: float, num_start_anchors: int,
+                  seed_number: int):
+    """Full LoLalign orchestration. Returns (aq, at) int8 state arrays of
+    the winning anchor set, "none" when no alignment exists, or None
+    without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lol_m0 = np.ascontiguousarray(lol_m0, dtype=np.float32)
+    dist_q = np.ascontiguousarray(dist_q, dtype=np.float32)
+    dist_t = np.ascontiguousarray(dist_t, dtype=np.float32)
+    qL, tL = lol_m0.shape
+    aq = np.zeros(qL, dtype=np.int8)
+    at = np.zeros(tL, dtype=np.int8)
+    found = np.zeros(1, dtype=np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i8p_ = ctypes.POINTER(ctypes.c_int8)
+    i32p_ = ctypes.POINTER(ctypes.c_int32)
+    w1f = np.ascontiguousarray(w1, dtype=np.float32)
+    b1f = np.ascontiguousarray(b1, dtype=np.float32)
+    w2f = np.ascontiguousarray(w2, dtype=np.float32)
+    lib.lolalign_c(lol_m0.ctypes.data_as(fp), qL, tL,
+                   dist_q.ctypes.data_as(fp), dist_t.ctypes.data_as(fp),
+                   sal, 1 if multi_domain else 0,
+                   w1f.ctypes.data_as(fp), b1f.ctypes.data_as(fp),
+                   w2f.ctypes.data_as(fp), ctypes.c_float(float(b2)),
+                   sa_go, sa_ge, sa_t, lol_go, lol_ge, lol_t,
+                   lol_min_p, num_start_anchors, seed_number,
+                   aq.ctypes.data_as(i8p_), at.ctypes.data_as(i8p_),
+                   found.ctypes.data_as(i32p_))
+    if not found[0]:
+        return "none"
+    return aq, at
+
+
+def lol_anchor_score(aq: np.ndarray, at: np.ndarray, lol_m0: np.ndarray,
+                     dist_q: np.ndarray, dist_t: np.ndarray,
+                     w1: np.ndarray, b1: np.ndarray, w2: np.ndarray,
+                     b2: float):
+    """Anchor-set LoL scoring. Returns (total, max_lol, norm_selfhit,
+    fa_q, fa_t) or None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    aq = np.ascontiguousarray(aq, dtype=np.int8)
+    at = np.ascontiguousarray(at, dtype=np.int8)
+    lol_m0 = np.ascontiguousarray(lol_m0, dtype=np.float32)
+    dist_q = np.ascontiguousarray(dist_q, dtype=np.float32)
+    dist_t = np.ascontiguousarray(dist_t, dtype=np.float32)
+    qL, tL = lol_m0.shape
+    nmax = min(qL, tL)
+    fa_q = np.zeros(nmax, dtype=np.int64)
+    fa_t = np.zeros(nmax, dtype=np.int64)
+    nn_ = np.zeros(1, dtype=np.int32)
+    out3 = np.zeros(3, dtype=np.float64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    dpp = ctypes.POINTER(ctypes.c_double)
+    w1f = np.ascontiguousarray(w1, dtype=np.float32)
+    b1f = np.ascontiguousarray(b1, dtype=np.float32)
+    w2f = np.ascontiguousarray(w2, dtype=np.float32)
+    lib.lol_anchor_score_c(aq.ctypes.data_as(i8), at.ctypes.data_as(i8),
+                           qL, tL, lol_m0.ctypes.data_as(fp),
+                           dist_q.ctypes.data_as(fp),
+                           dist_t.ctypes.data_as(fp),
+                           w1f.ctypes.data_as(fp), b1f.ctypes.data_as(fp),
+                           w2f.ctypes.data_as(fp),
+                           ctypes.c_float(float(b2)),
+                           fa_q.ctypes.data_as(i64),
+                           fa_t.ctypes.data_as(i64),
+                           nn_.ctypes.data_as(i32),
+                           out3.ctypes.data_as(dpp))
+    n = int(nn_[0])
+    return (float(out3[0]), float(out3[1]), float(out3[2]),
+            fa_q[:n], fa_t[:n])
 
 def lddt_aligned(qa: np.ndarray, ta: np.ndarray, deg: np.ndarray):
     """C-alpha LDDT over aligned columns. Returns (avg, per_col, score_len)

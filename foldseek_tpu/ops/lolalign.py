@@ -214,7 +214,21 @@ class LoLAligner:
         sal = self.start_anchor_len
         self._min_idx, self._max_idx = qL, 0
         lol_m = self._fwd_score_matrix(t_aa, t_ss)
+        self._lol_m0 = lol_m  # reused by _anchor_lol_score (native scorer)
         dist_t = _dist_matrix(np.asarray(t_ca, dtype=np.float32), cutoff=False)
+
+        # one-call native orchestration (same seeding/grow/selection logic
+        # compiled; the python below is the semantics reference/fallback)
+        from .. import native
+        nf = native.lolalign_full(
+            lol_m, self.dist_q, dist_t, sal, self.multi_domain,
+            W1, B1, W2, float(B2), START_ANCHOR_GO, START_ANCHOR_GE,
+            START_ANCHOR_T, LOL_GO, LOL_GE, LOL_T, LOL_MIN_P,
+            NUM_START_ANCHORS, SEED_NUMBER)
+        if nf == "none":
+            return None
+        if nf is not None:
+            return self._make_result(nf[0], nf[1], dist_t, t_aa, t_ss, tL)
 
         # ---- start anchors from the global posterior ----
         P, max_p = fwbw_posterior(lol_m, START_ANCHOR_GO, START_ANCHOR_GE,
@@ -350,6 +364,17 @@ class LoLAligner:
     def _anchor_lol_score(self, aq, at, dist_t, t_aa, t_ss):
         """Total LoL score of the anchor set (+ the per-anchor 3Di+AA base),
         plus the self-hit-normalized variant (align:430-470)."""
+        from .. import native
+        lol_m0 = getattr(self, "_lol_m0", None)
+        if lol_m0 is None:
+            lol_m0 = self._fwd_score_matrix(t_aa, t_ss)
+        res = native.lol_anchor_score(aq, at, lol_m0, self.dist_q, dist_t,
+                                      W1, B1, W2, float(B2))
+        if res is not None:
+            total, max_lol, norm_sh, fa_q, fa_t = res
+            if len(fa_q) == 0:
+                return -np.inf, 0.0, 0.0, fa_q, fa_t
+            return total, max_lol, norm_sh, fa_q, fa_t
         fa_q, fa_t = self._anchor_pairs(aq, at)
         n = len(fa_q)
         if n == 0:

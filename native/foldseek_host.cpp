@@ -2102,6 +2102,346 @@ int nw_gotoh_f32(const float* score, int ylen, int xlen,
 }
 
 
+
+// ---------------------------------------------------------------------------
+// Full LoLalign orchestration in one call (ops/lolalign.py::LoLAligner.align
+// is the semantics reference; reference src/strucclustutils/LoLAlign.cpp
+// LoLAlign::align). Python keeps result assembly (_make_result); this
+// returns the winning anchor-set pair (aq/at state arrays).
+
+int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
+                     double temperature, double* P, double* max_p);  // below
+
+static inline float lol_seq_dist(int a, int b) {
+    const float diff = (float)a - (float)b;
+    return std::copysign(1.0f, diff) * std::log1p(std::fabs(diff));
+}
+
+// the 2->3->1 ReLU LoL net; dd < 0 contributes 0
+static inline float lol_net(float dd, float ds, const float* w1,
+                            const float* b1, const float* w2, float b2) {
+    if (dd < 0.0f) return 0.0f;
+    float s = b2;
+    s += w2[0] * std::max(0.0f, ds * w1[0] + dd * w1[3] + b1[0]);
+    s += w2[1] * std::max(0.0f, ds * w1[1] + dd * w1[4] + b1[1]);
+    s += w2[2] * std::max(0.0f, ds * w1[2] + dd * w1[5] + b1[2]);
+    return s;
+}
+
+// calcGap (LoLAlign.cpp:96-136): find the next unanchored block
+static bool lol_calc_gap(const int8_t* aq, const int8_t* at, int q_len,
+                         int t_len, int* g) {
+    int iq = g[1], it = g[3];
+    while (aq[iq] != 0 || at[it] != 0) {
+        if (aq[iq] != 0 && at[it] != 0) { iq++; it++; }
+        else if (aq[iq] == 0) iq++;
+        else it++;
+        if (iq == q_len || it == t_len) return false;
+    }
+    g[0] = iq; g[2] = it;
+    while (aq[iq] == 0 || at[it] == 0) {
+        if (aq[iq] == 0 && at[it] == 0) { iq++; it++; }
+        else if (aq[iq] == 0) iq++;
+        else it++;
+        if (iq == q_len || it == t_len) { iq = q_len; it = t_len; break; }
+    }
+    g[1] = iq; g[3] = it;
+    return true;
+}
+
+// anchor-set LoL total (ops/lolalign.py::_anchor_lol_score total_for_seed)
+static double lol_anchor_total(const int8_t* aq, const int8_t* at, int qL,
+                               int tL, const float* lol_m0,
+                               const float* dist_q, const float* dist_t,
+                               const float* w1, const float* b1,
+                               const float* w2, float b2,
+                               std::vector<int>& fa_q,
+                               std::vector<int>& fa_t) {
+    fa_q.clear(); fa_t.clear();
+    for (int i = 0; i < qL; i++) if (aq[i] != 0) fa_q.push_back(i);
+    for (int j = 0; j < tL; j++) if (at[j] != 0) fa_t.push_back(j);
+    const int n = (int)std::min(fa_q.size(), fa_t.size());
+    fa_q.resize(n); fa_t.resize(n);
+    if (n == 0) return -1e300;
+    double total = 0.0;
+    for (int k = 0; k < n; k++)
+        total += (double)lol_m0[(size_t)fa_q[k] * tL + fa_t[k]];
+    for (int a = 0; a < n; a++) {
+        const float* dqr = dist_q + (size_t)fa_q[a] * qL;
+        const float* dtr = dist_t + (size_t)fa_t[a] * tL;
+        for (int b = 0; b < n; b++) {
+            const float dq = dqr[fa_q[b]];
+            if (!(dq > 0.0f)) continue;
+            const float dd = std::fabs(dq - dtr[fa_t[b]]);
+            const float ds = lol_seq_dist(fa_q[a], fa_q[b]);
+            total += (double)lol_net(dd, ds, w1, b1, w2, b2);
+        }
+    }
+    return total;
+}
+
+
+// anchor-set LoL scoring for result assembly
+// (ops/lolalign.py::_anchor_lol_score): per-anchor LoL vector (3Di+AA
+// base + pairwise net sums), its self-hit variant (zero distance
+// differences), and the derived totals. Outputs the matched anchor pair
+// lists as well.
+int lol_anchor_score_c(const int8_t* aq, const int8_t* at, int qL, int tL,
+                       const float* lol_m0, const float* dist_q,
+                       const float* dist_t, const float* w1,
+                       const float* b1, const float* w2, float b2,
+                       int64_t* fa_q_out, int64_t* fa_t_out,
+                       int32_t* n_out, double* out3) {
+    std::vector<int> fa_q, fa_t;
+    for (int i = 0; i < qL; i++) if (aq[i] != 0) fa_q.push_back(i);
+    for (int j = 0; j < tL; j++) if (at[j] != 0) fa_t.push_back(j);
+    const int n = (int)std::min(fa_q.size(), fa_t.size());
+    *n_out = n;
+    if (n == 0) { out3[0] = -1e300; out3[1] = 0; out3[2] = 0; return 0; }
+    for (int k = 0; k < n; k++) {
+        fa_q_out[k] = fa_q[k];
+        fa_t_out[k] = fa_t[k];
+    }
+    std::vector<double> lolv(n), sh(n, 0.0);
+    for (int b = 0; b < n; b++)
+        lolv[b] = (double)lol_m0[(size_t)fa_q[b] * tL + fa_t[b]];
+    for (int a = 0; a < n; a++) {
+        const float* dqr = dist_q + (size_t)fa_q[a] * qL;
+        const float* dtr = dist_t + (size_t)fa_t[a] * tL;
+        for (int b = 0; b < n; b++) {
+            const float dq = dqr[fa_q[b]];
+            if (!(dq > 0.0f)) continue;
+            const float ds = lol_seq_dist(fa_q[a], fa_q[b]);
+            const float dd = std::fabs(dq - dtr[fa_t[b]]);
+            lolv[b] += (double)lol_net(dd, ds, w1, b1, w2, b2);
+            sh[b] += (double)lol_net(0.0f, ds, w1, b1, w2, b2);
+        }
+    }
+    double total = 0.0, max_lol = 0.0, norm_sh = 0.0;
+    for (int b = 0; b < n; b++) {
+        total += lolv[b];
+        if (sh[b] != 0.0) {
+            max_lol += lolv[b];
+            const double r = lolv[b] / sh[b];
+            if (std::isfinite(r)) norm_sh += r;
+        }
+    }
+    out3[0] = total; out3[1] = max_lol; out3[2] = norm_sh;
+    return 0;
+}
+
+int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
+               const float* dist_t, int sal, int multi_domain,
+               const float* w1, const float* b1, const float* w2, float b2,
+               double sa_go, double sa_ge, double sa_T, double lol_go,
+               double lol_ge, double lol_T, double lol_min_p,
+               int num_start_anchors, int seed_number, int8_t* out_aq,
+               int8_t* out_at, int32_t* out_found) {
+    *out_found = 0;
+    const size_t NN = (size_t)qL * tL;
+    // ---- start anchors from the global posterior ----
+    std::vector<double> sD(NN);
+    for (size_t k = 0; k < NN; k++) sD[k] = (double)lol_m0[k];
+    std::vector<double> P(NN);
+    double mp0;
+    fwbw_posterior_c(sD.data(), qL, tL, sa_go, sa_ge, sa_T, P.data(), &mp0);
+
+    std::vector<float> lol_seed(lol_m0, lol_m0 + NN);  // zeroed in bands
+    const int NA = num_start_anchors;
+    std::vector<int8_t> aq((size_t)NA * qL, 0), at((size_t)NA * tL, 0);
+    std::vector<double> seed_scores(NA, 0.0);
+    int n_seeds = 0;
+    for (int s = 0; s < NA; s++) {
+        const int r0 = sal, r1 = qL - sal, c0 = sal, c1 = tL - sal;
+        if (r1 <= r0 || c1 <= c0) break;
+        // argmax over the interior of P (row-major first max)
+        int mi = r0, mj = c0;
+        double best = -1.0;
+        for (int i = r0; i < r1; i++) {
+            const double* pr = P.data() + (size_t)i * tL;
+            for (int j = c0; j < c1; j++)
+                if (pr[j] > best) { best = pr[j]; mi = i; mj = j; }
+        }
+        // seed score: LoL over the seed diagonal (align:215-247)
+        const int start_row = mi - std::min(mi, mj);
+        const int start_col = mj - std::min(mi, mj);
+        const int diag_len = std::min(qL - start_row, tL - start_col);
+        std::vector<double> vec(diag_len);
+        for (int k = 0; k < diag_len; k++)
+            vec[k] = (double)lol_seed[(size_t)(start_row + k) * tL
+                                      + start_col + k];
+        for (int off = -sal; off < sal; off++) {
+            const float* dqr = dist_q + (size_t)(mi + off) * qL;
+            const float* dtr = dist_t + (size_t)(mj + off) * tL;
+            for (int k = 0; k < diag_len; k++) {
+                const float dq = dqr[start_row + k];
+                if (!(dq > 0.0f)) continue;
+                const float dd = std::fabs(dq - dtr[start_col + k]);
+                const float ds = lol_seq_dist(mi + off, start_row + k);
+                vec[k] += (double)lol_net(dd, ds, w1, b1, w2, b2);
+            }
+        }
+        double cur = vec[0], bst = vec[0];
+        for (int k = 1; k < diag_len; k++) {
+            cur = std::max(vec[k], cur + vec[k]);
+            bst = std::max(bst, cur);
+        }
+        seed_scores[s] = bst;
+        for (int off = -sal; off <= sal; off++) {
+            const int i = mi + off, j = mj + off;
+            aq[(size_t)s * qL + i] = 2;
+            at[(size_t)s * tL + j] = 2;
+            P[(size_t)i * tL + j] = 0.0;
+            lol_seed[(size_t)i * tL + j] = 0.0f;
+        }
+        n_seeds = s + 1;
+    }
+    if (n_seeds == 0) return 0;
+
+    // stable ascending argsort of seed scores (python argsort kind=stable)
+    std::vector<int> order(NA);
+    for (int s = 0; s < NA; s++) order[s] = s;
+    std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+        return seed_scores[a] < seed_scores[b];
+    });
+
+    // ---- grow each of the top seeds ----
+    std::vector<double> prob(NN, 0.0);
+    std::vector<float> lol_work(NN);
+    std::vector<double> blockD;
+    std::vector<double> blockP;
+    std::vector<std::vector<int8_t>> snap_q, snap_t;
+    int min_idx = qL, max_idx = 0;
+    for (int seed_iter = 0; seed_iter < seed_number; seed_iter++) {
+        const int s = order[NA - seed_iter - 1];
+        int8_t* aqs = aq.data() + (size_t)s * qL;
+        int8_t* ats = at.data() + (size_t)s * tL;
+        std::fill(lol_work.begin(), lol_work.end(), 0.0f);
+        bool add_seq = false;
+        for (int iteration = 0; iteration < 1000; iteration++) {
+            int g[4] = {0, 0, 0, 0};
+            while (g[1] < qL && g[3] < tL) {
+                if (!lol_calc_gap(aqs, ats, qL, tL, g)) break;
+                // lolMatrix: every new anchor pair (state 2)
+                std::vector<int> anq, ant;
+                for (int i = 0; i < qL; i++) if (aqs[i] == 2) anq.push_back(i);
+                for (int j = 0; j < tL; j++) if (ats[j] == 2) ant.push_back(j);
+                const int n = (int)std::min(anq.size(), ant.size());
+                for (int k = 0; k < n; k++) {
+                    const int a_q = anq[k], a_t = ant[k];
+                    const float* dqr = dist_q + (size_t)a_q * qL;
+                    const float* dtr = dist_t + (size_t)a_t * tL;
+                    for (int row = g[0]; row < g[1]; row++) {
+                        const float dqv = dqr[row];
+                        if (!(dqv > 0.0f)) continue;
+                        if (row < min_idx) min_idx = row;
+                        if (row + 1 > max_idx) max_idx = row + 1;
+                        const float ds = lol_seq_dist(a_q, row);
+                        const float h0 = ds * w1[0] + b1[0];
+                        const float h1 = ds * w1[1] + b1[1];
+                        const float h2 = ds * w1[2] + b1[2];
+                        float* outr = lol_work.data() + (size_t)row * tL;
+                        for (int col = g[2]; col < g[3]; col++) {
+                            const float dd = std::fabs(dqv - dtr[col]);
+                            float v = b2;
+                            v += w2[0] * std::max(0.0f, h0 + dd * w1[3]);
+                            v += w2[1] * std::max(0.0f, h1 + dd * w1[4]);
+                            v += w2[2] * std::max(0.0f, h2 + dd * w1[5]);
+                            outr[col] += v;
+                        }
+                    }
+                }
+            }
+            for (int i = 0; i < qL; i++) if (aqs[i] == 2) aqs[i] = 1;
+            for (int j = 0; j < tL; j++) if (ats[j] == 2) ats[j] = 1;
+
+            // forward-backward over the gap segments
+            double max_p_iter = (iteration == 0) ? 0.5 : lol_min_p;
+            g[0] = min_idx; g[1] = 0; g[2] = 0; g[3] = 0;
+            while (g[1] < max_idx && g[3] < tL) {
+                if (!lol_calc_gap(aqs, ats, max_idx, tL, g)) break;
+                const int rows = g[1] - g[0], cols = g[3] - g[2];
+                if (rows <= 0 || cols <= 0) continue;
+                blockD.resize((size_t)rows * cols);
+                blockP.resize((size_t)rows * cols);
+                for (int i = 0; i < rows; i++)
+                    for (int j = 0; j < cols; j++)
+                        blockD[(size_t)i * cols + j] = (double)
+                            lol_work[(size_t)(g[0] + i) * tL + g[2] + j];
+                double mp;
+                fwbw_posterior_c(blockD.data(), rows, cols, lol_go, lol_ge,
+                                 lol_T, blockP.data(), &mp);
+                if (mp > max_p_iter) max_p_iter = mp;
+                for (int i = 0; i < rows; i++)
+                    for (int j = 0; j < cols; j++)
+                        prob[(size_t)(g[0] + i) * tL + g[2] + j] =
+                            blockP[(size_t)i * cols + j];
+            }
+
+            // anchor qualifying pairs
+            int new_anchors = 0;
+            g[0] = min_idx; g[1] = 0; g[2] = 0; g[3] = 0;
+            const double thr = max_p_iter - 0.1;
+            while (g[1] < max_idx && g[3] < tL) {
+                if (!lol_calc_gap(aqs, ats, max_idx, tL, g)) break;
+                for (int i = g[0]; i < g[1]; i++) {
+                    if (aqs[i] != 0) continue;
+                    const double* pr = prob.data() + (size_t)i * tL;
+                    for (int j = g[2]; j < g[3]; j++) {
+                        if (pr[j] > thr && ats[j] == 0) {
+                            aqs[i] = 2;
+                            ats[j] = 2;
+                            new_anchors++;
+                            break;
+                        }
+                    }
+                }
+            }
+            if (new_anchors == 0) {
+                if (multi_domain && !add_seq) {
+                    // multi-domain extension (align:281-322)
+                    add_seq = true;
+                    snap_q.emplace_back(aqs, aqs + qL);
+                    snap_t.emplace_back(ats, ats + tL);
+                    min_idx = 0; max_idx = qL;
+                    for (size_t k = 0; k < NN; k++) lol_work[k] += lol_m0[k];
+                    continue;
+                }
+                break;
+            }
+        }
+    }
+
+    // ---- pick the best anchor set by total LoL score ----
+    double best_score = -1e300;
+    int best_seed = -1, best_snap = -1;
+    std::vector<int> fa_q, fa_t;
+    for (int k = 0; k < seed_number; k++) {
+        const int s = order[NA - k - 1];
+        const double tot = lol_anchor_total(
+            aq.data() + (size_t)s * qL, at.data() + (size_t)s * tL, qL, tL,
+            lol_m0, dist_q, dist_t, w1, b1, w2, b2, fa_q, fa_t);
+        if (tot > best_score) { best_score = tot; best_seed = s; best_snap = -1; }
+    }
+    for (size_t k = 0; k < snap_q.size(); k++) {
+        const double tot = lol_anchor_total(
+            snap_q[k].data(), snap_t[k].data(), qL, tL, lol_m0, dist_q,
+            dist_t, w1, b1, w2, b2, fa_q, fa_t);
+        if (tot > best_score) { best_score = tot; best_snap = (int)k; }
+    }
+    if (best_snap >= 0) {
+        std::memcpy(out_aq, snap_q[best_snap].data(), qL);
+        std::memcpy(out_at, snap_t[best_snap].data(), tL);
+    } else if (best_seed >= 0) {
+        std::memcpy(out_aq, aq.data() + (size_t)best_seed * qL, qL);
+        std::memcpy(out_at, at.data() + (size_t)best_seed * tL, tL);
+    } else {
+        return 0;
+    }
+    *out_found = 1;
+    return 0;
+}
+
 // LoLalign lolMatrix block accumulation (ops/lolalign.py::_lol_matrix_block;
 // reference src/strucclustutils/LoLAlign.cpp lolMatrix): for every new
 // anchor pair (aq[k], at[k]) add the 2->3->1 ReLU LoL net score of
