@@ -2166,16 +2166,24 @@ static double lol_anchor_total(const int8_t* aq, const int8_t* at, int qL,
     double total = 0.0;
     for (int k = 0; k < n; k++)
         total += (double)lol_m0[(size_t)fa_q[k] * tL + fa_t[k]];
+    // ds depends only on fa_q[a] - fa_q[b]: one log1p per delta
+    static thread_local std::vector<float> ds_tab;
+    ds_tab.resize(2 * qL + 1);
+    for (int d = -qL; d <= qL; d++)
+        ds_tab[d + qL] = std::copysign(1.0f, (float)d)
+                         * std::log1p(std::fabs((float)d));
     for (int a = 0; a < n; a++) {
         const float* dqr = dist_q + (size_t)fa_q[a] * qL;
         const float* dtr = dist_t + (size_t)fa_t[a] * tL;
+        const float* dst = ds_tab.data() + qL - fa_q[a];  // [-fa_q[b]]
         for (int b = 0; b < n; b++) {
             const float dq = dqr[fa_q[b]];
             if (!(dq > 0.0f)) continue;
             const float dd = std::fabs(dq - dtr[fa_t[b]]);
-            const float ds = lol_seq_dist(fa_q[a], fa_q[b]);
+            const float ds = ds_tab[qL + fa_q[a] - fa_q[b]];
             total += (double)lol_net(dd, ds, w1, b1, w2, b2);
         }
+        (void)dst;
     }
     return total;
 }
@@ -2205,16 +2213,27 @@ int lol_anchor_score_c(const int8_t* aq, const int8_t* at, int qL, int tL,
     std::vector<double> lolv(n), sh(n, 0.0);
     for (int b = 0; b < n; b++)
         lolv[b] = (double)lol_m0[(size_t)fa_q[b] * tL + fa_t[b]];
+    // ds and the self-hit net value depend only on fa_q[a] - fa_q[b]:
+    // one log1p / one lol_net(0, ds) per index delta
+    static thread_local std::vector<float> ds_tab, sh_tab;
+    ds_tab.resize(2 * qL + 1);
+    sh_tab.resize(2 * qL + 1);
+    for (int d = -qL; d <= qL; d++) {
+        const float ds = std::copysign(1.0f, (float)d)
+                         * std::log1p(std::fabs((float)d));
+        ds_tab[d + qL] = ds;
+        sh_tab[d + qL] = lol_net(0.0f, ds, w1, b1, w2, b2);
+    }
     for (int a = 0; a < n; a++) {
         const float* dqr = dist_q + (size_t)fa_q[a] * qL;
         const float* dtr = dist_t + (size_t)fa_t[a] * tL;
         for (int b = 0; b < n; b++) {
             const float dq = dqr[fa_q[b]];
             if (!(dq > 0.0f)) continue;
-            const float ds = lol_seq_dist(fa_q[a], fa_q[b]);
+            const int di_ = qL + fa_q[a] - fa_q[b];
             const float dd = std::fabs(dq - dtr[fa_t[b]]);
-            lolv[b] += (double)lol_net(dd, ds, w1, b1, w2, b2);
-            sh[b] += (double)lol_net(0.0f, ds, w1, b1, w2, b2);
+            lolv[b] += (double)lol_net(dd, ds_tab[di_], w1, b1, w2, b2);
+            sh[b] += (double)sh_tab[di_];
         }
     }
     double total = 0.0, max_lol = 0.0, norm_sh = 0.0;
