@@ -136,6 +136,10 @@ def main():
     cells_per_batch = B * Q * Lq * Lt
     extra = bench_e2e()
     try:
+        extra.update(bench_aligners())
+    except Exception as e:
+        extra["aligners_error"] = str(e)[:200]
+    try:
         extra.update(bench_scale())
     except Exception as e:  # scale is auxiliary; never fail the line
         extra["scale_error"] = str(e)[:200]
@@ -199,6 +203,65 @@ def bench_e2e():
         }
     except Exception as e:  # e2e is auxiliary; never fail the bench line
         return {"e2e_error": str(e)[:200]}
+
+
+
+# Reference binary aligner-module times on this host (single core,
+# 26-domain SCOP all-vs-all = 673 accepted pairs, measured 2026-08-18):
+# tmalign module 7.343 s, lolalign module 2.889 s.
+REFERENCE_TMALIGN_MS_PER_PAIR = 7343.0 / 673
+REFERENCE_LOLALIGN_MS_PER_PAIR = 2889.0 / 673
+
+
+def bench_aligners():
+    """Host aligner engines over the SCOP all-vs-all accepted pairs:
+    full TM-align (--alignment-type 1) and LoLalign (--alignment-type 3)
+    ms/pair vs the reference binary's module times on the same host."""
+    import os
+    import tempfile
+
+    example = "/root/reference/example"
+    if not os.path.isdir(example):
+        return {}
+    import numpy as _np
+
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.ops.lolalign import LoLAligner
+    from foldseek_tpu.ops.matrices import blosum62
+    from foldseek_tpu.ops.tmalign import tmalign
+
+    files = [os.path.join(example, f) for f in sorted(os.listdir(example))
+             if "tim" not in f]
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        db = create_db(files, os.path.join(td, "scopdb"))
+        pairs = [(q, t) for q in range(db.size) for t in range(db.size)]
+        cas = [_np.asarray(db.get_ca(i), dtype=_np.float32)
+               for i in range(db.size)]
+        aas = [_np.asarray(db.get_aa(i)) for i in range(db.size)]
+        sss = [_np.asarray(db.get_ss(i)) for i in range(db.size)]
+        t0 = time.perf_counter()
+        for q, t in pairs:
+            tmalign(cas[q], cas[t], aas[q], aas[t])
+        dt_tm = time.perf_counter() - t0
+        out["tmalign_ms_per_pair"] = round(dt_tm / len(pairs) * 1000, 2)
+        out["tmalign_vs_reference_1thread"] = round(
+            REFERENCE_TMALIGN_MS_PER_PAIR
+            / (dt_tm / len(pairs) * 1000), 2)
+
+        sub = blosum62(1.4).scores.astype(_np.float32)
+        t0 = time.perf_counter()
+        for q in range(db.size):
+            lol = LoLAligner(multi_domain=True)
+            lol.init_query(cas[q], aas[q], sss[q], sub)
+            for t in range(db.size):
+                lol.align(cas[t], aas[t], sss[t])
+        dt_lol = time.perf_counter() - t0
+        out["lolalign_ms_per_pair"] = round(dt_lol / len(pairs) * 1000, 2)
+        out["lolalign_vs_reference_1thread"] = round(
+            REFERENCE_LOLALIGN_MS_PER_PAIR
+            / (dt_lol / len(pairs) * 1000), 2)
+    return out
 
 
 def bench_scale():

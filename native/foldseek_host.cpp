@@ -2327,8 +2327,7 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
     // ---- grow each of the top seeds ----
     std::vector<double> prob(NN, 0.0);
     std::vector<float> lol_work(NN);
-    std::vector<double> blockD;
-    std::vector<double> blockP;
+    std::vector<double> blockD, blockP;
     std::vector<std::vector<int8_t>> snap_q, snap_t;
     int min_idx = qL, max_idx = 0;
     for (int seed_iter = 0; seed_iter < seed_number; seed_iter++) {
@@ -2339,13 +2338,13 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
         bool add_seq = false;
         for (int iteration = 0; iteration < 1000; iteration++) {
             int g[4] = {0, 0, 0, 0};
+            // new-anchor pairs (state 2) are fixed for this iteration
+            std::vector<int> anq, ant;
+            for (int i = 0; i < qL; i++) if (aqs[i] == 2) anq.push_back(i);
+            for (int j = 0; j < tL; j++) if (ats[j] == 2) ant.push_back(j);
+            const int n = (int)std::min(anq.size(), ant.size());
             while (g[1] < qL && g[3] < tL) {
                 if (!lol_calc_gap(aqs, ats, qL, tL, g)) break;
-                // lolMatrix: every new anchor pair (state 2)
-                std::vector<int> anq, ant;
-                for (int i = 0; i < qL; i++) if (aqs[i] == 2) anq.push_back(i);
-                for (int j = 0; j < tL; j++) if (ats[j] == 2) ant.push_back(j);
-                const int n = (int)std::min(anq.size(), ant.size());
                 for (int k = 0; k < n; k++) {
                     const int a_q = anq[k], a_t = ant[k];
                     const float* dqr = dist_q + (size_t)a_q * qL;
@@ -2554,6 +2553,8 @@ int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
 }
 
 
+}  // extern "C" — the templated FwBw forward needs C++ linkage
+
 // ---------------------------------------------------------------------------
 // FwBw posterior in scaled linear space (ops/fwbw.py::fwbw_posterior;
 // the reference's Fwbw.cpp uses the same rescaled-probability
@@ -2576,29 +2577,48 @@ static const double FWBW_RENORM = 1e100;
 
 // One scaled forward pass. ES: [L1*L2] row-major exp(score/T).
 // Out: Ms [L1*L2] scaled m rows, C [L1*nb] per-(row, block) log scales.
-static void fwbw_forward_scaled(const double* ES, int L1, int L2,
-                                double Go, double Ge, double* Ms,
+// Value type T = double (exported posterior, 1e-9-exact vs brute force)
+// or float (LoLalign-internal blocks: posteriors only gate anchoring
+// thresholds ~0.6, so float state with a ~70-log-unit per-block window
+// is plenty).
+template <typename T>
+static void fwbw_forward_scaled(const T* ES, int L1, int L2,
+                                double Go, double Ge, T* Ms,
                                 double* C) {
+    const double RENORM = sizeof(T) == sizeof(float) ? 1e15 : FWBW_RENORM;
     const int nb = (L2 + FWBW_BLK - 1) / FWBW_BLK;
-    std::vector<double> m_prev(L2, 0.0), e_prev(L2, 0.0), f_prev(L2, 0.0);
-    std::vector<double> e_row(L2), f_row(L2);
+    std::vector<T> m_prev(L2, (T)0), e_prev(L2, (T)0), f_prev(L2, (T)0);
+    std::vector<T> e_row(L2), f_row(L2);
     std::vector<double> c_row(nb, 0.0);   // current row scales (inherited)
     for (int i = 0; i < L1; i++) {
-        double* m_row = Ms + (size_t)i * L2;
-        const double* es = ES + (size_t)i * L2;
+        T* m_row = Ms + (size_t)i * L2;
+        const T* es = ES + (size_t)i * L2;
         for (int b = 0; b < nb; b++) {
             const int j0 = b * FWBW_BLK;
             const int j1 = std::min(L2, j0 + FWBW_BLK);
-            const double fresh = std::exp(-c_row[b]);
+            // equalize scales upward at the boundary: when the left block
+            // carries a larger scale, lift this block to it (rescaling the
+            // carried state down — exact up to rounding) so the cross
+            // factor below never exceeds 1 and cannot overflow
+            if (b > 0 && c_row[b - 1] > c_row[b]) {
+                const T down = (T)std::exp(c_row[b] - c_row[b - 1]);
+                for (int j = j0; j < j1; j++) {
+                    m_prev[j] *= down;
+                    e_prev[j] *= down;
+                    f_prev[j] *= down;
+                }
+                c_row[b] = c_row[b - 1];
+            }
+            const T fresh = (T)std::exp(-c_row[b]);
             // cross-block factor for the j0 column's left-neighbor terms
-            const double xadj =
-                (b > 0) ? std::exp(c_row[b - 1] - c_row[b]) : 0.0;
+            const T xadj =
+                (b > 0) ? (T)std::exp(c_row[b - 1] - c_row[b]) : (T)0;
             // f: vertical, no left deps — vectorizable over the block
             if (i > 0) {
                 for (int j = j0; j < j1; j++)
-                    f_row[j] = Go * m_prev[j] + Ge * f_prev[j];
+                    f_row[j] = (T)Go * m_prev[j] + (T)Ge * f_prev[j];
             } else {
-                for (int j = j0; j < j1; j++) f_row[j] = 0.0;
+                for (int j = j0; j < j1; j++) f_row[j] = (T)0;
             }
             // m: needs (i-1, j-1) — vectorizable; j0 handled separately
             if (i > 0) {
@@ -2620,17 +2640,17 @@ static void fwbw_forward_scaled(const double* ES, int L1, int L2,
         // e: serial left-to-right across the whole row with per-boundary
         // scale adjustment (uses m of THIS row)
         {
-            double carry_e = 0.0, carry_m = 0.0;
+            T carry_e = (T)0, carry_m = (T)0;
             for (int b = 0; b < nb; b++) {
                 const int j0 = b * FWBW_BLK;
                 const int j1 = std::min(L2, j0 + FWBW_BLK);
                 if (b > 0) {
-                    const double xadj = std::exp(c_row[b - 1] - c_row[b]);
+                    const T xadj = (T)std::exp(c_row[b - 1] - c_row[b]);
                     carry_e *= xadj;
                     carry_m *= xadj;
                 }
                 for (int j = j0; j < j1; j++) {
-                    const double e = Go * carry_m + Ge * carry_e;
+                    const T e = (T)Go * carry_m + (T)Ge * carry_e;
                     e_row[j] = e;
                     carry_e = e;
                     carry_m = m_row[j];
@@ -2642,22 +2662,23 @@ static void fwbw_forward_scaled(const double* ES, int L1, int L2,
             const int j0 = b * FWBW_BLK;
             const int j1 = std::min(L2, j0 + FWBW_BLK);
             C[(size_t)i * nb + b] = c_row[b];
-            double mx = 0.0;
+            T mx = (T)0;
             for (int j = j0; j < j1; j++) {
                 mx = std::max(mx, m_row[j]);
                 mx = std::max(mx, e_row[j]);
                 mx = std::max(mx, f_row[j]);
             }
-            if (mx > FWBW_RENORM || (mx > 0.0 && mx < 1.0 / FWBW_RENORM)) {
+            if ((double)mx > RENORM
+                || ((double)mx > 0.0 && (double)mx < 1.0 / RENORM)) {
                 // Ms stays in the scale recorded for THIS row; only the
                 // carried state renormalizes (the next row re-inherits)
-                const double r = 1.0 / mx;
+                const T r = (T)(1.0 / (double)mx);
                 for (int j = j0; j < j1; j++) {
                     m_prev[j] = m_row[j] * r;
                     e_prev[j] = e_row[j] * r;
                     f_prev[j] = f_row[j] * r;
                 }
-                c_row[b] += std::log(mx);
+                c_row[b] += std::log((double)mx);
             } else {
                 for (int j = j0; j < j1; j++) {
                     m_prev[j] = m_row[j];
@@ -2684,6 +2705,11 @@ static inline double laexp(double a, double b) {
 }
 
 
+
+
+extern "C" {
+
+
 // Full posterior: forward + backward (forward on the reversed matrix) +
 // stable combine. s: [L1*L2] raw scores; P out [L1*L2]; *max_p out.
 int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
@@ -2693,14 +2719,15 @@ int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
     const double Go = std::exp(go / T), Ge = std::exp(ge / T);
     const int nb = (L2 + FWBW_BLK - 1) / FWBW_BLK;
     const size_t NN = (size_t)L1 * L2;
-    std::vector<double> ES(NN), ESr(NN);
+    // thread_local scratch: LoLalign calls this per gap block
+    static thread_local std::vector<double> ES, ESr, Mf, Mb, Cf, Cb;
+    ES.resize(NN); ESr.resize(NN); Mf.resize(NN); Mb.resize(NN);
+    Cf.resize((size_t)L1 * nb); Cb.resize((size_t)L1 * nb);
     for (size_t k = 0; k < NN; k++) ES[k] = std::exp(s[k] / T);
     for (int i = 0; i < L1; i++)
         for (int j = 0; j < L2; j++)
             ESr[(size_t)i * L2 + j] =
                 ES[(size_t)(L1 - 1 - i) * L2 + (L2 - 1 - j)];
-    std::vector<double> Mf(NN), Mb(NN);
-    std::vector<double> Cf((size_t)L1 * nb), Cb((size_t)L1 * nb);
     fwbw_forward_scaled(ES.data(), L1, L2, Go, Ge, Mf.data(), Cf.data());
     fwbw_forward_scaled(ESr.data(), L1, L2, Go, Ge, Mb.data(), Cb.data());
     // logZ = logsumexp over (i, b) of log(sum_block Mf) + Cf
