@@ -2111,6 +2111,9 @@ int nw_gotoh_f32(const float* score, int ylen, int xlen,
 
 int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
                      double temperature, double* P, double* max_p);  // below
+static int fwbw_posterior_impl(const double* s, int L1, int L2, double go,
+                               double ge, double temperature, double* P,
+                               double* max_p, int fast_exp);  // below
 
 static inline float lol_seq_dist(int a, int b) {
     const float diff = (float)a - (float)b;
@@ -2263,7 +2266,8 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
     for (size_t k = 0; k < NN; k++) sD[k] = (double)lol_m0[k];
     std::vector<double> P(NN);
     double mp0;
-    fwbw_posterior_c(sD.data(), qL, tL, sa_go, sa_ge, sa_T, P.data(), &mp0);
+    fwbw_posterior_impl(sD.data(), qL, tL, sa_go, sa_ge, sa_T, P.data(),
+                        &mp0, 1);
 
     std::vector<float> lol_seed(lol_m0, lol_m0 + NN);  // zeroed in bands
     const int NA = num_start_anchors;
@@ -2387,8 +2391,8 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
                         blockD[(size_t)i * cols + j] = (double)
                             lol_work[(size_t)(g[0] + i) * tL + g[2] + j];
                 double mp;
-                fwbw_posterior_c(blockD.data(), rows, cols, lol_go, lol_ge,
-                                 lol_T, blockP.data(), &mp);
+                fwbw_posterior_impl(blockD.data(), rows, cols, lol_go,
+                                    lol_ge, lol_T, blockP.data(), &mp, 1);
                 if (mp > max_p_iter) max_p_iter = mp;
                 for (int i = 0; i < rows; i++)
                     for (int j = 0; j < cols; j++)
@@ -2553,6 +2557,64 @@ int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
 }
 
 
+
+// SIMD float exp for the ES fill of the LoLalign-internal FwBw variant:
+// Cephes-style range reduction + degree-5 polynomial, ~1e-7 relative —
+// the DP state stays double, only the per-cell exp(score/T) inputs are
+// float-accurate. The exported fwbw_posterior_c keeps libm exp (its
+// brute-force parity bound is 1e-9).
+#if defined(__AVX2__)
+static inline __m256 expf8(__m256 x) {
+    const __m256 hi = _mm256_set1_ps(87.0f), lo = _mm256_set1_ps(-87.0f);
+    x = _mm256_min_ps(_mm256_max_ps(x, lo), hi);
+    const __m256 log2e = _mm256_set1_ps(1.44269504088896341f);
+    const __m256 c1 = _mm256_set1_ps(0.693359375f);
+    const __m256 c2 = _mm256_set1_ps(-2.12194440e-4f);
+    __m256 fx = _mm256_mul_ps(x, log2e);
+    fx = _mm256_round_ps(fx, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+    x = _mm256_sub_ps(x, _mm256_mul_ps(fx, c1));
+    x = _mm256_sub_ps(x, _mm256_mul_ps(fx, c2));
+    const __m256 z = _mm256_mul_ps(x, x);
+    __m256 y = _mm256_set1_ps(1.9875691500e-4f);
+    y = _mm256_add_ps(_mm256_mul_ps(y, x), _mm256_set1_ps(1.3981999507e-3f));
+    y = _mm256_add_ps(_mm256_mul_ps(y, x), _mm256_set1_ps(8.3334519073e-3f));
+    y = _mm256_add_ps(_mm256_mul_ps(y, x), _mm256_set1_ps(4.1665795894e-2f));
+    y = _mm256_add_ps(_mm256_mul_ps(y, x), _mm256_set1_ps(1.6666665459e-1f));
+    y = _mm256_add_ps(_mm256_mul_ps(y, x), _mm256_set1_ps(5.0000001201e-1f));
+    y = _mm256_add_ps(_mm256_mul_ps(y, z), x);
+    y = _mm256_add_ps(y, _mm256_set1_ps(1.0f));
+    const __m256i n = _mm256_cvtps_epi32(fx);
+    const __m256i pow2 = _mm256_slli_epi32(
+        _mm256_add_epi32(n, _mm256_set1_epi32(127)), 23);
+    return _mm256_mul_ps(y, _mm256_castsi256_ps(pow2));
+}
+#endif
+
+// out[k] = exp(s[k] * invT); fast = SIMD float exp (LoLalign internal)
+static void fwbw_exp_fill(const double* s, size_t n, double invT,
+                          double* out, int fast) {
+#if defined(__AVX2__)
+    if (fast) {
+        size_t k = 0;
+        const __m256 invTv = _mm256_set1_ps((float)invT);
+        for (; k + 8 <= n; k += 8) {
+            const __m128 a = _mm256_cvtpd_ps(_mm256_loadu_pd(s + k));
+            const __m128 b = _mm256_cvtpd_ps(_mm256_loadu_pd(s + k + 4));
+            const __m256 x = _mm256_mul_ps(_mm256_set_m128(b, a), invTv);
+            const __m256 e = expf8(x);
+            _mm256_storeu_pd(out + k,
+                             _mm256_cvtps_pd(_mm256_castps256_ps128(e)));
+            _mm256_storeu_pd(out + k + 4,
+                             _mm256_cvtps_pd(_mm256_extractf128_ps(e, 1)));
+        }
+        for (; k < n; k++) out[k] = (double)std::exp((float)(s[k] * invT));
+        return;
+    }
+#endif
+    (void)fast;
+    for (size_t k = 0; k < n; k++) out[k] = std::exp(s[k] * invT);
+}
+
 }  // extern "C" — the templated FwBw forward needs C++ linkage
 
 // ---------------------------------------------------------------------------
@@ -2712,8 +2774,9 @@ extern "C" {
 
 // Full posterior: forward + backward (forward on the reversed matrix) +
 // stable combine. s: [L1*L2] raw scores; P out [L1*L2]; *max_p out.
-int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
-                     double temperature, double* P, double* max_p) {
+static int fwbw_posterior_impl(const double* s, int L1, int L2, double go,
+                               double ge, double temperature, double* P,
+                               double* max_p, int fast_exp) {
     if (L1 <= 0 || L2 <= 0) { *max_p = 0.0; return 0; }
     const double T = temperature;
     const double Go = std::exp(go / T), Ge = std::exp(ge / T);
@@ -2723,7 +2786,7 @@ int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
     static thread_local std::vector<double> ES, ESr, Mf, Mb, Cf, Cb;
     ES.resize(NN); ESr.resize(NN); Mf.resize(NN); Mb.resize(NN);
     Cf.resize((size_t)L1 * nb); Cb.resize((size_t)L1 * nb);
-    for (size_t k = 0; k < NN; k++) ES[k] = std::exp(s[k] / T);
+    fwbw_exp_fill(s, NN, 1.0 / T, ES.data(), fast_exp);
     for (int i = 0; i < L1; i++)
         for (int j = 0; j < L2; j++)
             ESr[(size_t)i * L2 + j] =
@@ -2797,6 +2860,11 @@ int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
     }
     *max_p = mp;
     return 0;
+}
+
+int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
+                     double temperature, double* P, double* max_p) {
+    return fwbw_posterior_impl(s, L1, L2, go, ge, temperature, P, max_p, 0);
 }
 
 int fwbw_forward_m(const double* s, int L1, int L2, double go, double ge,
