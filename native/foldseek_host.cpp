@@ -768,11 +768,16 @@ static void score_fun8(const T* xt, const T* y, int n, double d,
 template <typename T>
 static void rotate_all(const T* x, int n, const double u[3][3],
                        const double t[3], T* xt) {
+    // u/t hoisted to locals: xt (double in the f64 engine) may alias the
+    // caller's u/t arrays as far as the optimizer knows, forcing reloads
+    const double u00 = u[0][0], u01 = u[0][1], u02 = u[0][2], t0 = t[0];
+    const double u10 = u[1][0], u11 = u[1][1], u12 = u[1][2], t1 = t[1];
+    const double u20 = u[2][0], u21 = u[2][1], u22 = u[2][2], t2 = t[2];
     for (int k = 0; k < n; k++) {
         const T* p = x + 3 * k;
-        for (int a = 0; a < 3; a++)
-            xt[3 * k + a] = (T)(u[a][0] * p[0] + u[a][1] * p[1]
-                                + u[a][2] * p[2] + t[a]);
+        xt[3 * k] = (T)(u00 * p[0] + u01 * p[1] + u02 * p[2] + t0);
+        xt[3 * k + 1] = (T)(u10 * p[0] + u11 * p[1] + u12 * p[2] + t1);
+        xt[3 * k + 2] = (T)(u20 * p[0] + u21 * p[1] + u22 * p[2] + t2);
     }
 }
 
@@ -2522,21 +2527,34 @@ int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
                  double* out2, float* per_col) {
     if (m <= 0) { out2[0] = 0.0; out2[1] = 0.0; return 0; }
     std::vector<float> col_sum(m, 0.0f);
+    // two passes per row: a branchless distance/score fill (vectorizes —
+    // the cutoff becomes a select instead of a skip; adding the masked
+    // 0.0 terms to col_sum is an exact float identity, so results stay
+    // bit-identical to the branchy original) then the scalar accumulation
+    // in the original j order
+    static thread_local std::vector<float> prow;
+    prow.resize(m);
+    float* p = prow.data();
     for (int i = 0; i < m; i++) {
+        const float qx = qa[3 * i], qy = qa[3 * i + 1], qz = qa[3 * i + 2];
+        const float tx = ta[3 * i], ty = ta[3 * i + 1], tz = ta[3 * i + 2];
         for (int j = i + 1; j < m; j++) {
-            float dxq = qa[3 * i] - qa[3 * j];
-            float dyq = qa[3 * i + 1] - qa[3 * j + 1];
-            float dzq = qa[3 * i + 2] - qa[3 * j + 2];
+            float dxq = qx - qa[3 * j];
+            float dyq = qy - qa[3 * j + 1];
+            float dzq = qz - qa[3 * j + 2];
             float dq = std::sqrt(dxq * dxq + dyq * dyq + dzq * dzq);
-            if (dq >= 15.0f) continue;
-            float dxt = ta[3 * i] - ta[3 * j];
-            float dyt = ta[3 * i + 1] - ta[3 * j + 1];
-            float dzt = ta[3 * i + 2] - ta[3 * j + 2];
+            float dxt = tx - ta[3 * j];
+            float dyt = ty - ta[3 * j + 1];
+            float dzt = tz - ta[3 * j + 2];
             float dt = std::sqrt(dxt * dxt + dyt * dyt + dzt * dzt);
             float dl = std::fabs(dq - dt);
-            float p = 0.25f * ((dl < 0.5f) + (dl < 1.0f) + (dl < 2.0f) + (dl < 4.0f));
-            col_sum[i] += p;
-            col_sum[j] += p;
+            float pv = 0.25f
+                * ((dl < 0.5f) + (dl < 1.0f) + (dl < 2.0f) + (dl < 4.0f));
+            p[j] = (dq < 15.0f) ? pv : 0.0f;
+        }
+        for (int j = i + 1; j < m; j++) {
+            col_sum[i] += p[j];
+            col_sum[j] += p[j];
         }
     }
     double total = 0.0;
