@@ -193,9 +193,15 @@ def cluster_db(db: StructDB, params: ClusterParams,
         pref_filtered = {r: [t for t in (line[0] for line in pref.get(r, []))
                              if t in repset]
                          for r in reps}
-        sub = _subdb_view(db, reps)
-        aln = align_all(sub, sub, pref_filtered, replace(align_par),
+        # the reference's lin-stage structurealign runs over the FULL input
+        # DB with the prefilter list restricted to reps
+        # (structurecluster.sh aln.linclust: "$INPUT" "$INPUT" pref_filter2)
+        # — E-values normalize by the full DB's residues, which decides
+        # edges sitting at the E gate; only the cascade steps align subset
+        # DBs (input_step_redundancy)
+        aln = align_all(db, db, pref_filtered, replace(align_par),
                         same_db=True)
+        sub = _subdb_view(db, reps)
         return run_clust([int(k) for k in sub.keys], sub.lengths(),
                          _edges_from_alignments(aln), mode, p.max_iterations)
     lin_pairs = _step_pairs("clu_lin", run_lin_pairs)

@@ -297,6 +297,38 @@ def main():
                  "OK" if lol_ok else "DIVERGED"))
         if not lol_ok:
             failures += 1
+
+        # easy-cluster: identical assignments (cluster members may list in
+        # any order; representatives must match exactly)
+        rc = subprocess.run(
+            [REF_BIN, "easy-cluster", pdb_dir, os.path.join(td, "refclu"),
+             os.path.join(td, "rctmp"), "--threads", "1"],
+            capture_output=True)
+        oc = subprocess.run(
+            [sys.executable, "-m", "foldseek_tpu", "easy-cluster", pdb_dir,
+             os.path.join(td, "ourclu"), os.path.join(td, "octmp")],
+            capture_output=True, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if rc.returncode != 0 or oc.returncode != 0:
+            failures += 1
+            print("cluster-mode: RUN FAILED (ref rc=%d ours rc=%d)"
+                  % (rc.returncode, oc.returncode))
+        else:
+            def clu_sets(path):
+                clus = {}
+                for line in open(path):
+                    rep, mem = line.split()[:2]
+                    clus.setdefault(rep, set()).add(mem)
+                return {frozenset(v) for v in clus.values()}
+            rset = clu_sets(os.path.join(td, "refclu_cluster.tsv"))
+            oset = clu_sets(os.path.join(td, "ourclu_cluster.tsv"))
+            if rset == oset:
+                print("cluster-mode: %d clusters IDENTICAL" % len(rset))
+            else:
+                failures += 1
+                print("cluster-mode: DIVERGED (%d vs %d clusters, %d "
+                      "common)" % (len(rset), len(oset),
+                                   len(rset & oset)))
     return 1 if failures else 0
 
 
