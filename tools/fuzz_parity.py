@@ -79,6 +79,52 @@ def make_fuzz_set(out_dir, n, seed):
     return names
 
 
+
+def make_multimer_set(out_dir, n, seed):
+    """Two-chain complexes derived from the real tim dimers: matched crops
+    of BOTH chains of one complex (plus small jitter) keep a genuine
+    physical interface, so chain-assignment clustering has a well-defined
+    answer (randomly placed chains make the DBSCAN marginal by
+    construction)."""
+    from foldseek_tpu.ingest.pdb import parse_structure
+
+    rng = np.random.default_rng(seed + 7777)
+    dimers = []
+    for f in ("1tim.pdb.gz", "8tim.pdb.gz"):
+        st = parse_structure(os.path.join(EXAMPLE, f))
+        if len(st.chains) >= 2:
+            dimers.append(st.chains[:2])
+    for k in range(n):
+        pair = dimers[int(rng.integers(0, len(dimers)))]
+        name = "cx%04d" % k
+        path = os.path.join(out_dir, name + ".pdb")
+        serial = 1
+        frac = float(rng.uniform(0.6, 1.0))
+        with open(path, "w") as out:
+            for cid, ch in zip("AB", pair):
+                L = len(ch.aa)
+                m = max(40, int(L * frac))
+                s = int(rng.integers(0, L - m + 1))
+                jitter = rng.normal(0.0, 0.05, (m, 3))
+                for i in range(m):
+                    res3 = AA3.get(str(ch.aa[s + i]).upper(), "GLY")
+                    for atom, coord in (("N", ch.n), ("CA", ch.ca),
+                                        ("C", ch.c), ("CB", ch.cb)):
+                        if coord is None:
+                            continue
+                        xyz = np.asarray(coord[s + i], dtype=np.float64)
+                        if not np.isfinite(xyz).all():
+                            continue
+                        xyz = xyz + jitter[i]
+                        out.write(
+                            "ATOM  %5d  %-3s %3s %s%4d    "
+                            "%8.3f%8.3f%8.3f  1.00  0.00           %s\n"
+                            % (serial, atom, res3, cid, i + 1, xyz[0],
+                               xyz[1], xyz[2], atom[0]))
+                        serial += 1
+                out.write("TER\n")
+            out.write("END\n")
+
 FMT_BY_TYPE = {
     1: "query,target,qstart,qend,tstart,tend,alntmscore",
     3: "query,target,evalue,bits",
@@ -329,6 +375,68 @@ def main():
                 print("cluster-mode: DIVERGED (%d vs %d clusters, %d "
                       "common)" % (len(rset), len(oset),
                                    len(rset & oset)))
+
+        # easy-multimersearch: report rows byte-identical
+        mdir = os.path.join(td, "multimers")
+        os.makedirs(mdir)
+        make_multimer_set(mdir, max(6, n // 4), seed)
+        rm = subprocess.run(
+            [REF_BIN, "easy-multimersearch", mdir, mdir,
+             os.path.join(td, "refmm"), os.path.join(td, "rmtmp"),
+             "--threads", "1"], capture_output=True)
+        om = subprocess.run(
+            [sys.executable, "-m", "foldseek_tpu", "easy-multimersearch",
+             mdir, mdir, os.path.join(td, "ourmm"),
+             os.path.join(td, "omtmp")],
+            capture_output=True, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if rm.returncode != 0 or om.returncode != 0:
+            failures += 1
+            print("multimer-mode: RUN FAILED (ref rc=%d ours rc=%d)"
+                  % (rm.returncode, om.returncode))
+        else:
+            # rows must match on every column except the superposition
+            # u/t (cols 6-7): those come out of the chain-pair Kabsch,
+            # f64 here vs float in the reference (~1e-4 drift)
+            # key on the assignment identity (complex pair, chain sets,
+            # assignment id, filter columns); the qTM/tTM and u/t numeric
+            # columns come out of the chain-pair Kabsch — f64 here vs
+            # float in the reference — and compare within tolerance
+            # group on the assignment identity (complex pair, chain sets,
+            # filter columns — NOT the assignid enumeration, which swaps
+            # on near-ties); the qTM/tTM and u/t columns come out of the
+            # chain-pair Kabsch — f64 here vs float in the reference —
+            # and compare within tolerance on the sorted per-group lists
+            def mm_groups(path):
+                out = {}
+                for line in open(path).read().splitlines():
+                    c = line.split("\t")
+                    key = tuple(c[:4] + c[8:-1])
+                    out.setdefault(key, []).append(
+                        (float(c[4]), float(c[5])))
+                for v in out.values():
+                    v.sort()
+                return out
+            rrep = mm_groups(os.path.join(td, "refmm_report"))
+            orep = mm_groups(os.path.join(td, "ourmm_report"))
+            mm_missed = len(set(rrep) ^ set(orep))
+            worst_tm = 0.0
+            n_asn = 0
+            for k in set(rrep) & set(orep):
+                rv, ov = rrep[k], orep[k]
+                n_asn += len(rv)
+                if len(rv) != len(ov):
+                    mm_missed += 1
+                    continue
+                for (rq, rt_), (oq, ot_) in zip(rv, ov):
+                    worst_tm = max(worst_tm, abs(rq - oq), abs(rt_ - ot_))
+            mm_ok = mm_missed == 0 and worst_tm < 1e-2
+            print("multimer-mode: %d assignments (%d group-diff), worst "
+                  "|dTM| %.1e -> %s"
+                  % (n_asn, mm_missed, worst_tm,
+                     "MATCH" if mm_ok else "DIVERGED"))
+            if not mm_ok:
+                failures += 1
     return 1 if failures else 0
 
 
