@@ -259,6 +259,25 @@ def main():
             for r in only_our[:5]:
                 print("  our-only: %s" % r)
 
+        # 3Di-only scoring (alignment-type 0): byte parity like default
+        run_ref(pdb_dir, os.path.join(td, "ref0.m8"),
+                os.path.join(td, "rtmp0"), 0)
+        run_ours(pdb_dir, os.path.join(td, "our0.m8"),
+                 os.path.join(td, "otmp0"), 0)
+        ref0 = norm_rows(os.path.join(td, "ref0.m8"))
+        our0 = set(norm_rows(os.path.join(td, "our0.m8")))
+        miss0 = [r for r in ref0 if r not in our0]
+        if not miss0:
+            print("3di-only-mode: %d rows BYTE-IDENTICAL (+%d extra "
+                  "ours-only)" % (len(ref0), len(our0) - len(ref0)
+                                  + len(miss0)))
+        else:
+            failures += 1
+            print("3di-only-mode: DIVERGED (%d ref rows, %d missing)"
+                  % (len(ref0), len(miss0)))
+            for r in miss0[:3]:
+                print("  ref-only: %s" % r)
+
         # TM-align mode: coordinates identical, TM within band
         run_ref(pdb_dir, os.path.join(td, "ref_tm.m8"),
                 os.path.join(td, "rtmp2"), 1)
