@@ -2116,9 +2116,9 @@ int nw_gotoh_f32(const float* score, int ylen, int xlen,
 
 int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
                      double temperature, double* P, double* max_p);  // below
-static int fwbw_posterior_impl(const double* s, int L1, int L2, double go,
-                               double ge, double temperature, double* P,
-                               double* max_p, int fast_exp);  // below
+static int fwbw_posterior_f32s(const float* s, int stride, int L1, int L2,
+                               double go, double ge, double temperature,
+                               double* P, double* max_p);  // below
 
 static inline float lol_seq_dist(int a, int b) {
     const float diff = (float)a - (float)b;
@@ -2267,14 +2267,14 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
     *out_found = 0;
     const size_t NN = (size_t)qL * tL;
     // ---- start anchors from the global posterior ----
-    std::vector<double> sD(NN);
-    for (size_t k = 0; k < NN; k++) sD[k] = (double)lol_m0[k];
-    std::vector<double> P(NN);
+    static thread_local std::vector<double> P;
+    P.resize(NN);
     double mp0;
-    fwbw_posterior_impl(sD.data(), qL, tL, sa_go, sa_ge, sa_T, P.data(),
-                        &mp0, 1);
+    fwbw_posterior_f32s(lol_m0, tL, qL, tL, sa_go, sa_ge, sa_T, P.data(),
+                        &mp0);
 
-    std::vector<float> lol_seed(lol_m0, lol_m0 + NN);  // zeroed in bands
+    static thread_local std::vector<float> lol_seed;
+    lol_seed.assign(lol_m0, lol_m0 + NN);  // zeroed in bands
     const int NA = num_start_anchors;
     std::vector<int8_t> aq((size_t)NA * qL, 0), at((size_t)NA * tL, 0);
     std::vector<double> seed_scores(NA, 0.0);
@@ -2334,9 +2334,11 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
     });
 
     // ---- grow each of the top seeds ----
-    std::vector<double> prob(NN, 0.0);
-    std::vector<float> lol_work(NN);
-    std::vector<double> blockD, blockP;
+    static thread_local std::vector<double> prob;
+    prob.assign(NN, 0.0);
+    static thread_local std::vector<float> lol_work;
+    lol_work.resize(NN);
+    static thread_local std::vector<double> blockP;
     std::vector<std::vector<int8_t>> snap_q, snap_t;
     int min_idx = qL, max_idx = 0;
     for (int seed_iter = 0; seed_iter < seed_number; seed_iter++) {
@@ -2389,15 +2391,11 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
                 if (!lol_calc_gap(aqs, ats, max_idx, tL, g)) break;
                 const int rows = g[1] - g[0], cols = g[3] - g[2];
                 if (rows <= 0 || cols <= 0) continue;
-                blockD.resize((size_t)rows * cols);
                 blockP.resize((size_t)rows * cols);
-                for (int i = 0; i < rows; i++)
-                    for (int j = 0; j < cols; j++)
-                        blockD[(size_t)i * cols + j] = (double)
-                            lol_work[(size_t)(g[0] + i) * tL + g[2] + j];
                 double mp;
-                fwbw_posterior_impl(blockD.data(), rows, cols, lol_go,
-                                    lol_ge, lol_T, blockP.data(), &mp, 1);
+                fwbw_posterior_f32s(
+                    lol_work.data() + (size_t)g[0] * tL + g[2], tL, rows,
+                    cols, lol_go, lol_ge, lol_T, blockP.data(), &mp);
                 if (mp > max_p_iter) max_p_iter = mp;
                 for (int i = 0; i < rows; i++)
                     for (int j = 0; j < cols; j++)
@@ -2792,19 +2790,25 @@ extern "C" {
 
 // Full posterior: forward + backward (forward on the reversed matrix) +
 // stable combine. s: [L1*L2] raw scores; P out [L1*L2]; *max_p out.
-static int fwbw_posterior_impl(const double* s, int L1, int L2, double go,
-                               double ge, double temperature, double* P,
-                               double* max_p, int fast_exp) {
+// core over a PREFILLED thread_local ES (fwbw_es() below): wrappers fill
+// exp(score/T) from double or strided-float inputs without extra copies
+static std::vector<double>& fwbw_es_buf() {
+    static thread_local std::vector<double> ES;
+    return ES;
+}
+
+static int fwbw_posterior_core(int L1, int L2, double go, double ge,
+                               double temperature, double* P,
+                               double* max_p) {
     if (L1 <= 0 || L2 <= 0) { *max_p = 0.0; return 0; }
     const double T = temperature;
     const double Go = std::exp(go / T), Ge = std::exp(ge / T);
     const int nb = (L2 + FWBW_BLK - 1) / FWBW_BLK;
     const size_t NN = (size_t)L1 * L2;
-    // thread_local scratch: LoLalign calls this per gap block
-    static thread_local std::vector<double> ES, ESr, Mf, Mb, Cf, Cb;
-    ES.resize(NN); ESr.resize(NN); Mf.resize(NN); Mb.resize(NN);
+    std::vector<double>& ES = fwbw_es_buf();
+    static thread_local std::vector<double> ESr, Mf, Mb, Cf, Cb;
+    ESr.resize(NN); Mf.resize(NN); Mb.resize(NN);
     Cf.resize((size_t)L1 * nb); Cb.resize((size_t)L1 * nb);
-    fwbw_exp_fill(s, NN, 1.0 / T, ES.data(), fast_exp);
     for (int i = 0; i < L1; i++)
         for (int j = 0; j < L2; j++)
             ESr[(size_t)i * L2 + j] =
@@ -2878,6 +2882,39 @@ static int fwbw_posterior_impl(const double* s, int L1, int L2, double go,
     }
     *max_p = mp;
     return 0;
+}
+
+static int fwbw_posterior_impl(const double* s, int L1, int L2, double go,
+                               double ge, double temperature, double* P,
+                               double* max_p, int fast_exp) {
+    if (L1 > 0 && L2 > 0) {
+        std::vector<double>& ES = fwbw_es_buf();
+        ES.resize((size_t)L1 * L2);
+        fwbw_exp_fill(s, (size_t)L1 * L2, 1.0 / temperature, ES.data(),
+                      fast_exp);
+    }
+    return fwbw_posterior_core(L1, L2, go, ge, temperature, P, max_p);
+}
+
+// strided float scores (a sub-rectangle of a row-major float matrix):
+// fills ES directly with the SIMD exp — no intermediate double copy
+static int fwbw_posterior_f32s(const float* s, int stride, int L1, int L2,
+                               double go, double ge, double temperature,
+                               double* P, double* max_p) {
+    if (L1 > 0 && L2 > 0) {
+        std::vector<double>& ES = fwbw_es_buf();
+        ES.resize((size_t)L1 * L2);
+        const double invT = 1.0 / temperature;
+        static thread_local std::vector<double> rowtmp;
+        rowtmp.resize(L2);
+        for (int i = 0; i < L1; i++) {
+            const float* sr = s + (size_t)i * stride;
+            for (int j = 0; j < L2; j++) rowtmp[j] = (double)sr[j];
+            fwbw_exp_fill(rowtmp.data(), (size_t)L2, invT,
+                          ES.data() + (size_t)i * L2, 1);
+        }
+    }
+    return fwbw_posterior_core(L1, L2, go, ge, temperature, P, max_p);
 }
 
 int fwbw_posterior_c(const double* s, int L1, int L2, double go, double ge,
