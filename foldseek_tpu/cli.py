@@ -17,6 +17,8 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("-e", "--evalue", type=float, default=10.0,
                    help="E-value threshold (default 10)")
     p.add_argument("-s", "--sensitivity", type=float, default=9.5)
+    p.add_argument("-k", "--kmer-size", dest="kmer_size", type=int,
+                   default=0, help="k-mer size (0 = auto)")
     p.add_argument("--max-seqs", type=int, default=1000)
     p.add_argument("-c", "--cov", dest="cov_thr", type=float, default=0.0)
     p.add_argument("--cov-mode", type=int, default=0)
@@ -78,6 +80,7 @@ def params_from_args(args) -> SearchParams:
 def _params_from_args(args) -> SearchParams:
     return SearchParams(
         evalue_thr=args.evalue, sensitivity=args.sensitivity,
+        kmer_size=getattr(args, "kmer_size", 0),
         max_seqs=args.max_seqs, cov_thr=args.cov_thr, cov_mode=args.cov_mode,
         aln_len_thr=getattr(args, "aln_len_thr", 0),
         seq_id_thr=args.seq_id_thr, alignment_type=args.alignment_type,

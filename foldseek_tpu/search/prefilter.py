@@ -42,4 +42,4 @@ def run_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams) -> Dict[in
         return ungapped_prefilter(qdb, tdb, params)
     # KMER prefilter
     from .kmer import kmer_prefilter
-    return kmer_prefilter(qdb, tdb, params)
+    return kmer_prefilter(qdb, tdb, params, k=params.kmer_size)

@@ -131,7 +131,7 @@ FMT_BY_TYPE = {
 }
 
 
-def run_ref(pdb_dir, out_m8, tmp, alignment_type):
+def run_ref(pdb_dir, out_m8, tmp, alignment_type, extra=()):
     # Type 2 runs createdb + search + convertalis rather than easy-search:
     # the patched reference build (stubbed block-aligner, see
     # tests/golden/README.md) drops marginal short self-hits in easy-search
@@ -141,7 +141,7 @@ def run_ref(pdb_dir, out_m8, tmp, alignment_type):
     if alignment_type == 3:
         cmd = [REF_BIN, "easy-search", pdb_dir, pdb_dir, out_m8, tmp,
                "--threads", "1", "-e", "10", "--alignment-type", "3",
-               "--format-output", FMT_BY_TYPE[3]]
+               "--format-output", FMT_BY_TYPE[3]] + list(extra)
         r = subprocess.run(cmd, capture_output=True)
         if r.returncode != 0:
             raise RuntimeError("reference failed: %s"
@@ -155,7 +155,7 @@ def run_ref(pdb_dir, out_m8, tmp, alignment_type):
         [REF_BIN, "search", db, db, aln, os.path.join(tmp, "st"),
          "--threads", "1", "-e", "10",
          "--alignment-type", str(alignment_type)]
-        + (["-a"] if alignment_type in (1, 3) else []),
+        + (["-a"] if alignment_type in (1, 3) else []) + list(extra),
         [REF_BIN, "convertalis", db, db, aln, out_m8, "--threads", "1"]
         + (["--format-output", FMT_BY_TYPE[alignment_type]]
            if alignment_type in FMT_BY_TYPE else []),
@@ -167,11 +167,11 @@ def run_ref(pdb_dir, out_m8, tmp, alignment_type):
                                % r.stderr.decode()[-400:])
 
 
-def run_ours(pdb_dir, out_m8, tmp, alignment_type):
+def run_ours(pdb_dir, out_m8, tmp, alignment_type, extra=()):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     cmd = [sys.executable, "-m", "foldseek_tpu", "easy-search", pdb_dir,
            pdb_dir, out_m8, tmp, "-e", "10",
-           "--alignment-type", str(alignment_type)]
+           "--alignment-type", str(alignment_type)] + list(extra)
     if alignment_type in FMT_BY_TYPE:
         cmd += ["--format-output", FMT_BY_TYPE[alignment_type]]
     r = subprocess.run(cmd, capture_output=True, env=env,
@@ -362,6 +362,28 @@ def main():
                  "OK" if lol_ok else "DIVERGED"))
         if not lol_ok:
             failures += 1
+
+
+        # parameter variants of the default search, byte parity
+        for tag, extra in (("k7", ("-k", "7")),
+                           ("s7.5", ("-s", "7.5")),
+                           ("maxseqs5", ("--max-seqs", "5"))):
+            run_ref(pdb_dir, os.path.join(td, "ref_%s.m8" % tag),
+                    os.path.join(td, "rtmp_" + tag), 2, extra)
+            run_ours(pdb_dir, os.path.join(td, "our_%s.m8" % tag),
+                     os.path.join(td, "otmp_" + tag), 2, extra)
+            refv = norm_rows(os.path.join(td, "ref_%s.m8" % tag))
+            ourv = set(norm_rows(os.path.join(td, "our_%s.m8" % tag)))
+            missv = [r for r in refv if r not in ourv]
+            if not missv:
+                print("variant-%s: %d rows BYTE-IDENTICAL (+%d ours-only)"
+                      % (tag, len(refv), len(ourv) - len(refv)))
+            else:
+                failures += 1
+                print("variant-%s: DIVERGED (%d ref rows, %d missing)"
+                      % (tag, len(refv), len(missv)))
+                for r in missv[:3]:
+                    print("  ref-only: %s" % r)
 
         # easy-cluster: identical assignments (cluster members may list in
         # any order; representatives must match exactly)
