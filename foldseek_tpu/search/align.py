@@ -141,10 +141,26 @@ class PairScorer:
         for qkey, cands in prefilter.items():
             for tkey in cands:
                 pairs.append((int(qkey), int(tkey)))
-        if not pairs:
-            return
         profs: Dict[int, QueryProfile] = {}
         rprofs: Dict[int, QueryProfile] = {}
+        self.profs = profs
+        self.rprofs = rprofs
+        if not pairs:
+            # every candidate list empty (e.g. all gated away): no device
+            # work, but align_query still looks profiles up per query
+            for qkey in prefilter:
+                if query_profiles is not None:
+                    profs[int(qkey)] = query_profiles[int(qkey)]
+                else:
+                    qi = qkey_to_idx[int(qkey)]
+                    profs[int(qkey)] = QueryProfile(
+                        np.asarray(qdb.get_aa(qi)), np.asarray(qdb.get_ss(qi)),
+                        comp_bias_correction=params.comp_bias_correction,
+                        comp_bias_scale=params.comp_bias_correction_scale,
+                        gap_open=params.gap_open,
+                        gap_extend=params.gap_extend,
+                        with_aa=params.alignment_type != 0)
+            return
         for qkey in prefilter:
             if query_profiles is not None:
                 prof = query_profiles[int(qkey)]

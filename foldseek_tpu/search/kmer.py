@@ -704,12 +704,30 @@ def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
     # (src/workflow/StructureSearch.cpp:101)
     same_db = qdb.path == tdb.path
     tidx_to_key = {i: int(tdb.keys[i]) for i in range(tdb.size)}
+
+    # Util::canBeCovered output gate (Prefiltering.cpp:871-878: applied
+    # after matchQuery/truncation, only for cov modes 0/2/5)
+    tlens = np.asarray(tdb.lengths(), dtype=np.int64)
+    qlens = np.asarray(qdb.lengths(), dtype=np.int64)
+    gate = params.cov_thr > 0.0 and params.cov_mode in (0, 2, 5)
+
+    def keep(qi, tids):
+        if not gate:
+            return tids
+        from .params import can_be_covered
+        ql = int(qlens[qi])
+        return [t for t in tids
+                if can_be_covered(params.cov_thr, params.cov_mode, ql,
+                                  int(tlens[t]))]
+
     splits = plan_kmer_splits(tdb, _kmer_ram_budget())
     if len(splits) == 1:
         pref = KmerPrefilter(tdb, params, k=k, bias_scale=bias_scale,
                              min_diag_score=min_diag_score)
         hits = _query_split(pref, qdb, params, same_db)
-        return {int(qdb.keys[qi]): [tidx_to_key[t] for t, _, _ in hits[qi]]
+        return {int(qdb.keys[qi]):
+                [tidx_to_key[t]
+                 for t in keep(qi, [t for t, _, _ in hits[qi]])]
                 for qi in range(qdb.size)}
 
     # target splits: per-split index build + query, per-query k-way merge
@@ -731,6 +749,7 @@ def kmer_prefilter(qdb: StructDB, tdb: StructDB, params: SearchParams,
         ident = [r for r in rows if same_db and r[0] == qi]
         rest = sorted((r for r in rows if not (same_db and r[0] == qi)),
                       key=lambda x: (-x[1], x[0]))
-        keep = (ident[:1] + rest)[: params.max_seqs]
-        out[int(qdb.keys[qi])] = [tidx_to_key[t] for t, _, _ in keep]
+        kept = (ident[:1] + rest)[: params.max_seqs]
+        out[int(qdb.keys[qi])] = [tidx_to_key[t]
+                                  for t in keep(qi, [t for t, _, _ in kept])]
     return out

@@ -103,6 +103,29 @@ class SearchParams:
         return self
 
 
+
+def can_be_covered_mask(cov_thr: float, cov_mode: int, q_len: int, t_lens):
+    """Vectorized Util::canBeCovered over an array of target lengths."""
+    import numpy as np
+    t = np.asarray(t_lens, dtype=np.float64)
+    if cov_thr <= 0.0:
+        return np.ones(len(t), dtype=bool)
+    q = float(q_len)
+    if cov_mode == 0:
+        return (q / t >= cov_thr) & (t / q >= cov_thr)
+    if cov_mode == 1:
+        return q / t >= cov_thr
+    if cov_mode == 2:
+        return t / q >= cov_thr
+    if cov_mode == 3:
+        return (t / q >= cov_thr) & (t / q <= 1.0)
+    if cov_mode == 4:
+        return (q / t >= cov_thr) & (q / t <= 1.0)
+    if cov_mode == 5:
+        r = np.minimum(t, q) / np.maximum(t, q)
+        return r >= cov_thr
+    return np.ones(len(t), dtype=bool)
+
 def has_coverage(cov_thr: float, cov_mode: int, q_cov: float, t_cov: float) -> bool:
     """reference: Util.h hasCoverage (modes 0-5)."""
     if cov_thr <= 0.0:
@@ -119,14 +142,25 @@ def has_coverage(cov_thr: float, cov_mode: int, q_cov: float, t_cov: float) -> b
 
 
 def can_be_covered(cov_thr: float, cov_mode: int, q_len: int, t_len: int) -> bool:
-    """reference: Util::canBeCovered — length-ratio pre-gate."""
+    """reference: Util::canBeCovered (Util.cpp) — length-ratio pre-gate
+    applied by the prefilters, rescorediagonal and the alignment driver.
+    Deliberately conservative: with target coverage (mode 1) a shorter
+    query can never reach the threshold by this gate even though query
+    gaps can stretch the aligned target span past it — the reference
+    drops such pairs at the prefilter and so do we."""
     if cov_thr <= 0.0:
         return True
-    shorter, longer = (q_len, t_len) if q_len <= t_len else (t_len, q_len)
-    if cov_mode == 0:
-        return shorter / longer >= cov_thr
-    if cov_mode == 1:
-        return True  # every target can in principle be covered by the query
-    if cov_mode == 2:
-        return t_len / q_len >= cov_thr if q_len else True
+    q, t = float(q_len), float(t_len)
+    if cov_mode == 0:    # bidirectional
+        return q / t >= cov_thr and t / q >= cov_thr
+    if cov_mode == 1:    # target coverage
+        return q / t >= cov_thr
+    if cov_mode == 2:    # query coverage
+        return t / q >= cov_thr
+    if cov_mode == 3:    # length of query
+        return cov_thr <= t / q <= 1.0
+    if cov_mode == 4:    # length of target
+        return cov_thr <= q / t <= 1.0
+    if cov_mode == 5:    # length of shorter
+        return min(q, t) / max(q, t) >= cov_thr
     return True

@@ -29,7 +29,7 @@ from ..ops.gapless_pallas import (PAD_LETTER, gapless_scores_batch,
 from ..ops.matrices import mat3di
 from ..ops.sw import calc_comp_bias
 from ..utils.log import logger
-from .params import SearchParams
+from .params import SearchParams, can_be_covered_mask
 
 MIN_DIAG_SCORE = 15
 PREFILTER_BIAS_SCALE = 0.15
@@ -124,6 +124,7 @@ class UngappedPrefilter:
             budget_bytes = device_hbm_budget()
         self.panels = PanelSet.from_db(tdb, budget_bytes)
         self.keys = np.asarray(tdb.keys, dtype=np.int64)
+        self.tlens = np.asarray(tdb.lengths(), dtype=np.int64)
         # device top-k breaks score ties by panel row; that matches the
         # host lexsort((key, -score)) tie order only when keys ascend with
         # entry order (true for createdb output; subdbs may differ) —
@@ -253,6 +254,14 @@ class UngappedPrefilter:
                 s = np.zeros(0, dtype=np.int64)
                 idx = np.zeros(0, dtype=np.int64)
             ok = s > MIN_DIAG_SCORE
+            if params.cov_thr > 0.0:
+                # Util::canBeCovered length pre-gate
+                # (ungappedprefilter.cpp:403 applies it per target before
+                # scoring; host-side masking before the final top-k keeps
+                # the same surviving set)
+                qlen = profs[g].shape[1]
+                ok &= can_be_covered_mask(params.cov_thr, params.cov_mode,
+                                          qlen, self.tlens[idx])
             s, idx = s[ok], idx[ok]
             order = np.lexsort((self.keys[idx], -s))[: params.max_seqs]
             out.append([(int(self.keys[idx[i]]), int(s[i])) for i in order])

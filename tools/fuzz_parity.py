@@ -367,17 +367,23 @@ def main():
         # parameter variants of the default search, byte parity
         for tag, extra in (("k7", ("-k", "7")),
                            ("s7.5", ("-s", "7.5")),
-                           ("maxseqs5", ("--max-seqs", "5"))):
+                           ("maxseqs5", ("--max-seqs", "5")),
+                           ("cov1", ("-c", "0.5", "--cov-mode", "1")),
+                           ("minsid", ("--min-seq-id", "0.3")),
+                           ("altali", ("--alt-ali", "2"))):
             run_ref(pdb_dir, os.path.join(td, "ref_%s.m8" % tag),
                     os.path.join(td, "rtmp_" + tag), 2, extra)
             run_ours(pdb_dir, os.path.join(td, "our_%s.m8" % tag),
                      os.path.join(td, "otmp_" + tag), 2, extra)
+            import collections as _c
             refv = norm_rows(os.path.join(td, "ref_%s.m8" % tag))
-            ourv = set(norm_rows(os.path.join(td, "our_%s.m8" % tag)))
+            ourv_rows = norm_rows(os.path.join(td, "our_%s.m8" % tag))
+            ourv = set(ourv_rows)
             missv = [r for r in refv if r not in ourv]
+            extra = sum((_c.Counter(ourv_rows) - _c.Counter(refv)).values())
             if not missv:
                 print("variant-%s: %d rows BYTE-IDENTICAL (+%d ours-only)"
-                      % (tag, len(refv), len(ourv) - len(refv)))
+                      % (tag, len(refv), extra))
             else:
                 failures += 1
                 print("variant-%s: DIVERGED (%d ref rows, %d missing)"
