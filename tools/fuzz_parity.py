@@ -370,7 +370,10 @@ def main():
                            ("maxseqs5", ("--max-seqs", "5")),
                            ("cov1", ("-c", "0.5", "--cov-mode", "1")),
                            ("minsid", ("--min-seq-id", "0.3")),
-                           ("altali", ("--alt-ali", "2"))):
+                           ("altali", ("--alt-ali", "2")),
+                           ("gates", ("--tmscore-threshold", "0.5",
+                                      "--lddt-threshold", "0.3", "-a")),
+                           ("exh", ("--exhaustive-search", "1"))):
             run_ref(pdb_dir, os.path.join(td, "ref_%s.m8" % tag),
                     os.path.join(td, "rtmp_" + tag), 2, extra)
             run_ours(pdb_dir, os.path.join(td, "our_%s.m8" % tag),
