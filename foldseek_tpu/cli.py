@@ -26,6 +26,8 @@ def _add_search_params(p: argparse.ArgumentParser):
     p.add_argument("--min-aln-len", dest="aln_len_thr", type=int, default=0)
     p.add_argument("--alignment-type", type=int, default=2,
                    help="0: 3Di, 1: TM-align, 2: 3Di+AA")
+    p.add_argument("--e-profile", dest="e_profile", type=float, default=-1.0,
+                   help="e-value gate of non-final profile iterations")
     p.add_argument("--tmscore-threshold", type=float, default=0.0)
     p.add_argument("--tmscore-threshold-mode", type=int, default=0)
     p.add_argument("--lddt-threshold", type=float, default=0.0)
@@ -81,6 +83,7 @@ def _params_from_args(args) -> SearchParams:
     return SearchParams(
         evalue_thr=args.evalue, sensitivity=args.sensitivity,
         kmer_size=getattr(args, "kmer_size", 0),
+        e_profile=getattr(args, "e_profile", -1.0),
         max_seqs=args.max_seqs, cov_thr=args.cov_thr, cov_mode=args.cov_mode,
         aln_len_thr=getattr(args, "aln_len_thr", 0),
         seq_id_thr=args.seq_id_thr, alignment_type=args.alignment_type,

@@ -47,8 +47,11 @@ class SearchParams:
     tmalign_hit_order: int = 0
     tmalign_fast: bool = True
 
-    # iterative profile search (--num-iterations)
+    # iterative profile search (--num-iterations); --e-profile caps the
+    # non-final iterations' e-value gate (unset -> 0.001,
+    # StructureSearch.cpp:163-170)
     num_iterations: int = 1
+    e_profile: float = -1.0  # < 0 = unset
     # search cluster representatives then expand hits through members
     # (--cluster-search, StructureSearch.cpp:193-247)
     cluster_search: int = 0

@@ -134,17 +134,37 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
                      same_db: Optional[bool] = None,
                      tmp_dir: Optional[str] = None) -> Dict[int, List[AlnResult]]:
     """Profile-boosted iterative search (the reference's --num-iterations
-    path, StructureSearch.cpp:158-208): plain search, then re-search with
-    AA+3Di PSSMs built from the previous round's alignments. Each
-    iteration's alignment DB is a resumable stage artifact when a tmp dir
-    is given."""
+    path, StructureSearch.cpp:158-208 + data/structureiterativesearch.sh):
+    plain search, then per iteration (1) prefilter with AA+3Di PSSMs built
+    from the merged alignments so far, (2) subtractdbs — drop candidates
+    already aligned in earlier rounds, (3) align only the NEW candidates
+    with the profile queries, (4) mergedbs — keep every earlier round's
+    records verbatim and append the new ones. Earlier-round hits keep
+    their original sequence-scored records exactly like the reference.
+    Documented deviation: the per-iteration prefilter is the device
+    gapless scan fed with the 3Di PSSM (the reference feeds the PSSM to
+    its k-mer prefilter instead), so marginal NEW candidates can differ;
+    round-1 records are byte-identical either way. Each iteration's
+    alignment DB is a resumable stage artifact when a tmp dir is given."""
+    from dataclasses import replace
+
     from .align import align_all
     from .profile import profile_query, result2profile
     from .stages import make_cache
     if same_db is None:
         same_db = qdb.path == tdb.path
     cache = make_cache(tmp_dir, params, qdb, tdb)
-    results = search(qdb, tdb, params, same_db=same_db, tmp_dir=tmp_dir)
+    # non-final iterations run with the strict profile e-value gate and
+    # backtraces on (StructureSearch.cpp:158-180: evalThr = min(e,
+    # e-profile), 0.001 when --e-profile is unset; addBacktrace = true);
+    # the final iteration restores the caller's -e
+    if params.e_profile >= 0.0:
+        e_nonfinal = min(params.evalue_thr, params.e_profile)
+    else:
+        e_nonfinal = 0.001
+    p_nonfinal = replace(params, evalue_thr=e_nonfinal, add_backtrace=True)
+    p_final = replace(params, add_backtrace=True)
+    results = search(qdb, tdb, p_nonfinal, same_db=same_db, tmp_dir=tmp_dir)
     upref = None
     for it in range(1, num_iterations):
         def run_iter(results=results, it=it):
@@ -163,9 +183,25 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
                 for qkey, qp in qprofiles.items():
                     hits = upref.query_profile(qp.prof_ss, params)
                     pref[qkey] = [k for k, _ in hits]
+            # subtractdbs: only candidates NOT already aligned in earlier
+            # rounds go to the profile alignment
+            # (structureiterativesearch.sh:46-49)
+            aligned = {int(qkey): {int(r.db_key) for r in rs}
+                       for qkey, rs in results.items()}
+            pref = {qkey: [k for k in cands
+                           if int(k) not in aligned.get(int(qkey), set())]
+                    for qkey, cands in pref.items()}
+            p_iter = p_final if it == num_iterations - 1 else p_nonfinal
             with Timer(f"structurealign(iter {it})"):
-                return align_all(qdb, tdb, pref, params, same_db=same_db,
-                                 query_profiles=qprofiles)
+                new = align_all(qdb, tdb, pref, p_iter, same_db=same_db,
+                                query_profiles=qprofiles)
+            # mergedbs: earlier rounds' records stay verbatim, new hits
+            # append (structureiterativesearch.sh:77-101)
+            merged = {}
+            for qkey in set(results) | set(new):
+                merged[qkey] = list(results.get(qkey, [])) + \
+                    list(new.get(qkey, []))
+            return merged
         if cache is not None:
             results = cache.run_aln(f"aln_iter{it}", run_iter)
         else:
@@ -181,7 +217,11 @@ def easy_search(query_input: str, target_input: str, out_path: str,
     tdb = qdb if same_input else ensure_db(target_input, tmp_dir, "target")
     params.add_backtrace = (params.add_backtrace
                             or needs_backtrace(params.format_output)
-                            or params.format_mode in (1, 2, 3, 5))
+                            or params.format_mode in (1, 2, 3, 5)
+                            # the iterative workflow always aligns with -a
+                            # (StructureSearch.cpp:178) and its output
+                            # columns derive from the stored backtraces
+                            or params.num_iterations > 1)
     if params.num_iterations > 1:
         results = iterative_search(qdb, tdb, params, params.num_iterations,
                                    same_db=same_input, tmp_dir=tmp_dir)
