@@ -3,11 +3,21 @@
 
 Generates randomized-but-physical structures (random crops of the SCOP
 example domains with small coordinate jitter, written as plain PDB), runs
-the same all-vs-all search through BOTH implementations, and diffs:
+the same all-vs-all workloads through BOTH implementations, and diffs:
 
   - default search (alignment-type 2): m8 BYTE-IDENTICAL
-  - TM-align mode (alignment-type 1): qstart/qend/tstart/tend identical,
-    alntmscore within 2e-3 (the engine's documented tolerance band)
+  - 3Di-only mode (alignment-type 0): BYTE-IDENTICAL
+  - parameter variants (-k 7 / -s 7.5 / --max-seqs / -c+cov-mode /
+    --min-seq-id / --alt-ali / TM+LDDT gates / --exhaustive-search):
+    BYTE-IDENTICAL
+  - TM-align mode (alignment-type 1): no missed hits, no systematic or
+    large per-pair TM regression (seeded local optima flutter both ways)
+  - LoLalign mode (alignment-type 3): no missed hits, median relative
+    score diff ~0, bounded bifurcation fraction
+  - iterative profile search (--num-iterations 2): informational
+  - easy-cluster: cluster assignments IDENTICAL
+  - easy-multimersearch (real-interface tim-derived dimers): assignment
+    groups identical; qTM/tTM within 1e-2 (f64-vs-float superpositions)
 
 Usage:  python tools/fuzz_parity.py [N_STRUCTURES] [SEED]
 Env:    FOLDSEEK_REF_BIN (default /tmp/ref/build/src/foldseek)
@@ -393,6 +403,22 @@ def main():
                       % (tag, len(refv), len(missv)))
                 for r in missv[:3]:
                     print("  ref-only: %s" % r)
+
+
+        # iterative profile search (informational: workflow semantics match;
+        # profile-scored E/bits drift with the 99.97%-cell-exact PSSMs and
+        # the per-iteration prefilter is the device PSSM scan rather than
+        # the reference's k-mer-with-PSSM path — see search/pipeline.py)
+        run_ref(pdb_dir, os.path.join(td, "ref_it.m8"),
+                os.path.join(td, "rtmp_it"), 2, ("--num-iterations", "2"))
+        run_ours(pdb_dir, os.path.join(td, "our_it.m8"),
+                 os.path.join(td, "otmp_it"), 2, ("--num-iterations", "2"))
+        rit = norm_rows(os.path.join(td, "ref_it.m8"))
+        oit = set(norm_rows(os.path.join(td, "our_it.m8")))
+        exact = sum(1 for r in rit if r in oit)
+        print("iterative-mode (informational): %d/%d reference rows "
+              "byte-exact, %d vs %d total"
+              % (exact, len(rit), len(rit), len(oit)))
 
         # easy-cluster: identical assignments (cluster members may list in
         # any order; representatives must match exactly)
