@@ -420,6 +420,45 @@ def main():
               "byte-exact, %d vs %d total"
               % (exact, len(rit), len(rit), len(oit)))
 
+
+        # easy-rbh between two disjoint halves of the fuzz set
+        # (self-vs-self reduces to self-hits; a split exercises the
+        # reciprocal-best logic on real cross hits)
+        ha = os.path.join(td, "half_a")
+        hb = os.path.join(td, "half_b")
+        os.makedirs(ha); os.makedirs(hb)
+        import shutil as _sh
+        for i, f in enumerate(sorted(os.listdir(pdb_dir))):
+            _sh.copy(os.path.join(pdb_dir, f),
+                     os.path.join(ha if i % 2 == 0 else hb, f))
+        rr = subprocess.run(
+            [REF_BIN, "easy-rbh", ha, hb,
+             os.path.join(td, "refrbh.m8"), os.path.join(td, "rrtmp"),
+             "--threads", "1", "-e", "10"], capture_output=True)
+        orb = subprocess.run(
+            [sys.executable, "-m", "foldseek_tpu", "easy-rbh", ha, hb,
+             os.path.join(td, "ourrbh.m8"),
+             os.path.join(td, "ortmp"), "-e", "10"],
+            capture_output=True, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        if rr.returncode != 0 or orb.returncode != 0:
+            failures += 1
+            print("rbh-mode: RUN FAILED (ref rc=%d ours rc=%d)"
+                  % (rr.returncode, orb.returncode))
+        else:
+            rrows = norm_rows(os.path.join(td, "refrbh.m8"))
+            orows = set(norm_rows(os.path.join(td, "ourrbh.m8")))
+            miss = [r for r in rrows if r not in orows]
+            if not miss:
+                print("rbh-mode: %d rows BYTE-IDENTICAL (+%d ours-only)"
+                      % (len(rrows), len(orows) - len(rrows) + len(miss)))
+            else:
+                failures += 1
+                print("rbh-mode: DIVERGED (%d ref rows, %d missing)"
+                      % (len(rrows), len(miss)))
+                for r in miss[:3]:
+                    print("  ref-only: %s" % r)
+
         # easy-cluster: identical assignments (cluster members may list in
         # any order; representatives must match exactly)
         rc = subprocess.run(
