@@ -2105,41 +2105,67 @@ def cmd_taxonomyreport(argv):
     from .search.resultdb import read_result_db
     tdb = load_db(args.target_db)
     mapping = load_db_mapping(tdb.path) or {}
-    results, _ = read_result_db(args.result_db)
     taxdump = args.taxdump or os.environ.get("FOLDSEEK_TPU_TAXDUMP", "") \
         or os.path.join(args.target_db, "taxdump")
     ncbi = NcbiTaxonomy(taxdump) if taxdump and os.path.isdir(taxdump) else None
-    # one taxon per query: best hit's taxid (LCA when taxonomy available)
     counts = Counter()
     total = 0
-    for qkey, rs in results.items():
-        tids = [mapping.get(r.db_key, 0) for r in rs]
-        tids = [t for t in tids if t]
-        total += 1
-        if not tids:
-            counts[0] += 1
-        elif ncbi is not None:
-            counts[ncbi.lca(tids)] += 1
-        else:
-            counts[tids[0]] += 1
-    # clade counts: propagate up lineages
+    if os.path.isfile(args.result_db):
+        # an LCA assignment TSV (the lca verb's output) — the reference's
+        # standard easy-taxonomy flow feeds taxonomyreport the lca DB
+        # (taxonomyreport.cpp reads per-query taxid records)
+        for line in open(args.result_db):
+            if not line.strip():
+                continue
+            c = line.rstrip("\n").split("\t")
+            counts[int(c[1])] += 1
+            total += 1
+    else:
+        results, _ = read_result_db(args.result_db)
+        # one taxon per query: best hit's taxid (LCA when taxonomy
+        # available)
+        for qkey, rs in results.items():
+            tids = [mapping.get(r.db_key, 0) for r in rs]
+            tids = [t for t in tids if t]
+            total += 1
+            if not tids:
+                counts[0] += 1
+            elif ncbi is not None:
+                counts[ncbi.lca(tids)] += 1
+            else:
+                counts[tids[0]] += 1
+    # clade counts: propagate up lineages; then a kraken-style DFS with
+    # children sorted by clade count descending (taxonomyreport.cpp
+    # taxReport:28-74)
     clade = Counter()
+    children = {}
     if ncbi is not None:
         for tid, n in counts.items():
             if tid == 0:
                 continue
             for anc in ncbi.lineage(tid):
                 clade[anc] += n
+        for tid, par in ncbi.parent.items():
+            if tid != par:
+                children.setdefault(par, []).append(tid)
+        for v in children.values():
+            v.sort()
     with open(args.output, "w") as f:
         if 0 in counts:
             f.write(f"{100.0 * counts[0] / max(total, 1):.4f}\t{counts[0]}\t"
                     f"{counts[0]}\tno rank\t0\tunclassified\n")
         if ncbi is not None:
-            for tid in sorted(clade, key=lambda t: -clade[t]):
-                depth = max(len(ncbi.lineage(tid)) - 1, 0)
-                f.write(f"{100.0 * clade[tid] / max(total, 1):.4f}\t{clade[tid]}"
-                        f"\t{counts.get(tid, 0)}\t{ncbi.rank.get(tid, 'no rank')}"
-                        f"\t{tid}\t{'  ' * depth}{ncbi.name.get(tid, str(tid))}\n")
+            def dfs(tid, depth):
+                if clade.get(tid, 0) == 0:
+                    return
+                f.write(f"{100.0 * clade[tid] / max(total, 1):.4f}"
+                        f"\t{clade[tid]}\t{counts.get(tid, 0)}"
+                        f"\t{ncbi.rank.get(tid, 'no rank')}\t{tid}"
+                        f"\t{'  ' * depth}{ncbi.name.get(tid, str(tid))}\n")
+                for ch in sorted(children.get(tid, []),
+                                 key=lambda t: -clade.get(t, 0)):
+                    dfs(ch, depth + 1)
+            dfs(1, 0)
         else:
             for tid, n in counts.most_common():
                 if tid:

@@ -560,6 +560,95 @@ def main():
                      "MATCH" if mm_ok else "DIVERGED"))
             if not mm_ok:
                 failures += 1
+
+        # taxonomy: lca assignments + kraken report vs the reference's
+        # lca/taxonomyreport modules over a toy taxdump (the reference's
+        # inherited `taxonomy` workflow itself is broken for structure DBs
+        # — its ORF --min-length leaks into the structure search)
+        taxd = os.path.join(td, "taxdump")
+        os.makedirs(taxd)
+        nodes = [(1, 1, "no rank"), (1000, 1, "superkingdom"),
+                 (2000, 1000, "phylum"), (2100, 2000, "genus"),
+                 (2110, 2100, "species"), (2120, 2100, "species"),
+                 (2200, 2000, "genus"), (2210, 2200, "species")]
+        with open(os.path.join(taxd, "nodes.dmp"), "w") as f:
+            for t, par, rank in nodes:
+                f.write("%d\t|\t%d\t|\t%s\t|\n" % (t, par, rank))
+        with open(os.path.join(taxd, "names.dmp"), "w") as f:
+            for i, (t, _, _) in enumerate(nodes):
+                f.write("%d\t|\ttax%d\t|\t\t|\tscientific name\t|\n"
+                        % (t, t))
+        open(os.path.join(taxd, "merged.dmp"), "w").close()
+        open(os.path.join(taxd, "delnodes.dmp"), "w").close()
+        species = [2110, 2120, 2210]
+        names_sorted = sorted(
+            os.path.splitext(f)[0] for f in os.listdir(pdb_dir))
+        with open(os.path.join(td, "mapping.tsv"), "w") as f:
+            for i, nm in enumerate(names_sorted):
+                f.write("%s\t%d\n" % (nm, species[i % 3]))
+        rdbt = os.path.join(td, "rtmp", "db")   # reference createdb output
+        subprocess.run([REF_BIN, "createtaxdb", rdbt, os.path.join(td, "ct"),
+                        "--ncbi-tax-dump", taxd, "--tax-mapping-file",
+                        os.path.join(td, "mapping.tsv"), "--threads", "1"],
+                       capture_output=True)
+        subprocess.run([REF_BIN, "lca", rdbt,
+                        os.path.join(td, "rtmp", "aln"),
+                        os.path.join(td, "rlca"), "--threads", "1"],
+                       capture_output=True)
+        subprocess.run([REF_BIN, "createtsv", rdbt, os.path.join(td, "rlca"),
+                        os.path.join(td, "rlca.tsv"), "--threads", "1"],
+                       capture_output=True)
+        subprocess.run([REF_BIN, "taxonomyreport", rdbt,
+                        os.path.join(td, "rlca"),
+                        os.path.join(td, "rreport.txt"), "--threads", "1"],
+                       capture_output=True)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        odbt = os.path.join(td, "otmp", "query_db")  # ours from easy-search
+        subprocess.run([sys.executable, "-m", "foldseek_tpu", "createtaxdb",
+                        odbt, "--ncbi-tax-dump", taxd, "--tax-mapping-file",
+                        os.path.join(td, "mapping.tsv")],
+                       capture_output=True, env=env, cwd=cwd)
+        subprocess.run([sys.executable, "-m", "foldseek_tpu", "search", odbt,
+                        odbt, os.path.join(td, "oaln"),
+                        os.path.join(td, "oalnt"), "-e", "10", "-a"],
+                       capture_output=True, env=env, cwd=cwd)
+        subprocess.run([sys.executable, "-m", "foldseek_tpu", "lca", odbt,
+                        os.path.join(td, "oaln"),
+                        os.path.join(td, "olca.tsv")],
+                       capture_output=True, env=env, cwd=cwd)
+        subprocess.run([sys.executable, "-m", "foldseek_tpu",
+                        "taxonomyreport", odbt, os.path.join(td, "olca.tsv"),
+                        os.path.join(td, "oreport.txt")],
+                       capture_output=True, env=env, cwd=cwd)
+        try:
+            rl = {l.split("\t")[0]: l.split("\t")[1]
+                  for l in open(os.path.join(td, "rlca.tsv"))}
+            key2name = {}
+            for l in open(rdbt + ".lookup"):
+                c = l.split()
+                key2name[c[0]] = c[1]
+            ol = {}
+            for l in open(os.path.join(td, "olca.tsv")):
+                c = l.rstrip("\n").split("\t")
+                ol["fz%04d" % int(c[0])] = c[1]
+            mism = sum(1 for k in rl if ol.get(k) != rl[k])
+            rrep = [l.replace("\t|\t", "\t")
+                    for l in open(os.path.join(td, "rreport.txt"))]
+            orep = list(open(os.path.join(td, "oreport.txt")))
+            # equal-clade-count siblings come out in the reference's
+            # UNSTABLE std::sort order — compare content, not tie order
+            rep_ok = sorted(rrep) == sorted(orep)
+            if mism == 0 and rep_ok:
+                print("taxonomy-mode: %d LCA assignments IDENTICAL, "
+                      "report IDENTICAL" % len(rl))
+            else:
+                failures += 1
+                print("taxonomy-mode: DIVERGED (%d LCA mismatches, report "
+                      "match=%s)" % (mism, rep_ok))
+        except (OSError, IndexError, ValueError) as e:
+            failures += 1
+            print("taxonomy-mode: FAILED (%s)" % e)
     return 1 if failures else 0
 
 
