@@ -2110,7 +2110,14 @@ def cmd_taxonomyreport(argv):
     ncbi = NcbiTaxonomy(taxdump) if taxdump and os.path.isdir(taxdump) else None
     counts = Counter()
     total = 0
-    if os.path.isfile(args.result_db):
+    def _is_lca_tsv(path):
+        if not os.path.isfile(path):
+            return False
+        with open(path) as f:
+            first = f.readline()
+        return not first.startswith("#foldseek-tpu alnres")
+
+    if _is_lca_tsv(args.result_db):
         # an LCA assignment TSV (the lca verb's output) — the reference's
         # standard easy-taxonomy flow feeds taxonomyreport the lca DB
         # (taxonomyreport.cpp reads per-query taxid records)
