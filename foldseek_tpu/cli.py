@@ -225,7 +225,15 @@ def cmd_search(argv):
     # backtrace only with -a, like the reference search (its convertalis
     # derives alnlen/mismatch from spans when no backtrace is stored)
     os.makedirs(args.tmp_dir, exist_ok=True)
-    results = search(qdb, tdb, params, tmp_dir=args.tmp_dir)
+    if params.num_iterations > 1:
+        from .search.pipeline import iterative_search
+        # the iterative workflow always aligns with -a
+        # (StructureSearch.cpp:178)
+        params.add_backtrace = True
+        results = iterative_search(qdb, tdb, params, params.num_iterations,
+                                   tmp_dir=args.tmp_dir)
+    else:
+        results = search(qdb, tdb, params, tmp_dir=args.tmp_dir)
     write_result_db(results, args.result, add_backtrace=params.add_backtrace)
     return 0
 
