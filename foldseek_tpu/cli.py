@@ -2071,8 +2071,9 @@ def _write_tax_report(tax, counts, total, path):
             clade[anc] = clade.get(anc, 0) + n
     with open(path, "w") as f:
         unc = counts.get(0, 0)
-        f.write(f"{100.0 * unc / max(total, 1):.4f}\t{unc}\t{unc}\t"
-                f"no rank\t0\tunclassified\n")
+        if unc > 0:  # taxReport writes unclassified only when present
+            f.write(f"{100.0 * unc / max(total, 1):.4f}\t{unc}\t{unc}\t"
+                    f"no rank\t0\tunclassified\n")
 
         # parent -> children index once (a 2.4M-node NCBI taxdump would
         # otherwise rescan the whole parent map per emitted clade)
