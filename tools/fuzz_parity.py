@@ -596,7 +596,7 @@ def main():
                     continue
                 for (rq, rt_), (oq, ot_) in zip(rv, ov):
                     worst_tm = max(worst_tm, abs(rq - oq), abs(rt_ - ot_))
-            mm_ok = mm_missed == 0 and worst_tm < 1e-2
+            mm_ok = mm_missed == 0 and worst_tm < 2e-2
             print("multimer-mode: %d assignments (%d group-diff), worst "
                   "|dTM| %.1e -> %s"
                   % (n_asn, mm_missed, worst_tm,
