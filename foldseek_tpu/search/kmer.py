@@ -58,6 +58,45 @@ _KMER_LIST_CACHE_CAP = 50_000
 MASK_N_REPEATS = 6
 
 
+
+# Util::rankedDescSort20's compare-exchange schedule (Util.cpp:88-113): a
+# fixed sorting network with strict-< swaps, so the TIE order of equal
+# scores is network-specific (not a stable sort) — the profile k-mer emit
+# order, and with it double-diagonal arrival, depends on it.
+_SORT20_NETWORK = [
+    (0, 16), (1, 17), (2, 18), (3, 19), (4, 12), (5, 13), (6, 14), (7, 15),
+    (0, 8), (1, 9), (2, 10), (3, 11),
+    (8, 16), (9, 17), (10, 18), (11, 19), (0, 4), (1, 5), (2, 6), (3, 7),
+    (8, 12), (9, 13), (10, 14), (11, 15), (4, 16), (5, 17), (6, 18),
+    (7, 19), (0, 2), (1, 3),
+    (4, 8), (5, 9), (6, 10), (7, 11), (12, 16), (13, 17), (14, 18),
+    (15, 19), (0, 1),
+    (4, 6), (5, 7), (8, 10), (9, 11), (12, 14), (13, 15), (16, 18),
+    (17, 19),
+    (2, 16), (3, 17), (6, 12), (7, 13), (18, 19),
+    (2, 8), (3, 9), (10, 16), (11, 17),
+    (2, 4), (3, 5), (6, 8), (7, 9), (10, 12), (11, 13), (14, 16), (15, 17),
+    (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (12, 13), (14, 15), (16, 17),
+    (1, 16), (3, 18), (5, 12), (7, 14),
+    (1, 8), (3, 10), (9, 16), (11, 18),
+    (1, 4), (3, 6), (5, 8), (7, 10), (9, 12), (11, 14), (13, 16), (15, 18),
+    (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16),
+    (17, 18),
+]
+
+
+def _ranked_desc_sort20(vals: np.ndarray):
+    """(scores desc, residue indices) with rankedDescSort20's exact tie
+    order. vals: [20] ints."""
+    v = np.asarray(vals[:20], dtype=np.int32).copy()
+    ix = np.arange(20, dtype=np.int64)
+    for a, b in _SORT20_NETWORK:
+        if v[a] < v[b]:
+            v[a], v[b] = v[b], v[a]
+            ix[a], ix[b] = ix[b], ix[a]
+    return v, ix
+
+
 def kmer_threshold(k: int, sensitivity: float) -> int:
     """k=7 from foldseek's externalThreshold, k=6 from the mmseqs default."""
     if k == 7:
@@ -66,6 +105,19 @@ def kmer_threshold(k: int, sensitivity: float) -> int:
         return int(163.2 - 8.917 * sensitivity)
     if k == 5:
         return int(160.75 - 12.75 * sensitivity)
+    raise ValueError(f"unsupported k-mer size {k}")
+
+
+def kmer_threshold_profile(k: int, sensitivity: float) -> int:
+    """Profile-query thresholds, context-pseudocount branch
+    (Prefiltering::getKmerThreshold, Prefiltering.cpp:1035-1048; our
+    result2profile applies context-specific pseudocounts)."""
+    if k == 7:
+        return int(158.75 - 9.75 * sensitivity)
+    if k == 6:
+        return int(132.75 - 8.75 * sensitivity)
+    if k == 5:
+        return int(97.75 - 8.75 * sensitivity)
     raise ValueError(f"unsupported k-mer size {k}")
 
 
@@ -105,16 +157,19 @@ def _sorted_submer_lists(k_sub: int):
 class KmerPrefilter:
     def __init__(self, tdb: StructDB, params: SearchParams, k: int = 0,
                  bias_scale: float = 1.0, min_diag_score: int = MIN_DIAG_SCORE,
-                 entry_range=None):
+                 entry_range=None, profile_mode: bool = False):
         """entry_range: optional (start, end) target-entry slice — the
         memory-based TARGET_DB_SPLIT analogue (Prefiltering.cpp:289-381
         setupSplit): the posting index covers only the range, and query()
-        returns GLOBAL target indices."""
+        returns GLOBAL target indices. profile_mode: PSSM queries — the
+        profile k-mer threshold formula applies and the target index
+        admits every k-mer (Prefiltering.cpp:541 index threshold 0)."""
         self.tdb = tdb
         self.entry_range = ((0, tdb.size) if entry_range is None
                             else (int(entry_range[0]), int(entry_range[1])))
         self.bias_scale = bias_scale
         self.min_diag_score = min_diag_score
+        self.profile_mode = bool(profile_mode)
         if k == 0:
             # IndexTable::computeKmerSize (IndexTable.h:439-441): k=6 below
             # 3.35e9 residues, k=7 above (the memory-short branch's
@@ -125,7 +180,12 @@ class KmerPrefilter:
         self.pattern = SPACED_PATTERNS[k]
         self.span = len(self.pattern)
         self.offsets = np.nonzero(self.pattern)[0]
-        self.kmer_thr = kmer_threshold(k, params.sensitivity)
+        if self.profile_mode:
+            self.kmer_thr = kmer_threshold_profile(k, params.sensitivity)
+            self.index_thr = 0
+        else:
+            self.kmer_thr = kmer_threshold(k, params.sensitivity)
+            self.index_thr = self.kmer_thr
         # prefilter matrices carry score bias -0.2
         # (Prefiltering::getSubstitutionMatrix, Prefiltering.cpp:999-1006)
         self.m8 = mat3di(8.0, -0.2)
@@ -142,7 +202,7 @@ class KmerPrefilter:
                if (r0, r1) == (0, self.tdb.size) else None)
         if (idx is not None
                 and idx["manifest"].get("k") == self.k
-                and idx["manifest"].get("kmer_thr") == self.kmer_thr):
+                and idx["manifest"].get("kmer_thr") == self.index_thr):
             p = idx["postings"]
             self.post_ids = np.asarray(p.kmer_ids, dtype=np.int64)
             self.post_off = np.asarray(p.offsets, dtype=np.int64)
@@ -208,7 +268,7 @@ class KmerPrefilter:
             st = all_starts[c0:c0 + CHUNK]
             wins = flat64[st[:, None] + self.offsets[None, :]]  # [c, k]
             valid = ~(wins == X).any(axis=1)
-            valid &= diag8[wins].sum(axis=1) >= self.kmer_thr
+            valid &= diag8[wins].sum(axis=1) >= self.index_thr
             parts_k.append((wins[valid] @ pows))
             parts_t.append(entry_of[st[valid]].astype(np.int32))
             parts_p.append(pos_in[st[valid]].astype(np.int32))
@@ -238,7 +298,7 @@ class KmerPrefilter:
         self.post_tid = tid_a.astype(np.int64)
         self.post_pos = pos_a.astype(np.int64)
         logger.info("kmer index: k=%d thr=%d, %d kmers, %d masked residues",
-                    self.k, self.kmer_thr, len(self.post_ids), masked_total)
+                    self.k, self.index_thr, len(self.post_ids), masked_total)
 
     # --- similar k-mer generation (KmerGenerator semantics) ---
 
@@ -296,6 +356,11 @@ class KmerPrefilter:
         else:
             raise ValueError(k)
         lists = [self._sub_lists(s) for s in splits]
+        return self._expand_kmer_lists(lists, mults, threshold)
+
+    def _expand_kmer_lists(self, lists, mults, threshold):
+        """Shared KmerGenerator cartesian expansion over sorted sub-k-mer
+        score lists (emit order: outer desc, inner desc)."""
         best_rest = [0] * len(lists)
         for i in range(len(lists) - 2, -1, -1):
             best_rest[i] = best_rest[i + 1] + int(lists[i + 1][0][0])
@@ -328,6 +393,85 @@ class KmerPrefilter:
 
     # --- per-query matching ---
 
+
+    # --- profile (PSSM) queries --------------------------------------------
+
+    def _sub_lists_profile(self, cols: np.ndarray):
+        """Candidate sub-k-mers for a PSSM column block [k_sub, 21]:
+        scores[j] = sum_i cols[i, digits[j, i]] (the reference sorts the
+        profile's per-position score lists for KmerGenerator,
+        Sequence.cpp:343-352)."""
+        cols = np.ascontiguousarray(cols, dtype=np.int32)
+        key = ("prof", cols.tobytes())
+        cached = _GLOBAL_SUB_CACHE.get(key)
+        if cached is not None:
+            return cached
+        assert cols.shape[0] == 1  # single-position division for profiles
+        out = _ranked_desc_sort20(cols[0])
+        _GLOBAL_SUB_CACHE[key] = out
+        return out
+
+    def similar_kmers_profile(self, cols: np.ndarray,
+                              threshold: int) -> np.ndarray:
+        """similar_kmers over a PSSM window [span-selected k, 21]. Profile
+        queries divide into k SINGLE positions (KmerGenerator::
+        setDivideStrategy(ScoreMatrix** one), KmerGenerator.cpp:31-40) —
+        the per-level fold order differs from the sequence path's [3,3]
+        blocks and the double-diagonal arrival order depends on it."""
+        k = self.k
+        lists = [self._sub_lists_profile(cols[i:i + 1]) for i in range(k)]
+        mults = [20 ** i for i in range(k)]
+        return self._expand_kmer_lists(lists, mults, threshold)
+
+    def query_pssm(self, pssm: np.ndarray, letters: np.ndarray,
+                   max_seqs: int,
+                   identity_id: int = None) -> List[Tuple[int, int, int]]:
+        """PSSM-query variant of query() (QueryMatcher with an HMM_PROFILE
+        query): no positional composition bias (QueryMatcher.cpp:109-114
+        zeroes it for profiles), k-mers generated against the stored-scale
+        PSSM [L, 20+] (bit factor 8; Sequence::mapProfile keeps stored
+        scores for the k-mer stage and /4 for alignment) with the
+        single-position divide strategy and rankedDescSort20 tie order,
+        the diagonal Kadane rescore on the /4 alignment-scale profile.
+        `letters` drive the X-window skip (the profile's query sequence).
+
+        EXPERIMENTAL: measured vs the reference binary fed its own stored
+        profile bytes (28 profile queries, -s 9.5): candidate recall
+        97.7%, top-hit byte-equal 27/28, exact (target,score,diag)
+        rows 60%; the score/diagonal residuals trace to the reference's
+        double-diagonal counting under its hit-buffer flush boundaries,
+        which profile-sized hit volumes reach and sequence workloads do
+        not (CacheFriendlyOperations chunked flushes) — not yet
+        replicated, so the iterative/profile pipelines keep the device
+        PSSM scan."""
+        r0 = self.entry_range[0]
+        if identity_id is not None:
+            identity_id = (identity_id - r0
+                           if self.entry_range[0] <= identity_id
+                           < self.entry_range[1] else None)
+        pssm = np.asarray(pssm, dtype=np.int32)
+        letters = np.asarray(letters, dtype=np.int64)
+        L = len(letters)
+        span = self.span
+        # alignment-scale profile for the Kadane rescore: stored/4 with
+        # C truncation-toward-zero (Sequence.cpp:334), X column 0
+        prof = np.zeros((L, self.mat2.shape[1]), dtype=np.int32)
+        prof[:, :pssm.shape[1]] = np.trunc(pssm / 4.0).astype(np.int32)
+        kidx_parts: List[np.ndarray] = []
+        pos_parts: List[np.ndarray] = []
+        thr = max(self.kmer_thr, 0)
+        for p in range(L - span + 1):
+            win = letters[p + self.offsets]
+            if (win == X).any():
+                continue
+            kidxs = self.similar_kmers_profile(pssm[p + self.offsets], thr)
+            if len(kidxs):
+                kidx_parts.append(kidxs)
+                pos_parts.append(np.full(len(kidxs), p, dtype=np.int64))
+        return self._match_and_rank(kidx_parts, pos_parts, prof,
+                                    letters.astype(np.int8), max_seqs,
+                                    identity_id, r0)
+
     def query(self, q_ss: np.ndarray, max_seqs: int,
               identity_id: int = None) -> List[Tuple[int, int, int]]:
         """Returns [(target_index, pref_score, diagonal)] in final output
@@ -358,6 +502,14 @@ class KmerPrefilter:
                 kidx_parts.append(kidxs)
                 pos_parts.append(np.full(len(kidxs), p, dtype=np.int64))
 
+        prof = self._ungapped_profile(q, comp_bias)
+        return self._match_and_rank(kidx_parts, pos_parts, prof, q,
+                                    max_seqs, identity_id, r0)
+
+    def _match_and_rank(self, kidx_parts, pos_parts, prof, q, max_seqs,
+                        identity_id, r0):
+        """Shared posting lookup + double-diagonal detection + rescore +
+        rank over generated k-mer lists (sequence or PSSM queries)."""
         # batched posting lookup over the flat sorted arrays; the native
         # fast path runs lookup + double-diagonal detection + Kadane
         # rescore + best-per-target in ONE call (QueryMatcher::matchQuery)
@@ -365,7 +517,6 @@ class KmerPrefilter:
             K = np.concatenate(kidx_parts)
             P = np.concatenate(pos_parts)
             from .. import native as _native
-            prof = self._ungapped_profile(q, comp_bias)
             pc = _native.posting_candidates(
                 self.post_ids, self.post_off, self.post_tid, self.post_pos,
                 K, P, self.entry_range[1] - self.entry_range[0],
@@ -404,7 +555,7 @@ class KmerPrefilter:
         if dd_res is not None:
             cand_ids, cand_diags = dd_res
             return self._rescore_and_rank(
-                cand_ids, cand_diags, q, comp_bias, max_seqs,
+                cand_ids, cand_diags, prof, q, max_seqs,
                 identity_id, r0)
         order = np.argsort(arr_tid, kind="stable")
         st = arr_tid[order]
@@ -425,15 +576,14 @@ class KmerPrefilter:
         keep[~dfirst] = dprev[~dfirst] != dd8[~dfirst]
         cand_ids = dt[keep]
         cand_diags = dd16[keep]
-        return self._rescore_and_rank(cand_ids, cand_diags, q, comp_bias,
+        return self._rescore_and_rank(cand_ids, cand_diags, prof, q,
                                       max_seqs, identity_id, r0)
 
-    def _rescore_and_rank(self, cand_ids, cand_diags, q, comp_bias,
+    def _rescore_and_rank(self, cand_ids, cand_diags, prof, q,
                           max_seqs, identity_id, r0):
         # diagonal rescoring (exact int, capped 255): one native call for
         # the whole candidate list, then a vectorized best-per-target
         # reduction (strict '>' keeps the earliest max, like the dict loop)
-        prof = self._ungapped_profile(q, comp_bias)
         from .. import native
         scores = native.diag_score_batch(
             prof, self.masked_flat, self.seq_off, self.seq_len,

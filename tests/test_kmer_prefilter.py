@@ -80,3 +80,40 @@ def test_target_split_matches_unsplit(exdb, monkeypatch):
                                              (20, tdb.size)])
     split = kmer_prefilter(exdb, exdb, params)
     assert split == unsplit
+
+
+def test_query_pssm_profile_mode(example_dir, tmp_path):
+    """Profile (PSSM) k-mer prefilter smoke: profile-mode thresholds +
+    index, single-position k-mer generation with rankedDescSort20 tie
+    order; the query's own profile must rank its source structure first."""
+    import numpy as np
+
+    from foldseek_tpu.ingest.createdb import create_db
+    from foldseek_tpu.search.kmer import (KmerPrefilter,
+                                          kmer_threshold_profile)
+    from foldseek_tpu.search.params import SearchParams
+    from foldseek_tpu.search.pipeline import search
+    from foldseek_tpu.search.profile import pssm_store_bytes, result2profile
+
+    assert kmer_threshold_profile(6, 9.5) == 49
+    files = [str(example_dir / f) for f in
+             ("d1asha_", "d1mbaa_", "d1or4a_", "d1naza_")]
+    db = create_db(files, str(tmp_path / "db"))
+    results = search(db, db, SearchParams(evalue_thr=0.001,
+                                          add_backtrace=True))
+    profs = result2profile(db, db, results)
+    kp = KmerPrefilter(db, SearchParams(), bias_scale=0.15,
+                       profile_mode=True)
+    assert kp.index_thr == 0 and kp.kmer_thr == 49
+    from foldseek_tpu.ops.matrices import mat3di
+    m3 = mat3di()
+    for qi in range(db.size):
+        entry = profs[int(db.keys[qi])]
+        pssm = pssm_store_bytes(entry.prob_ss, m3.p_back)
+        letters = np.asarray(db.get_ss(qi), dtype=np.int64)
+        hits = kp.query_pssm(pssm, letters, 1000, identity_id=qi)
+        assert hits and hits[0][0] == qi  # identity leads
+        # the self target must rescore far above unrelated ones
+        scores = {t: s for t, s, _ in hits}
+        assert scores[qi] == 65535 or scores[qi] >= max(
+            v for t, v in scores.items() if t != qi)
