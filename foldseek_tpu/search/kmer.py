@@ -97,6 +97,185 @@ def _ranked_desc_sort20(vals: np.ndarray):
     return v, ix
 
 
+def _find_dups(arr_tid: np.ndarray, arr_d16: np.ndarray):
+    """CacheFriendlyOperations::findDuplicates (computeTotalScore=false)
+    over one hit-buffer chunk: double-diagonal detection per target id in
+    arrival order (duplicateBitArray starts zeroed, so the first posting
+    of an id on diagonal byte 0 already counts), then consecutive
+    same-diagonal runs dedup'd keeping the run head
+    (CacheFriendlyOperations.cpp:186-262). Returns (ids, d16) grouped per
+    id with per-id arrival order preserved."""
+    order = np.argsort(arr_tid, kind="stable")
+    st = arr_tid[order]
+    sd16 = arr_d16[order]
+    sd8 = sd16 & 0xFF
+    first = np.ones(len(st), dtype=bool)
+    first[1:] = st[1:] != st[:-1]
+    prev_d8 = np.empty_like(sd8)
+    prev_d8[1:] = sd8[:-1]
+    prev_d8[first] = 0
+    dup = prev_d8 == sd8
+    dt, dd16, dd8 = st[dup], sd16[dup], sd8[dup]
+    dfirst = np.ones(len(dt), dtype=bool)
+    dfirst[1:] = dt[1:] != dt[:-1]
+    dprev = np.empty_like(dd8)
+    dprev[1:] = dd8[:-1]
+    keep = dfirst.copy()
+    keep[~dfirst] = dprev[~dfirst] != dd8[~dfirst]
+    return dt[keep], dd16[keep]
+
+
+def _merge_plain(ids: np.ndarray, d16: np.ndarray, cnt: np.ndarray):
+    """mergeElementsByDiagonal keepScoredHits=false
+    (CacheFriendlyOperations.cpp::mergeDiagonalDuplicates): per id in
+    arrival order keep the head of every consecutive same-diagonal-byte
+    run (the stored byte is prefilled with the FIRST element's diag+1, so
+    the head always differs). Input arrays are the concatenated
+    [overflow | new-chunk] hits; per-id relative order is the arrival
+    order (stable sort preserves it)."""
+    order = np.argsort(ids, kind="stable")
+    si, sd, sc = ids[order], d16[order], cnt[order]
+    s8 = sd & 0xFF
+    first = np.ones(len(si), dtype=bool)
+    first[1:] = si[1:] != si[:-1]
+    keep = first.copy()
+    keep[~first] = s8[1:][~first[1:]] != s8[:-1][~first[1:]]
+    return si[keep], sd[keep], sc[keep]
+
+
+def _merge_keep_scored(ids: np.ndarray, d16: np.ndarray, cnt: np.ndarray):
+    """mergeElementsByDiagonal keepScoredHits=true
+    (mergeDiagonalKeepScoredHitsDuplicates): iterated per bin in REVERSE,
+    keeping an element when it carries a score (count != 0) or its
+    diagonal byte differs from the NEXT same-id element's; the per-id
+    output order is therefore reversed arrival order."""
+    order = np.argsort(ids, kind="stable")
+    si, sd, sc = ids[order], d16[order], cnt[order]
+    s8 = sd & 0xFF
+    last = np.ones(len(si), dtype=bool)
+    last[:-1] = si[1:] != si[:-1]
+    keep = last | (sc != 0)
+    nxt = np.zeros(len(si), dtype=bool)
+    nxt[:-1] = s8[:-1] != s8[1:]
+    keep[~last] |= nxt[~last]
+    # reverse per-id order: sort kept rows by (id asc, position desc)
+    pos = np.nonzero(keep)[0]
+    rev = pos[np.lexsort((-pos, si[pos]))]
+    return si[rev], sd[rev], sc[rev]
+
+
+def _keep_max(ids: np.ndarray, d16: np.ndarray, cnt: np.ndarray):
+    """keepMaxScoreElementOnly (CacheFriendlyOperations::keepMaxElement):
+    per id in scan order, the FIRST element carrying the per-id max count
+    is emitted and zeroes the marker byte — after which every LATER
+    zero-count element of the same id compares equal to the zeroed marker
+    and is emitted too (the `duplicateBitArray[h] * (1 - found)` update,
+    CacheFriendlyOperations.cpp:368-377). All elements of an id share a
+    bin, so per-id scan order is the input order."""
+    n = len(ids)
+    if n == 0:
+        return ids, d16, cnt
+    pos = np.arange(n, dtype=np.int64)
+    order = np.lexsort((pos, ids))
+    si, sc = ids[order], cnt[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = si[1:] != si[:-1]
+    starts = np.nonzero(first)[0]
+    seg = np.cumsum(first) - 1
+    seg_max = np.maximum.reduceat(sc, starts)
+    is_max = sc == seg_max[seg]
+    idx = np.arange(n, dtype=np.int64)
+    first_max = np.minimum.reduceat(np.where(is_max, idx, n), starts)
+    p_star = first_max[seg]
+    emit = (idx == p_star) | ((sc == 0) & (idx > p_star))
+    mask = np.zeros(n, dtype=bool)
+    mask[order[emit]] = True
+    return ids[mask], d16[mask], cnt[mask]
+
+
+def chunked_candidates(list_pos: np.ndarray, list_off: np.ndarray,
+                       tids: np.ndarray, jpos: np.ndarray,
+                       max_db_matches: int, score_fn):
+    """QueryMatcher::match()'s hit-buffer flush semantics
+    (QueryMatcher.cpp:250-365, diagonalScoring=true) + the matchQuery-side
+    align/keepMax (QueryMatcher.cpp:129-181): posting lists arrive in
+    (query-position, k-mer) order; when appending a list would overflow
+    the raw-match buffer (maxDbMatches entries), the accumulated chunk is
+    collapsed with findDuplicates and merged into the running overflow
+    block — scoring + keep-max per id after the second flush — and a list
+    larger than the whole buffer aborts matching with numMatches == 0
+    (the reference then reports zero hits, dropping the overflow block).
+
+    list_pos[i]: query position of posting list i; list_off: [n_lists+1]
+    offsets into tids/jpos; score_fn(ids, d16) -> byte-capped diagonal
+    scores (UngappedAlignment::align). Returns (ids, counts, d16), one
+    row per surviving target.
+
+    Deviation noted: findDuplicates' per-bin output-capacity truncation
+    (CacheFriendlyOperations.cpp:210-212, output >= max(1e6, dbSize)
+    CounterResults) is not modeled — it needs >1e6 *detected duplicate
+    pairs* in one chunk, beyond any workload this path serves."""
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+             np.zeros(0, dtype=np.int64))
+    n_lists = len(list_pos)
+    lens = np.diff(list_off)
+    # assign each posting list to a chunk (sequential flush recurrence)
+    chunk_of = np.zeros(n_lists, dtype=np.int64)
+    cur = 0
+    chunk = 0
+    dropped = False
+    for i in range(n_lists):
+        n = int(lens[i])
+        if cur + n >= max_db_matches:
+            chunk += 1
+            cur = 0
+            if n >= max_db_matches:
+                # goto outer with numMatches == 0: zero hits overall
+                return empty
+        chunk_of[i] = chunk
+        cur += n
+    if chunk > 0 and cur == 0:
+        # overflow flush on the final list with nothing after it:
+        # numMatches == 0 skips the output fill and the overflow block
+        # is dropped (QueryMatcher.cpp:357 `if (numMatches > 0)`)
+        return empty
+
+    d16_all = (np.repeat(list_pos, lens) - jpos) & 0xFFFF
+    bounds = np.searchsorted(np.repeat(chunk_of, lens),
+                             np.arange(chunk + 2))
+    ov = None  # (ids, d16, counts) — the merged overflow block
+    for c in range(chunk + 1):
+        lo, hi = bounds[c], bounds[c + 1]
+        h_ids, h_d16 = _find_dups(tids[lo:hi], d16_all[lo:hi])
+        if c < chunk:
+            # flush: merge into the overflow block (QueryMatcher.cpp:320-335)
+            if ov is None:
+                ov = (h_ids, h_d16, np.zeros(len(h_ids), dtype=np.int64))
+            else:
+                m_ids = np.concatenate([ov[0], h_ids])
+                m_d16 = np.concatenate([ov[1], h_d16])
+                m_cnt = np.concatenate(
+                    [ov[2], np.zeros(len(h_ids), dtype=np.int64)])
+                m_ids, m_d16, _ = _merge_keep_scored(m_ids, m_d16, m_cnt)
+                m_cnt = score_fn(m_ids, m_d16)
+                k_ids, k_d16, k_cnt = _keep_max(m_ids, m_d16, m_cnt)
+                ov = (k_ids, k_d16, k_cnt)
+        else:
+            if ov is not None:
+                f_ids = np.concatenate([ov[0], h_ids])
+                f_d16 = np.concatenate([ov[1], h_d16])
+                f_cnt = np.concatenate(
+                    [ov[2], np.zeros(len(h_ids), dtype=np.int64)])
+                f_ids, f_d16, _ = _merge_plain(f_ids, f_d16, f_cnt)
+            else:
+                f_ids, f_d16 = h_ids, h_d16
+            # matchQuery: align everything, then keep the per-id best
+            f_cnt = score_fn(f_ids, f_d16)
+            k_ids, k_d16, k_cnt = _keep_max(f_ids, f_d16, f_cnt)
+            return k_ids, k_cnt, k_d16
+    return empty
+
+
 def kmer_threshold(k: int, sensitivity: float) -> int:
     """k=7 from foldseek's externalThreshold, k=6 from the mmseqs default."""
     if k == 7:
@@ -435,15 +614,17 @@ class KmerPrefilter:
         the diagonal Kadane rescore on the /4 alignment-scale profile.
         `letters` drive the X-window skip (the profile's query sequence).
 
-        EXPERIMENTAL: measured vs the reference binary fed its own stored
-        profile bytes (28 profile queries, -s 9.5): candidate recall
-        97.7%, top-hit byte-equal 27/28, exact (target,score,diag)
-        rows 60%; the score/diagonal residuals trace to the reference's
-        double-diagonal counting under its hit-buffer flush boundaries,
-        which profile-sized hit volumes reach and sequence workloads do
-        not (CacheFriendlyOperations chunked flushes) — not yet
-        replicated, so the iterative/profile pipelines keep the device
-        PSSM scan."""
+        The reference's hit-buffer flush semantics — which profile-sized
+        hit volumes reach and sequence workloads never do — are modeled
+        by `chunked_candidates` (QueryMatcher.cpp:250-365), validated
+        element-exact against an oracle compiled from the reference's
+        CacheFriendlyOperations on 400+ fuzz streams incl. multi-flush
+        and buffer-overrun cases (tests/test_chunked_flush.py). A prior
+        A/B vs the reference binary WITHOUT the flush model measured
+        candidate recall 97.7% / exact rows 60%; a full-stack re-measure
+        with it needs the reference binary rebuilt (tools/fuzz_parity.py).
+        The iterative/profile pipelines keep the device PSSM scan as the
+        default fast path; query_pssm is the parity-faithful opt-in."""
         r0 = self.entry_range[0]
         if identity_id is not None:
             identity_id = (identity_id - r0
@@ -517,6 +698,44 @@ class KmerPrefilter:
             K = np.concatenate(kidx_parts)
             P = np.concatenate(pos_parts)
             from .. import native as _native
+            # hit-buffer overflow path (QueryMatcher.cpp:44-45: buffer of
+            # max(1e6, dbSize)*2 raw matches): when the posting volume can
+            # reach a flush boundary, run the chunked-flush semantics —
+            # profile/PSSM queries reach it, sequence workloads never do
+            n_entries = self.entry_range[1] - self.entry_range[0]
+            max_db = max(1_000_000, n_entries) * 2
+            loc0 = np.searchsorted(self.post_ids, K)
+            fnd0 = loc0 < len(self.post_ids)
+            fnd0 &= self.post_ids[np.minimum(loc0, len(self.post_ids) - 1)] == K
+            loc0, P0 = loc0[fnd0], P[fnd0]
+            cnt0 = self.post_off[loc0 + 1] - self.post_off[loc0]
+            if int(cnt0.sum()) >= max_db:
+                keepnz = cnt0 > 0
+                loc0, P0, cnt0 = loc0[keepnz], P0[keepnz], cnt0[keepnz]
+                total = int(cnt0.sum())
+                rep = np.repeat(np.arange(len(loc0)), cnt0)
+                base = np.zeros(len(loc0), dtype=np.int64)
+                np.cumsum(cnt0[:-1], out=base[1:])
+                flat = (np.arange(total, dtype=np.int64) - base[rep]
+                        + self.post_off[loc0][rep])
+                list_off = np.zeros(len(loc0) + 1, dtype=np.int64)
+                np.cumsum(cnt0, out=list_off[1:])
+
+                def _score_fn(ids, d16):
+                    if len(ids) == 0:
+                        return np.zeros(0, dtype=np.int64)
+                    return np.minimum(
+                        np.asarray(self._diag_scores(list(ids), list(d16),
+                                                     prof),
+                                   dtype=np.int64), 255)
+
+                c_ids, c_cnt, c_d16 = chunked_candidates(
+                    P0, list_off, self.post_tid[flat],
+                    self.post_pos[flat], max_db, _score_fn)
+                items = list(zip(c_ids.tolist(), c_cnt.tolist(),
+                                 c_d16.tolist()))
+                return self._rank_items(items, prof, q, max_seqs,
+                                        identity_id, r0)
             pc = _native.posting_candidates(
                 self.post_ids, self.post_off, self.post_tid, self.post_pos,
                 K, P, self.entry_range[1] - self.entry_range[0],
