@@ -293,6 +293,14 @@ def bench_scale():
         qdb = synth_db(base, 64, os.path.join(td, "q64"), seed=2)
         params = SearchParams(prefilter_mode=1, add_backtrace=True)
 
+        # precomputed target index (panels), the reference's createindex
+        # amortization (data/structureindex.sh); built once, reused by
+        # every search below
+        from foldseek_tpu.db.index import create_index
+        t0 = _t.perf_counter()
+        create_index(tdb)
+        out["scale_100k_index_seconds"] = round(_t.perf_counter() - t0, 2)
+
         pref = UngappedPrefilter(tdb)
         seqs = [np.asarray(qdb.get_ss(i)) for i in range(qdb.size)]
         pref.query_batch(seqs, params)  # warm/compile the full stack set
@@ -304,8 +312,13 @@ def bench_scale():
         # e2e over a 16-query slice (the 64-query version is ~5 min of
         # which most is per-process compile/load through the tunnel; the
         # per-query rate is what matters and the fleet still exceeds the
-        # device-gate threshold)
+        # device-gate threshold). Cold = first call in this process
+        # (compile-cache warm from the runs above, CA panel + kernels
+        # first-contact); steady = repeat with resident panels.
         qdb16 = synth_db(base, 16, os.path.join(td, "q16"), seed=4)
+        t0 = _t.perf_counter()
+        res = search(qdb16, tdb, params, same_db=False)
+        out["scale_100k_e2e_cold_seconds"] = round(_t.perf_counter() - t0, 2)
         t0 = _t.perf_counter()
         res = search(qdb16, tdb, params, same_db=False)
         dt = _t.perf_counter() - t0

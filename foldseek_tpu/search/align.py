@@ -419,7 +419,8 @@ def align_all(qdb: StructDB, tdb: StructDB,
         and params.alt_alignment == 0)
     defer_gates = (
         can_defer and gate_env != "0"
-        and jax.default_backend() == "tpu"
+        # env "1" forces the device path even off-TPU (tests/debug)
+        and (jax.default_backend() == "tpu" or gate_env == "1")
         and sum(len(v) for v in prefilter.values()) >= gate_min)
     if defer_gates:
         gates_mode = "device"
@@ -457,12 +458,17 @@ def align_all(qdb: StructDB, tdb: StructDB,
 
 def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
                   need_tm, need_lddt):
-    """Phase B: batched TM (ops/tm_device) + LDDT (ops/lddt
-    batched_lddt_device) over every survivor, then the structure-bit score
-    scaling. Tiny alignments (<8 columns) keep the host path — degenerate
-    superpositions are where f32 and the reference's f64 could drift."""
-    from ..ops.lddt import backtrace_indices, batched_lddt_device
-    from ..ops.tm_device import batched_tm_device
+    """Phase B: fused batched TM+LDDT (ops/gates_device) over every
+    survivor with device-side coordinate gather from an HBM-resident
+    target C-alpha panel, then the structure-bit score scaling. One
+    async launch + one readback per m_pad bucket. Tiny alignments
+    (<8 columns) keep the host path — degenerate superpositions are
+    where f32 and the reference's f64 could drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.gates_device import GateFleet, resident_ca_panel
+    from ..ops.lddt import backtrace_indices
 
     lddt_ctx_cache: Dict[int, tuple] = {}
     buckets: Dict[int, list] = {}  # m_pad -> [(res, q_idx, t_idx, qi, ti, norm)]
@@ -491,35 +497,62 @@ def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
                 m_pad *= 4  # small family {64, 256, 1024, ...}: few compiles
             buckets.setdefault(m_pad, []).append(
                 (res, q_idx, t_idx, int(qkey), ti, norm))
+    if not buckets:
+        return
 
+    # query coords + per-residue LDDT degree, concatenated per fleet (tiny)
+    q_row: Dict[int, int] = {}
+    qc_list, qd_list = [], []
+    rows = 0
+    for qkey in results:
+        qi = qkey_to_idx[int(qkey)]
+        q_row[int(qkey)] = rows
+        qc = np.asarray(qdb.get_ca(qi), dtype=np.float32)
+        qc_list.append(qc)
+        if need_lddt and int(qkey) in lddt_ctx_cache:
+            qd_list.append(lddt_ctx_cache[int(qkey)][1])
+        else:
+            qd_list.append(np.zeros(len(qc), np.float32))
+        rows += len(qc)
+    q_coords = np.concatenate(qc_list) if qc_list else np.zeros((1, 3), np.float32)
+    q_deg = (np.concatenate(qd_list).astype(np.float32)
+             if qd_list else np.zeros(1, np.float32))
+
+    # target panel: whole-DB resident (preferred; reused across searches)
+    # or a per-fleet union upload when the DB exceeds the HBM budget
+    t_panel = resident_ca_panel(tdb)
+    if t_panel is not None:
+        t_base = np.asarray(tdb.offsets[:-1], dtype=np.int64)
+    else:
+        needed = sorted({ti for items in buckets.values()
+                         for (_, _, _, _, ti, _) in items})
+        t_base = np.zeros(tdb.size, dtype=np.int64)
+        tc_list = []
+        rows = 0
+        for ti in needed:
+            t_base[ti] = rows
+            tc = np.asarray(tdb.get_ca(ti), dtype=np.float32)
+            tc_list.append(tc)
+            rows += len(tc)
+        t_panel = jnp.asarray(np.concatenate(tc_list))
+    q_coords_d, q_deg_d = jax.device_put((q_coords, q_deg))
+
+    # fill + dispatch every bucket before draining any (async dispatch:
+    # the device computes bucket k while the host fills bucket k+1)
+    fleets = []
     for m_pad, items in sorted(buckets.items()):
-        # preallocate chunk-padded batch arrays and fill rows in place
-        # (list-of-arrays + np.stack + np.pad tripled a ~500 MB copy at
-        # 64k-survivor fleets)
-        from ..ops.tm_device import SIMPLIFY_STEP
-        s_max = max(1, (m_pad - 1) // SIMPLIFY_STEP + 2)
-        chunk_tm = int(max(8, min(512, (1 << 25) // max(1, 12 * s_max * m_pad))))
-        P = len(items)
-        p_pad = -(-P // chunk_tm) * chunk_tm
-        qa = np.zeros((p_pad, m_pad, 3), np.float32)
-        ta = np.zeros((p_pad, m_pad, 3), np.float32)
-        deg = np.zeros((p_pad, m_pad), np.float32)
-        m_len = np.zeros(p_pad, np.int32)
-        norm = np.ones(p_pad, np.int32)
+        fleet = GateFleet(m_pad, len(items), need_tm, need_lddt)
         for j, (res, q_idx, t_idx, qk, ti, nl) in enumerate(items):
             m = len(q_idx)
-            qa[j, :m] = qdb.get_ca(qkey_to_idx[qk])[q_idx]
-            ta[j, :m] = tdb.get_ca(ti)[t_idx]
-            if need_lddt:
-                deg[j, :m] = lddt_ctx_cache[qk][1][q_idx]
-            m_len[j] = m
-            norm[j] = nl
-        if need_tm:
-            # x = target superposed onto y = query (TMaligner convention)
-            tm = batched_tm_device(ta, qa, m_len, norm, chunk=chunk_tm)
-        if need_lddt:
-            chunk = max(8, min(256, (1 << 26) // max(1, m_pad * m_pad * 4)))
-            lddt, _ = batched_lddt_device(qa, ta, deg, m_len, chunk=chunk)
+            fleet.qabs[j, :m] = q_row[qk] + q_idx
+            fleet.tabs[j, :m] = t_base[ti] + t_idx
+            fleet.m_len[j] = m
+            fleet.norm[j] = nl
+        fleet.dispatch(t_panel, q_coords_d, q_deg_d)
+        fleets.append((items, fleet))
+
+    for items, fleet in fleets:
+        tm, lddt, _ = fleet.result()
         for j, (res, *_rest) in enumerate(items):
             if need_tm:
                 res.tm = float(tm[j])

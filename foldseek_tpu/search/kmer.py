@@ -248,8 +248,13 @@ def chunked_candidates(list_pos: np.ndarray, list_off: np.ndarray,
         lo, hi = bounds[c], bounds[c + 1]
         h_ids, h_d16 = _find_dups(tids[lo:hi], d16_all[lo:hi])
         if c < chunk:
-            # flush: merge into the overflow block (QueryMatcher.cpp:320-335)
-            if ov is None:
+            # flush: merge into the overflow block (QueryMatcher.cpp:320-335).
+            # The reference guards the merge with `overflowHitCount != 0`
+            # (:322): a previous flush that yielded ZERO duplicate hits
+            # leaves the overflow block "unstarted", so the next flush
+            # initializes instead of merging (merging would re-align and
+            # keepMax-collapse the fresh hits, changing tie diagonals)
+            if ov is None or len(ov[0]) == 0:
                 ov = (h_ids, h_d16, np.zeros(len(h_ids), dtype=np.int64))
             else:
                 m_ids = np.concatenate([ov[0], h_ids])

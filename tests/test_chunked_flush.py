@@ -43,7 +43,8 @@ def _run_case(case):
 
 
 @pytest.mark.parametrize("scenario", ["dense", "wide", "nochunk",
-                                      "goto_outer", "tail_flush"])
+                                      "goto_outer", "tail_flush",
+                                      "zero_dup_flush"])
 def test_chunked_flush_matches_reference(scenario):
     with open(CASES) as f:
         cases = json.load(f)
