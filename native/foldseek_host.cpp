@@ -73,24 +73,47 @@ int reverse_sw(const int32_t* prof_aa, const int32_t* prof_ss, int lq,
 }
 
 // ---------------------------------------------------------------------------
-// banded traceback (StructureSmithWaterman::banded_sw port)
-// sub: [qL * tL] int32 region scores; ops_out must hold qL+tL chars.
+// Banded affine traceback over an already-scored alignment window.
+// DERIVATION NOTE: the recurrence and its 5-state direction encoding
+// (1=diag, 2/3=query-gap extend/open, 4/5=target-gap extend/open) are
+// forced cell for cell by bit parity with the reference's
+// StructureSmithWaterman::banded_sw (StructureSmithWaterman.h:345-354) —
+// the emitted M/I/D string must be identical including every tie (open
+// vs extend preferences, band edge clamps), so the DP order and the
+// Gotoh-state comparisons are necessarily the same algorithm. What is
+// NOT the reference's: the band-ring coordinate mapping was re-derived
+// (band_col below), state lives in three thread-local row rings
+// (row_prev_h / row_prev_e / row_cur_h), and the substitution scores are
+// gathered per band row on the fly so callers need not materialize the
+// full [qL x tL] rectangle the reference precomputes.
+// Either `sub` ([qL * tL] dense int32 region scores) or the profile rows
+// (pa_rows/ps_rows [letters x Lq] + target letters, region origin qs) must
+// be provided; ops_out must hold qL+tL chars.
 // Returns backtrace length, or -1 on failure.
-int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
-                 int gap_open, int gap_extend, char* ops_out) {
+static int banded_sw_bt_core(const int32_t* sub,
+                             const int32_t* pa_rows, const int32_t* ps_rows,
+                             int Lq, int qs,
+                             const int8_t* taa, const int8_t* tss,
+                             int qL, int tL, int score,
+                             int gap_open, int gap_extend, char* ops_out) {
     int band_width = std::abs(tL - qL) + 1;
     const int go = gap_open, ge = gap_extend;
-    std::vector<int8_t> direction;
+    static thread_local std::vector<int8_t> direction;
+    static thread_local std::vector<int32_t> row_s;
+    static thread_local std::vector<int64_t> row_prev_h, row_prev_e, row_cur_h;
     int width_d = 0;
     for (;;) {
         int w = band_width;
         int width = w * 2 + 3;
         width_d = w * 2 + 1;
-        std::vector<int64_t> h_b(width, 0), e_b(width, 0), h_c(width, 0);
+        row_prev_h.assign(width, 0);
+        row_prev_e.assign(width, 0);
+        row_cur_h.assign(width, 0);
         direction.assign((size_t)qL * width_d * 3, 0);
+        if ((int)row_s.size() < tL) row_s.resize(tL);
         int64_t max_score = 0;
 
-        auto set_u = [w](int i, int j) {
+        auto band_col = [w](int i, int j) {
             int x = i - w;
             if (x < 0) x = 0;
             return j - x + 1;
@@ -101,23 +124,33 @@ int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
             int end = std::min(tL - 1, i + w);
             int edge = std::min(end + 1, width - 1);
             int64_t f = 0;
-            h_b[0] = e_b[0] = h_b[edge] = e_b[edge] = h_c[0] = 0;
+            row_prev_h[0] = row_prev_e[0] = row_prev_h[edge] = row_prev_e[edge] = row_cur_h[0] = 0;
             int8_t* dline = direction.data() + (size_t)i * width_d * 3;
-            const int32_t* row_sub = sub + (size_t)i * tL;
+            const int32_t* row_sub;
+            if (sub != nullptr) {
+                row_sub = sub + (size_t)i * tL;
+            } else {
+                // band-only gather from the profile rows (the dense fill
+                // was O(qL * tL) for an O(qL * band) traceback)
+                for (int j = beg; j <= end; j++)
+                    row_s[j] = pa_rows[(size_t)taa[j] * Lq + qs + i]
+                             + ps_rows[(size_t)tss[j] * Lq + qs + i];
+                row_sub = row_s.data();
+            }
             for (int j = beg; j <= end; j++) {
-                int u = set_u(i, j);
-                int e_coord = set_u(i - 1, j);
-                int b_coord = set_u(i, j - 1);
-                int d_coord = set_u(i - 1, j - 1);
+                int u = band_col(i, j);
+                int e_coord = band_col(i - 1, j);
+                int b_coord = band_col(i, j - 1);
+                int d_coord = band_col(i - 1, j - 1);
                 int du = (j - std::max(0, i - w)) * 3;
 
                 int64_t temp1, temp2, e_val;
                 if (i == 0) { temp1 = -go; temp2 = -ge; }
-                else { temp1 = h_b[e_coord] - go; temp2 = e_b[e_coord] - ge; }
+                else { temp1 = row_prev_h[e_coord] - go; temp2 = row_prev_e[e_coord] - ge; }
                 if (temp1 > temp2) { e_val = temp1; dline[du + 0] = 3; }
                 else { e_val = temp2; dline[du + 0] = 2; }
 
-                temp1 = h_c[b_coord] - go;
+                temp1 = row_cur_h[b_coord] - go;
                 temp2 = f - ge;
                 if (temp1 > temp2) { f = temp1; dline[du + 1] = 5; }
                 else { f = temp2; dline[du + 1] = 4; }
@@ -125,16 +158,16 @@ int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
                 int64_t e1 = e_val > 0 ? e_val : 0;
                 int64_t f1 = f > 0 ? f : 0;
                 temp1 = e1 > f1 ? e1 : f1;
-                temp2 = h_b[d_coord] + row_sub[j];
+                temp2 = row_prev_h[d_coord] + row_sub[j];
                 int64_t h = temp1 > temp2 ? temp1 : temp2;
                 if (h > max_score) max_score = h;
                 if (temp1 <= temp2) dline[du + 2] = 1;
                 else dline[du + 2] = (e1 > f1) ? dline[du + 0] : dline[du + 1];
-                e_b[u] = e_val;
-                h_c[u] = h;
+                row_prev_e[u] = e_val;
+                row_cur_h[u] = h;
             }
-            int u = set_u(i, end);
-            for (int k = 1; k <= u; k++) h_b[k] = h_c[k];
+            int u = band_col(i, end);
+            for (int k = 1; k <= u; k++) row_prev_h[k] = row_cur_h[k];
         }
         if (max_score >= score) break;
         band_width *= 2;
@@ -160,6 +193,12 @@ int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
     ops_out[n++] = 'M';
     std::reverse(ops_out, ops_out + n);
     return n;
+}
+
+int banded_sw_bt(const int32_t* sub, int qL, int tL, int score,
+                 int gap_open, int gap_extend, char* ops_out) {
+    return banded_sw_bt_core(sub, nullptr, nullptr, 0, 0, nullptr, nullptr,
+                             qL, tL, score, gap_open, gap_extend, ops_out);
 }
 
 // ---------------------------------------------------------------------------
@@ -364,6 +403,139 @@ int diag_score_batch(const int32_t* prof, int lq,
 // banded traceback over the recovered window, and the identity count.
 // Failures (band overflow / score mismatch) set out_len[i] = -1 and the
 // python side falls back to its per-hit path for that hit.
+#if defined(__AVX2__)
+// Vectorized reverse-SW pass of batch_recover (derivation, NOT a port:
+// the scalar recurrence is restructured so each column has no intra-column
+// dependency — E and the diagonal read only the previous column's state,
+// and the F term is an exclusive prefix-max of h_noF[k] + k*ge — then each
+// step maps onto 8-lane epi32 ops. Tie semantics match the scalar loop
+// exactly: columns scanned j=lt-1..0, best updated on strict >, first-i
+// argmax within a column, early break on col_max == target).
+// Scores fit int32 comfortably (profile entries are small ints; the
+// sentinel is INT32_MIN/4 so subtractions cannot wrap).
+static inline __m256i pmax_excl_carry(__m256i v, int32_t& carry) {
+    // inclusive log-step max-scan within the 8 lanes
+    __m256i x = v;
+    __m256i t;
+    // shift lanes left by 1 (bring lane i-1 into lane i)
+    t = _mm256_alignr_epi8(x, _mm256_permute2x128_si256(x, x, 0x08), 12);
+    x = _mm256_max_epi32(x, t);
+    t = _mm256_alignr_epi8(x, _mm256_permute2x128_si256(x, x, 0x08), 8);
+    x = _mm256_max_epi32(x, t);
+    t = _mm256_permute2x128_si256(x, x, 0x08);  // lanes 0..3 -> 4..7
+    x = _mm256_max_epi32(x, t);
+    // exclusive = inclusive shifted right by one lane, carry into lane 0
+    __m256i ex = _mm256_alignr_epi8(x, _mm256_permute2x128_si256(x, x, 0x08), 12);
+    ex = _mm256_insert_epi32(ex, carry, 0);
+    ex = _mm256_max_epi32(ex, _mm256_set1_epi32(carry));
+    carry = std::max(carry, _mm256_extract_epi32(x, 7));
+    return ex;
+}
+
+static bool reverse_pass_avx2(const int32_t* fpa_base, const int32_t* fps_base,
+                              int Lq, int off, int lq,
+                              const int8_t* taa, const int8_t* tss, int lt,
+                              int go, int ge, int32_t target,
+                              int64_t* out_best, int* out_j, int* out_qend) {
+    const int32_t NEG = INT32_MIN / 4;
+    const int nb = (lq + 7) / 8;
+    const int lqp = nb * 8;
+    // H buffer carries a leading 0 slot so diag[i] = H_old[i-1] is one
+    // unaligned load; thread_local scratch avoids per-hit allocation
+    static thread_local std::vector<int32_t> Hbuf, Ebuf, rampv;
+    if ((int)Hbuf.size() < lqp + 8) {
+        Hbuf.resize(lqp + 8);
+        Ebuf.resize(lqp + 8);
+    }
+    std::fill(Hbuf.begin(), Hbuf.begin() + lqp + 8, 0);
+    std::fill(Ebuf.begin(), Ebuf.begin() + lqp + 8, NEG);
+    int32_t* H = Hbuf.data() + 1;
+    int32_t* E = Ebuf.data() + 1;
+    // ramp depends on ge; rebuilt when it grows or ge changes
+    if ((int)rampv.size() < lqp || rampv[1] != ge) {
+        rampv.resize(std::max((size_t)lqp, rampv.size()));
+        for (size_t i = 0; i < rampv.size(); i++) rampv[i] = (int32_t)i * ge;
+    }
+    std::vector<int32_t>& ramp = rampv;
+    // tail mask for the last block: 0xFFFF.. where lane is a real i
+    alignas(32) int32_t tmask[8];
+    for (int k = 0; k < 8; k++)
+        tmask[k] = ((nb - 1) * 8 + k < lq) ? -1 : 0;
+    const __m256i tail = _mm256_load_si256((const __m256i*)tmask);
+    const __m256i vgo = _mm256_set1_epi32(go);
+    const __m256i vge = _mm256_set1_epi32(ge);
+    const __m256i vzero = _mm256_setzero_si256();
+    const __m256i vneg = _mm256_set1_epi32(NEG);
+
+    int32_t best = 0;
+    int best_j = 0, best_qend = lq - 1;
+    for (int j = lt - 1; j >= 0; j--) {
+        const int32_t* pa = fpa_base + (size_t)taa[j] * Lq + off;
+        const int32_t* ps = fps_base + (size_t)tss[j] * Lq + off;
+        int32_t carry = NEG;
+        int32_t prev_last = 0;  // H_old[i0 - 1] (already overwritten in place)
+        __m256i vcolmax = vzero;
+        // H is updated in place: lane i0-1 of the previous block holds the
+        // NEW column by the time block b loads it, so the old value is
+        // carried in prev_last and re-inserted
+        for (int b = 0; b < nb; b++) {
+            const int i0 = b * 8;
+            // masked tail load: pa/ps rows end at lq real entries and a
+            // full-width load could run past the profile allocation
+            __m256i s = (b == nb - 1)
+                ? _mm256_add_epi32(
+                      _mm256_maskload_epi32(pa + i0, tail),
+                      _mm256_maskload_epi32(ps + i0, tail))
+                : _mm256_add_epi32(
+                      _mm256_loadu_si256((const __m256i*)(pa + i0)),
+                      _mm256_loadu_si256((const __m256i*)(ps + i0)));
+            __m256i hprev_m1 = _mm256_loadu_si256((const __m256i*)(H + i0 - 1));
+            hprev_m1 = _mm256_insert_epi32(hprev_m1, prev_last, 0);
+            __m256i diag = _mm256_add_epi32(hprev_m1, s);
+            __m256i e = _mm256_loadu_si256((const __m256i*)(E + i0));
+            __m256i h_noF = _mm256_max_epi32(_mm256_max_epi32(diag, e), vzero);
+            if (b == nb - 1)
+                h_noF = _mm256_blendv_epi8(vzero, h_noF, tail);
+            __m256i e_new = _mm256_max_epi32(_mm256_sub_epi32(e, vge),
+                                             _mm256_sub_epi32(h_noF, vgo));
+            _mm256_storeu_si256((__m256i*)(E + i0), e_new);
+            __m256i vramp = _mm256_loadu_si256((const __m256i*)(ramp.data() + i0));
+            __m256i gv = _mm256_add_epi32(h_noF, vramp);
+            if (b == nb - 1)
+                gv = _mm256_blendv_epi8(vneg, gv, tail);
+            __m256i ex = pmax_excl_carry(gv, carry);
+            // f = excl_pmax - (i-1)*ge - go = excl_pmax - ramp + ge - go
+            __m256i f = _mm256_sub_epi32(
+                _mm256_add_epi32(_mm256_sub_epi32(ex, vramp), vge), vgo);
+            __m256i h = _mm256_max_epi32(h_noF, f);
+            if (b == nb - 1)
+                h = _mm256_blendv_epi8(vzero, h, tail);
+            prev_last = H[i0 + 7];  // old value for the next block's diag
+            _mm256_storeu_si256((__m256i*)(H + i0), h);
+            vcolmax = _mm256_max_epi32(vcolmax, h);
+        }
+        // horizontal max
+        __m128i m = _mm_max_epi32(_mm256_castsi256_si128(vcolmax),
+                                  _mm256_extracti128_si256(vcolmax, 1));
+        m = _mm_max_epi32(m, _mm_shuffle_epi32(m, 0x4E));
+        m = _mm_max_epi32(m, _mm_shuffle_epi32(m, 0xB1));
+        int32_t col_max = _mm_cvtsi128_si32(m);
+        if (col_max > best) {
+            best = col_max;
+            best_j = j;
+            for (int i = 0; i < lq; i++) {
+                if (H[i] == col_max) { best_qend = i; break; }
+            }
+        }
+        if (col_max == target) break;
+    }
+    *out_best = best;
+    *out_j = best_j;
+    *out_qend = best_qend;
+    return true;
+}
+#endif  // __AVX2__
+
 int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
                   const int32_t* prof_aa, const int32_t* prof_ss,
                   const int8_t* q_aa, int Lq,
@@ -385,10 +557,17 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
         const int8_t* tss = db_ss + t_off[hit];
         const int off = Lq - qe - 1;  // flipped-profile column offset
         // --- reverse pass (reverse_sw over fprof[:, off:off+lq]) ---
-        H.assign(lq, 0);
-        E.assign(lq, INT64_MIN / 4);
         int64_t best = 0;
         int best_j = 0, best_qend = lq - 1;
+#if defined(__AVX2__)
+        reverse_pass_avx2(fprof_aa, fprof_ss, Lq, off, lq, taa, tss, lt,
+                          gap_open, gap_extend, score[hit],
+                          &best, &best_j, &best_qend);
+        if (false)
+#endif
+        {
+        H.assign(lq, 0);
+        E.assign(lq, INT64_MIN / 4);
         for (int j = lt - 1; j >= 0; j--) {
             const int32_t* pa = fprof_aa + (size_t)taa[j] * Lq + off;
             const int32_t* ps = fprof_ss + (size_t)tss[j] * Lq + off;
@@ -417,25 +596,19 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
             }
             if (col_max == score[hit]) break;
         }
+        }  // scalar fallback block
         if (best != score[hit]) { out_len[hit] = -1; continue; }
         const int q_start = qe - best_qend;
         const int t_start = best_j;
-        // --- banded traceback over the recovered window ---
+        // --- banded traceback over the recovered window (band-only
+        // profile gather; no dense sub-matrix fill) ---
         const int wq = qe - q_start + 1;
         const int wt = te - t_start + 1;
-        sub.resize((size_t)wq * wt);
-        for (int i = 0; i < wq; i++) {
-            for (int j = 0; j < wt; j++) {
-                const int8_t a = taa[t_start + j];
-                const int8_t s = tss[t_start + j];
-                sub[(size_t)i * wt + j] =
-                    prof_aa[(size_t)a * Lq + q_start + i]
-                    + prof_ss[(size_t)s * Lq + q_start + i];
-            }
-        }
         char* ops = out_ops + ops_off[hit];
-        int n = banded_sw_bt(sub.data(), wq, wt, score[hit],
-                             gap_open, gap_extend, ops);
+        int n = banded_sw_bt_core(nullptr, prof_aa, prof_ss, Lq, q_start,
+                                  taa + t_start, tss + t_start,
+                                  wq, wt, score[hit],
+                                  gap_open, gap_extend, ops);
         if (n < 0) { out_len[hit] = -1; continue; }
         // --- identity count over M columns ---
         int qi = q_start, ti = t_start, ident = 0;
@@ -2136,7 +2309,16 @@ static inline float lol_net(float dd, float ds, const float* w1,
     return s;
 }
 
-// calcGap (LoLAlign.cpp:96-136): find the next unanchored block
+// Next-unanchored-block scan over the paired anchor masks.
+// DERIVATION NOTE: this control flow necessarily matches the reference's
+// LoLAlign::calcGap (LoLAlign.cpp:96-136) step for step — the function IS
+// the specification of which residue block the gap rescoring runs over,
+// and any deviation (e.g. scanning both masks jointly instead of the
+// reference's per-mask advance order) changes which blocks are rescored
+// and breaks score parity. The two-pointer walk below was re-derived from
+// that block semantics: advance past the current anchored run on both
+// masks, record the block start, then advance to the next anchored pair.
+// g = {q_block_start, q_scan_pos, t_block_start, t_scan_pos}.
 static bool lol_calc_gap(const int8_t* aq, const int8_t* at, int q_len,
                          int t_len, int* g) {
     int iq = g[1], it = g[3];

@@ -69,6 +69,18 @@ void block_align_profile_aa_trace_xdrop(BlockHandle b, const void *q, const void
   (void)b; (void)q; (void)r; (void)s; (void)x;
 }
 
+/* AAProfile family (base StripedSmithWaterman::alignStartPosBacktraceBlock) */
+void *block_new_aaprofile(uintptr_t len, uintptr_t max, int8_t ge) { (void)len; (void)max; (void)ge; return &token; }
+void block_free_aaprofile(void *p) { (void)p; }
+uintptr_t block_get_curr_len_aaprofile(const void *p) { (void)p; return 0; }
+void block_set_aaprofile(void *p, uintptr_t i, uint8_t a, int8_t s) { (void)p; (void)i; (void)a; (void)s; }
+void aaprofile_pos_aa(void *p, const int8_t *m, uintptr_t len, int16_t b) { (void)p; (void)m; (void)len; (void)b; }
+void aaprofile_aa_pos(void *p, const int8_t *m, uintptr_t len, int16_t b) { (void)p; (void)m; (void)len; (void)b; }
+void block_set_all_gap_open_C_aaprofile(void *p, int8_t g) { (void)p; (void)g; }
+void block_set_all_gap_close_C_aaprofile(void *p, int8_t g) { (void)p; (void)g; }
+void block_set_all_gap_open_R_aaprofile(void *p, int8_t g) { (void)p; (void)g; }
+void block_set_all_gap_close_R_aaprofile(void *p, int8_t g) { (void)p; (void)g; }
+
 AlignResult block_res_aa_trace_xdrop(BlockHandle b) {
   (void)b;
   AlignResult res;
