@@ -126,6 +126,13 @@ def load_params_gguf(path: str):
     """Map GGUF tensor names (llama.cpp T5ENCODER layout) to our param tree,
     plus the token vocabulary."""
     meta, t = read_gguf(path)
+    return map_gguf_params(meta, t)
+
+
+def map_gguf_params(meta, t):
+    """The name->param-tree mapping, split from file reading so the
+    release-manifest test (tests/test_prostt5.py) can drive it against the
+    pinned tensor table without a real 11 GB GGUF."""
     arch = meta.get("general.architecture", "?")
     n_layers = meta.get(f"{arch}.block_count")
     cfg = ProstT5Config(
