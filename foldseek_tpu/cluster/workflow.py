@@ -144,9 +144,20 @@ def cluster_db(db: StructDB, params: ClusterParams,
     persisted under a param-hashed stage dir and a re-invoked run resumes
     after the last completed step (data/structurecluster.sh's notExists
     guards)."""
+    from ..parallel.distributed import alignment_backend
     from ..search.stages import make_cache
     p = params
-    cache = make_cache(tmp_dir, params, db)
+    align_fn = alignment_backend()
+    if align_fn is not align_all:
+        # multi-process world: heavy align stages are query-sharded with an
+        # allgather merge (the $RUNNER prefix on structurecluster.sh's
+        # stages); stage-resume stays single-process-only — concurrent
+        # ranks would race on one artifact dir (the reference uses
+        # rank-local tmp + master move for the same reason,
+        # Prefiltering.cpp:589-660)
+        cache = None
+    else:
+        cache = make_cache(tmp_dir, params, db)
 
     def _step_pairs(name, fn) -> List[Tuple[int, int]]:
         if cache is None:
@@ -199,8 +210,8 @@ def cluster_db(db: StructDB, params: ClusterParams,
         # — E-values normalize by the full DB's residues, which decides
         # edges sitting at the E gate; only the cascade steps align subset
         # DBs (input_step_redundancy)
-        aln = align_all(db, db, pref_filtered, replace(align_par),
-                        same_db=True)
+        aln = align_fn(db, db, pref_filtered, replace(align_par),
+                       same_db=True)
         sub = _subdb_view(db, reps)
         return run_clust([int(k) for k in sub.keys], sub.lengths(),
                          _edges_from_alignments(aln), mode, p.max_iterations)
@@ -235,7 +246,7 @@ def cluster_db(db: StructDB, params: ClusterParams,
                 # (StructureCluster.cpp:146-160)
                 pref_step = kmer_prefilter(sdb, sdb, spar,
                                            min_diag_score=0 if step == 0 else 15)
-                aln_step = align_all(sdb, sdb, pref_step, spar, same_db=True)
+                aln_step = align_fn(sdb, sdb, pref_step, spar, same_db=True)
                 return run_clust([int(k) for k in sdb.keys], sdb.lengths(),
                                  _edges_from_alignments(aln_step), mode,
                                  p.max_iterations)

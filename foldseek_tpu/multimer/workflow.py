@@ -31,9 +31,18 @@ def multimer_search(qdb: StructDB, tdb: StructDB,
     """Full multimer pipeline; returns scorecomplex result lines per query
     chain key. With a tmp_dir the chain search and the expanded re-align
     resume from stage artifacts (data/multimersearch.sh notExists guards)."""
+    from ..parallel.distributed import alignment_backend
     from ..search.stages import make_cache
     same_db = qdb.path == tdb.path
-    cache = make_cache(tmp_dir, replace(params, add_backtrace=True), qdb, tdb)
+    align_fn = alignment_backend()
+    if align_fn is not align_all:
+        # multi-process: the chain search + expanded re-align shard by
+        # query with an allgather merge ($RUNNER on multimersearch.sh's
+        # stages); stage-resume is single-process-only (rank races)
+        cache = None
+    else:
+        cache = make_cache(tmp_dir, replace(params, add_backtrace=True),
+                           qdb, tdb)
     if params.exhaustive_search:
         # EXHAUSTIVE prefmode skips expansion; search carries backtraces
         spar = replace(params, add_backtrace=True)
@@ -55,7 +64,7 @@ def multimer_search(qdb: StructDB, tdb: StructDB,
             apar = replace(params, add_backtrace=True,
                            evalue_thr=EVALUE_THR_EXPAND_MULTIMER)
             with Timer("structurealign(expand)"):
-                return align_all(qdb, tdb, expanded, apar, same_db=same_db)
+                return align_fn(qdb, tdb, expanded, apar, same_db=same_db)
         alns = (cache.run_aln("aln_expand", run_expand_align)
                 if cache is not None else run_expand_align())
     with Timer("scoremultimer"):

@@ -116,10 +116,23 @@ def _compiled_gates(m_pad: int, chunk_tm: int, chunk_lddt: int,
         idx = jnp.arange(m_pad)
         valid = idx < ml
         pairm = valid[:, None] & valid[None, :] & (idx[:, None] != idx[None, :])
-        dq = jnp.sqrt(((q[:, None, :] - q[None, :, :]) ** 2).sum(-1))
+
+        def pdist(x):
+            # centered Gram form: |xi-xj|^2 = ni + nj - 2 xi.xj — the
+            # cross term is an MXU matmul instead of a [M, M, 3] VPU
+            # subtract/square/sum pass (~3x the HBM traffic). Centering
+            # keeps |x|^2 ~ 1e2 so f32 cancellation stays ~1e-4 A.
+            xm = jnp.where(valid[:, None], x, 0.0)
+            c = xm.sum(0) / jnp.maximum(ml.astype(jnp.float32), 1.0)
+            xc = jnp.where(valid[:, None], x - c, 0.0)
+            n2 = (xc * xc).sum(-1)
+            g = xc @ xc.T
+            return jnp.sqrt(jnp.maximum(n2[:, None] + n2[None, :] - 2.0 * g,
+                                        0.0))
+
+        dq = pdist(q)
         close = (dq < 15.0) & pairm
-        dt = jnp.sqrt(((t[:, None, :] - t[None, :, :]) ** 2).sum(-1))
-        dl = jnp.abs(dq - dt)
+        dl = jnp.abs(dq - pdist(t))
         pair = 0.25 * ((dl < 0.5).astype(jnp.float32) + (dl < 1.0)
                        + (dl < 2.0) + (dl < 4.0))
         col = jnp.where(close, pair, 0.0).sum(axis=1)

@@ -131,11 +131,39 @@ def distributed_search(qdb, tdb, params, mesh=None,
     pref = {int(qdb.keys[qi]): [t for t, _ in hits[qi]]
             for qi in range(qdb.size)}
 
+    return sharded_align_all(qdb, tdb, pref, params, same_db=same_db)
+
+
+def sharded_align_all(qdb, tdb, prefilter, params, same_db=None,
+                      query_profiles=None, stage_fn=None):
+    """Query-sharded align stage: each process runs align_all on its slice
+    of the (sorted) query keys against its full target mmap (the
+    reference's $RUNNER on structurealign, data/structuresearch.sh:50;
+    also the cluster cascade's and multimer expansion's heavy stage —
+    data/structurecluster.sh:95, data/multimersearch.sh:27), then the
+    per-host alignment records are merged with one process_allgather so
+    every process returns the full, identical {qkey: [AlnResult]}.
+    Single-process: plain align_all, gather skipped (the dryrun path)."""
+    import jax
+
+    from ..search.align import align_all
+    from ..search.results import result_to_line
+    from ..search.resultdb import parse_result_line
+
+    if same_db is None:
+        same_db = qdb.path == tdb.path
     pid = jax.process_index()
     nproc = jax.process_count()
-    my_pref = {qk: cands for i, (qk, cands) in enumerate(sorted(pref.items()))
+    my_pref = {qk: cands
+               for i, (qk, cands) in enumerate(sorted(prefilter.items()))
                if i % nproc == pid}
-    mine = align_all(qdb, tdb, my_pref, params, same_db=same_db)
+    if stage_fn is not None:
+        # alternative per-hit aligner with the align_all signature minus
+        # query_profiles (tmalign_all / lolalign_all stages)
+        mine = stage_fn(qdb, tdb, my_pref, params, same_db=same_db)
+    else:
+        mine = align_all(qdb, tdb, my_pref, params, same_db=same_db,
+                         query_profiles=query_profiles)
     if nproc == 1:
         return mine
 
@@ -155,15 +183,29 @@ def distributed_search(qdb, tdb, params, mesh=None,
     buf[0, :len(blob)] = np.frombuffer(blob, dtype=np.uint8)
     gathered = np.asarray(multihost_utils.process_allgather(buf))
     gathered = gathered.reshape(nproc, -1)
-    out = {int(k): [] for k in qdb.keys}
+    out = {int(qk): [] for qk in prefilter}
     for p in range(nproc):
         text = bytes(gathered[p][: int(sizes[p])]).decode()
         for line in text.splitlines():
             if not line:
                 continue
             qk, r = parse_result_line(line)
-            out[qk].append(r)
+            out.setdefault(qk, []).append(r)
     return out
+
+
+def alignment_backend():
+    """align_all, lifted across processes when a jax.distributed world is
+    active — the $RUNNER-prefix analogue workflows use to distribute their
+    heavy align stages without changing call sites."""
+    try:
+        import jax
+        if jax.process_count() > 1:
+            return sharded_align_all
+    except Exception:
+        pass
+    from ..search.align import align_all
+    return align_all
 
 
 class DistributedPrefilter:

@@ -135,8 +135,9 @@ class PairScorer:
                  query_profiles: Dict[int, object] = None):
         import jax.numpy as jnp
 
-        self.fwd: Dict[tuple, tuple] = {}
-        self.rev: Dict[tuple, tuple] = {}
+        # per-query result arrays aligned to the candidate order:
+        # qkey -> (fwd, qend, tend, rev) int64 arrays
+        self.per_query: Dict[int, tuple] = {}
         pairs = []  # (qkey, tkey)
         for qkey, cands in prefilter.items():
             for tkey in cands:
@@ -255,19 +256,37 @@ class PairScorer:
                         gap_open=params.gap_open, gap_extend=params.gap_extend)
                     pending.append((grp, tks, out))
         # drain after all launches are queued (async dispatch); one
-        # concatenated readback for every launch's outputs
+        # concatenated readback for every launch's outputs. Results land
+        # in per-query arrays aligned to the candidate order (vectorized
+        # gathers instead of 4 dict stores per pair).
         drained = _drain_outputs([x for _, _, out in pending for x in out])
+        by_query: Dict[int, list] = {}  # qk -> [(col_map, sc, qe, te, r)]
         for j, (grp, tks, _) in enumerate(pending):
             sc, qe, te = drained[3 * j: 3 * j + 3]
             col = {tk: i for i, tk in enumerate(tks)}
             for r, qk in enumerate(grp):
-                for tk in cand_by_q[qk]:
-                    i = col.get(tk)
-                    if i is None:
-                        continue
-                    self.fwd[(qk, tk)] = (int(sc[2 * r, i]), int(qe[2 * r, i]),
-                                          int(te[2 * r, i]))
-                    self.rev[(qk, tk)] = int(sc[2 * r + 1, i])
+                by_query.setdefault(qk, []).append((col, sc, qe, te, r))
+        for qk, blocks in by_query.items():
+            cands = cand_by_q[qk]
+            n = len(cands)
+            fwd = np.zeros(n, np.int64)
+            qend = np.zeros(n, np.int64)
+            tend = np.zeros(n, np.int64)
+            rev = np.zeros(n, np.int64)
+            for col, sc, qe, te, r in blocks:
+                idx_c = [(i, col[tk]) for i, tk in enumerate(cands)
+                         if tk in col]
+                if not idx_c:
+                    continue
+                ii = np.fromiter((a for a, _ in idx_c), np.int64,
+                                 len(idx_c))
+                cc = np.fromiter((b for _, b in idx_c), np.int64,
+                                 len(idx_c))
+                fwd[ii] = sc[2 * r][cc]
+                qend[ii] = qe[2 * r][cc]
+                tend[ii] = te[2 * r][cc]
+                rev[ii] = sc[2 * r + 1][cc]
+            self.per_query[qk] = (fwd, qend, tend, rev)
 
         # oversize queries: per-query single-profile launches; queries too
         # tall even for a single-profile VMEM state score on the host
@@ -278,7 +297,9 @@ class PairScorer:
             prof, rprof = self.profs[qk], self.rprofs[qk]
             fpa, fps = prof.padded(prof.L)
             rpa, rps = rprof.padded(prof.L)
-            for tk in cand_by_q[qk]:
+            cands = cand_by_q[qk]
+            arrs = tuple(np.zeros(len(cands), np.int64) for _ in range(4))
+            for i, tk in enumerate(cands):
                 ti = tkey_to_idx[tk]
                 t_aa = np.asarray(tdb.get_aa(ti), dtype=np.int64)
                 t_ss = np.asarray(tdb.get_ss(ti), dtype=np.int64)
@@ -288,8 +309,9 @@ class PairScorer:
                 rsc, _, _ = sw_score_endpos_np(
                     rpa, rps, t_aa, t_ss,
                     gap_open=params.gap_open, gap_extend=params.gap_extend)
-                self.fwd[(qk, tk)] = (int(fsc), int(fqe), int(fte))
-                self.rev[(qk, tk)] = int(rsc)
+                arrs[0][i], arrs[1][i] = int(fsc), int(fqe)
+                arrs[2][i], arrs[3][i] = int(fte), int(rsc)
+            self.per_query[qk] = arrs
         single = [qk for qk in single if qk not in set(very_long)]
 
         pending = []
@@ -318,11 +340,24 @@ class PairScorer:
                 pending.append((qk, tks, fwd, rev))
         drained = _drain_outputs(
             [x for _, _, fwd, rev in pending for x in (*fwd, rev[0])])
+        by_query = {}
         for j, (qk, tks, _, _) in enumerate(pending):
-            fsc, fqe, fte, rsc = drained[4 * j: 4 * j + 4]
-            for i, tk in enumerate(tks):
-                self.fwd[(qk, tk)] = (int(fsc[i]), int(fqe[i]), int(fte[i]))
-                self.rev[(qk, tk)] = int(rsc[i])
+            by_query.setdefault(qk, []).append(
+                (tks,) + tuple(drained[4 * j: 4 * j + 4]))
+        for qk, blocks in by_query.items():
+            cands = cand_by_q[qk]
+            arrs = tuple(np.zeros(len(cands), np.int64) for _ in range(4))
+            for tks, fsc, fqe, fte, rsc in blocks:
+                col = {tk: j for j, tk in enumerate(tks)}
+                # iterate candidate positions (not tks) so duplicate
+                # candidate keys each get their value
+                idx_c = [(i, col[tk]) for i, tk in enumerate(cands)
+                         if tk in col]
+                ii = np.fromiter((a for a, _ in idx_c), np.int64, len(idx_c))
+                cc = np.fromiter((b for _, b in idx_c), np.int64, len(idx_c))
+                arrs[0][ii], arrs[1][ii] = fsc[cc], fqe[cc]
+                arrs[2][ii], arrs[3][ii] = fte[cc], rsc[cc]
+            self.per_query[qk] = arrs
 
     def _score_xla(self, tdb, params, cand_by_q, t_lens, tkey_to_idx):
         """Off-TPU (test meshes): the XLA scan path — the Pallas interpreter
@@ -351,12 +386,25 @@ class PairScorer:
                                       gap_open=params.gap_open,
                                       gap_extend=params.gap_extend)
                 pending.append((qk, tks, fwd, rev))
+        by_query: Dict[int, list] = {}
         for qk, tks, fwd, rev in pending:
             fsc, fqe, fte = (np.asarray(x) for x in fwd)
             rsc = np.asarray(rev[0])
-            for i, tk in enumerate(tks):
-                self.fwd[(qk, tk)] = (int(fsc[i]), int(fqe[i]), int(fte[i]))
-                self.rev[(qk, tk)] = int(rsc[i])
+            by_query.setdefault(qk, []).append((tks, fsc, fqe, fte, rsc))
+        for qk, blocks in by_query.items():
+            cands = cand_by_q[qk]
+            arrs = tuple(np.zeros(len(cands), np.int64) for _ in range(4))
+            for tks, fsc, fqe, fte, rsc in blocks:
+                col = {tk: j for j, tk in enumerate(tks)}
+                # iterate candidate positions (not tks) so duplicate
+                # candidate keys each get their value
+                idx_c = [(i, col[tk]) for i, tk in enumerate(cands)
+                         if tk in col]
+                ii = np.fromiter((a for a, _ in idx_c), np.int64, len(idx_c))
+                cc = np.fromiter((b for _, b in idx_c), np.int64, len(idx_c))
+                arrs[0][ii], arrs[1][ii] = fsc[cc], fqe[cc]
+                arrs[2][ii], arrs[3][ii] = fte[cc], rsc[cc]
+            self.per_query[qk] = arrs
 
 
 def align_all(qdb: StructDB, tdb: StructDB,
@@ -681,11 +729,8 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
     if len(tids) == 0:
         return []
 
-    fwd = np.array([scorer.fwd[(qkey, int(k))][0] for k in cand_keys])
-    qend = np.array([scorer.fwd[(qkey, int(k))][1] for k in cand_keys])
-    tend = np.array([scorer.fwd[(qkey, int(k))][2] for k in cand_keys])
-    rev = np.array([scorer.rev[(qkey, int(k))] for k in cand_keys])
-    scores = fwd.astype(np.int64) - rev.astype(np.int64)
+    fwd, qend, tend, rev = scorer.per_query[qkey]
+    scores = fwd - rev
     ev_fwd = ev.evalue_corr_batch(fwd, lam, mu)
     ev_corr = ev.evalue_corr_batch(scores, lam, mu)
 

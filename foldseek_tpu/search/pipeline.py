@@ -42,7 +42,12 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
     from .stages import make_cache
     if same_db is None:
         same_db = qdb.path == tdb.path
-    cache = make_cache(tmp_dir, params, qdb, tdb)
+    import jax as _jax
+    # stage-resume is single-process-only: concurrent ranks would race on
+    # one artifact dir (the reference uses rank-local tmp + a master move,
+    # Prefiltering.cpp:589-660)
+    cache = (make_cache(tmp_dir, params, qdb, tdb)
+             if _jax.process_count() == 1 else None)
     if params.cluster_search:
         # search representatives, expand hits to cluster members, re-align
         # against the full _seq DB (data/structuresearch.sh:125-140)
@@ -82,16 +87,34 @@ def search(qdb: StructDB, tdb: StructDB, params: SearchParams,
 def _align_stage(qdb: StructDB, tdb: StructDB, pref: Dict[int, List[int]],
                  params: SearchParams, same_db: bool,
                  cache=None) -> Dict[int, List[AlnResult]]:
+    # in a jax.distributed world every align stage is query-sharded with
+    # an allgather merge (the $RUNNER prefix the reference puts on each
+    # heavy stage, data/structuresearch.sh:46-53); single-process worlds
+    # run the plain in-process stage
+    import jax as _jax
+    _nproc = _jax.process_count()
+
+    def _sharded(stage_fn):
+        from ..parallel.distributed import sharded_align_all
+        return sharded_align_all(qdb, tdb, pref, params, same_db=same_db,
+                                 stage_fn=stage_fn)
+
     def run():
         if params.alignment_type == 1:  # TM-align (StructureSearch.cpp:128-135)
             from .tmalign_stage import tmalign_all
             with Timer("tmalign"):
+                if _nproc > 1:
+                    return _sharded(tmalign_all)
                 return tmalign_all(qdb, tdb, pref, params, same_db=same_db)
         if params.alignment_type == 3:  # LoLalign
             from .lolalign_stage import lolalign_all
             with Timer("lolalign"):
+                if _nproc > 1:
+                    return _sharded(lolalign_all)
                 return lolalign_all(qdb, tdb, pref, params, same_db=same_db)
         with Timer("structurealign"):
+            if _nproc > 1:
+                return _sharded(None)
             return align_all(qdb, tdb, pref, params, same_db=same_db)
     if cache is not None:
         # backtraces are always persisted: a resumed run must reproduce the

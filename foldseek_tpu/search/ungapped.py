@@ -268,9 +268,29 @@ class UngappedPrefilter:
         return out
 
 
+_pref_cache: dict = {}  # tdb.path -> UngappedPrefilter (resident panels)
+
+
+def resident_prefilter(tdb: StructDB) -> "UngappedPrefilter":
+    """Per-process resident UngappedPrefilter keyed by DB path — repeated
+    searches against the same target DB reuse the device panels instead of
+    re-uploading (the gpuserver-resident-DB analogue in-process,
+    lib/mmseqs/src/util/gpuserver.cpp; the cross-process version is
+    server.py's indexserver)."""
+    # key on the loaded array object identity, not just the path: a DB
+    # regenerated and reloaded under the same path gets fresh panels
+    key = (getattr(tdb, "path", None), id(tdb.ss), tdb.size)
+    pref = _pref_cache.get(key)
+    if pref is None:
+        pref = UngappedPrefilter(tdb)
+        _pref_cache.clear()  # one resident DB (HBM budget)
+        _pref_cache[key] = pref
+    return pref
+
+
 def ungapped_prefilter(qdb: StructDB, tdb: StructDB,
                        params: SearchParams) -> Dict[int, List[int]]:
-    pref = UngappedPrefilter(tdb)
+    pref = resident_prefilter(tdb)
     seqs = [np.asarray(qdb.get_ss(qi)) for qi in range(qdb.size)]
     hits = pref.query_batch(seqs, params)
     out: Dict[int, List[int]] = {

@@ -28,6 +28,21 @@ def main():
 
     db = load_db(db_path)
     mode = sys.argv[6] if len(sys.argv) > 6 else "prefilter"
+    if mode == "cluster":
+        # easy-cluster with the align stages query-sharded over processes
+        from foldseek_tpu.cluster.workflow import ClusterParams, cluster_db
+        clusters = cluster_db(db, ClusterParams())
+        with open(out_path, "w") as f:
+            json.dump(sorted((int(k), sorted(int(m) for m in v))
+                             for k, v in clusters.items()), f)
+        return
+    if mode == "multimer":
+        from foldseek_tpu.multimer.workflow import multimer_search
+        res = multimer_search(db, db, SearchParams())
+        lines = [f"{qk}\t{line}" for qk in sorted(res) for line in res[qk]]
+        with open(out_path, "w") as f:
+            json.dump(lines, f)
+        return
     if mode == "search":
         from foldseek_tpu.parallel.distributed import distributed_search
         from foldseek_tpu.search.results import result_to_line
