@@ -264,13 +264,21 @@ def bench_aligners():
     return out
 
 
+# Reference binary on the SAME synthetic 100k DB (seeds 1/4 exported as
+# CA-only PDB tars), single thread, prebuilt .idx: search 8.11 s +
+# convertalis 0.05 s for the 16-query set / 16000 hits (measured 2026-08-19,
+# tools/bench_reference_scale.py; createdb 107 s / createindex 107 s
+# excluded on both sides — our index build: 29 s).
+REFERENCE_SCALE_100K_E2E_SECONDS = 8.16
+
+
 def bench_scale():
     """BASELINE config 5 analogue on one chip: a synthetic 100k-entry DB
     (SCOP-derived length/composition mix, db/synth.py) searched end-to-end
     — 64 queries through the device gapless prefilter (the --gpu mode,
     StructureSearch.cpp:110-112) + full structurealign, plus a
-    prefilter-only rate and peak host RSS. FOLDSEEK_TPU_BENCH_1M=1 adds a
-    1M-target prefilter scan."""
+    prefilter-only rate, a reference-binary yardstick ratio at the same
+    scale, a 1M-target prefilter scan + RAM model, and peak host RSS."""
     import os
     import tempfile
     import time as _t
@@ -325,10 +333,25 @@ def bench_scale():
         out["scale_100k_e2e_qps"] = round(qdb16.size / dt, 2)
         out["scale_100k_e2e_seconds"] = round(dt, 2)
         out["scale_100k_hits"] = int(sum(len(v) for v in res.values()))
+        out["scale_100k_vs_reference_1thread"] = round(
+            REFERENCE_SCALE_100K_E2E_SECONDS / dt, 2)
 
-        if os.environ.get("FOLDSEEK_TPU_BENCH_1M"):
+        # 1M-target prefilter scan + RAM model (always recorded since r4;
+        # FOLDSEEK_TPU_BENCH_NO_1M=1 skips on small hosts). The reference's
+        # RAM model is (6 B Calpha + 1 B 3Di + 1 B AA) per DB residue
+        # (README.md:95); this build's prefilter-resident footprint is the
+        # int8 3Di panel + postings, measured as the RSS delta of
+        # constructing the prefilter over the 1M DB.
+        if not os.environ.get("FOLDSEEK_TPU_BENCH_NO_1M"):
+            from foldseek_tpu.db.synth import current_rss_mb
             tdb1m = synth_db(base, 1_000_000, os.path.join(td, "t1m"), seed=3)
+            rss0 = current_rss_mb()
             pref1m = UngappedPrefilter(tdb1m)
+            host_mb = current_rss_mb() - rss0
+            residues = int(tdb1m.total_residues)
+            out["scale_1m_residues"] = residues
+            out["scale_1m_prefilter_host_bytes_per_residue"] = round(
+                host_mb * 1e6 / max(residues, 1), 2)
             pref1m.query_batch(seqs[:4], params)
             t0 = _t.perf_counter()
             pref1m.query_batch(seqs, params)

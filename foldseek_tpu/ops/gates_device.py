@@ -196,7 +196,12 @@ class GateFleet:
         self.chunk_lddt = lddt_chunk_for(m_pad)
         align = max(self.chunk_tm, self.chunk_lddt)
         self.n = n_items
-        self.p_pad = -(-n_items // align) * align
+        # quantize the fleet size to a power of two (>= chunk alignment):
+        # P is part of the jit shape key, and per-wave fleet sizes vary
+        # run to run — an unquantized P would retrace/compile per size
+        # (20-40 s each on a remote-compile backend)
+        p = max(align, 1 << (max(1, n_items) - 1).bit_length())
+        self.p_pad = p
         self.qabs = np.zeros((self.p_pad, m_pad), np.int32)
         self.tabs = np.zeros((self.p_pad, m_pad), np.int32)
         self.m_len = np.zeros(self.p_pad, np.int32)

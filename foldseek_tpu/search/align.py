@@ -27,7 +27,8 @@ from ..ops import lddt as lddt_ops
 from ..ops import tmscore as tm_ops
 from ..ops.sw import QueryProfile
 from ..utils.log import logger
-from .params import SearchParams, can_be_covered, has_coverage
+from .params import (SearchParams, can_be_covered, can_be_covered_mask,
+                     has_coverage)
 from .results import AlnResult, compare_hits, compare_hits_by_structure_bits
 
 
@@ -488,30 +489,57 @@ def align_all(qdb: StructDB, tdb: StructDB,
             gates_mode=gates_mode)
 
     _t0 = _time.perf_counter()
-    out = dict(map_queries(one, prefilter.items()))
-    logger.debug("align: host per-hit loop %.2fs",
-                 _time.perf_counter() - _t0)
     if defer_gates:
+        # wave-pipelined phases: dispatch each wave's TM/LDDT fleets as
+        # soon as its backtraces exist, so the device computes wave k
+        # while the host runs wave k+1's per-hit loop (the drain at the
+        # end then mostly finds finished work)
+        items = list(prefilter.items())
+        n_waves = min(4, max(1, len(items) // 4))
+        per = -(-len(items) // n_waves)
+        out = {}
+        in_flight = []
+        for w0 in range(0, len(items), per):
+            wave_out = dict(map_queries(one, items[w0:w0 + per]))
+            out.update(wave_out)
+            in_flight.append(_device_gates_dispatch(
+                qdb, tdb, wave_out, params, qkey_to_idx, tkey_to_idx,
+                need_tm, need_lddt))
+        logger.debug("align: host per-hit loop + wave dispatch %.2fs",
+                     _time.perf_counter() - _t0)
         _t0 = _time.perf_counter()
-        _device_gates(qdb, tdb, out, params, qkey_to_idx, tkey_to_idx,
-                      need_tm, need_lddt)
-        logger.debug("align: device TM/LDDT gates %.2fs",
+        for fleets in in_flight:
+            _device_gates_finish(fleets, params, need_tm, need_lddt)
+        logger.debug("align: device TM/LDDT gates drain %.2fs",
                      _time.perf_counter() - _t0)
         key = (compare_hits_by_structure_bits
                if params.sort_by_structure_bits else compare_hits)
         for rs in out.values():
             rs.sort(key=key)
+        return out
+    out = dict(map_queries(one, prefilter.items()))
+    logger.debug("align: host per-hit loop %.2fs",
+                 _time.perf_counter() - _t0)
     return out
 
 
 def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
                   need_tm, need_lddt):
-    """Phase B: fused batched TM+LDDT (ops/gates_device) over every
-    survivor with device-side coordinate gather from an HBM-resident
-    target C-alpha panel, then the structure-bit score scaling. One
-    async launch + one readback per m_pad bucket. Tiny alignments
-    (<8 columns) keep the host path — degenerate superpositions are
-    where f32 and the reference's f64 could drift."""
+    fleets = _device_gates_dispatch(qdb, tdb, results, params, qkey_to_idx,
+                                    tkey_to_idx, need_tm, need_lddt)
+    _device_gates_finish(fleets, params, need_tm, need_lddt)
+
+
+def _device_gates_dispatch(qdb, tdb, results, params, qkey_to_idx,
+                           tkey_to_idx, need_tm, need_lddt):
+    """Phase B dispatch: fused batched TM+LDDT (ops/gates_device) over
+    every survivor with device-side coordinate gather from an HBM-resident
+    target C-alpha panel. One async launch per m_pad bucket — returns the
+    in-flight fleets so the caller can overlap further host work (the next
+    query wave's backtraces) with the device compute before draining via
+    _device_gates_finish. Tiny alignments (<8 columns) take the host path
+    inline — degenerate superpositions are where f32 and the reference's
+    f64 could drift."""
     import jax
     import jax.numpy as jnp
 
@@ -543,7 +571,7 @@ def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
             buckets.setdefault(m_pad, []).append(
                 (res, int(qkey), ti, norm, m))
     if not buckets:
-        return
+        return []
 
     # query coords + per-residue LDDT degree, concatenated per fleet (tiny)
     q_row: Dict[int, int] = {}
@@ -629,7 +657,12 @@ def _device_gates(qdb, tdb, results, params, qkey_to_idx, tkey_to_idx,
                                      dtype=np.int32, count=P)
         fleet.dispatch(t_panel, q_coords_d, q_deg_d)
         fleets.append((items, fleet))
+    return fleets
 
+
+def _device_gates_finish(fleets, params, need_tm, need_lddt):
+    """Phase B drain: block on each in-flight fleet's packed readback and
+    apply TM/LDDT + the structure-bit score scaling."""
     for items, fleet in fleets:
         tm, lddt, _ = fleet.result()
         for j, (res, *_rest) in enumerate(items):
@@ -662,8 +695,26 @@ def _host_gates_one(res, q_ca, t_ca, lddt_ctx, params, q_len, t_len,
         res.score = int(res.score * math.sqrt(res.lddt * res.tm))
 
 
+def _pre_gate_mask(params, q_len, t_lens, qend, tend, ev_fwd, ev_corr):
+    """Vectorized pre-backtrace gates — element-identical to the scalar
+    loop's first four checks (canBeCovered, endpoint coverage estimate,
+    forward + corrected E-value)."""
+    ok = can_be_covered_mask(params.cov_thr, params.cov_mode, q_len, t_lens)
+    if params.cov_thr > 0.0:
+        q_cov0 = np.minimum(1.0, (qend + 1) / q_len)
+        t_cov0 = np.minimum(1.0, (tend + 1) / t_lens)
+        if params.cov_mode == 0:
+            ok &= (q_cov0 >= params.cov_thr) & (t_cov0 >= params.cov_thr)
+        elif params.cov_mode == 1:
+            ok &= t_cov0 >= params.cov_thr
+        elif params.cov_mode == 2:
+            ok &= q_cov0 >= params.cov_thr
+    ok &= (ev_fwd <= params.evalue_thr) & (ev_corr <= params.evalue_thr)
+    return ok
+
+
 def _batch_tracebacks(prof, tdb, tids, cand_keys, params, q_len,
-                      fwd, qend, tend, ev_fwd, ev_corr):
+                      fwd, qend, tend, pre_ok):
     """ci -> Traceback for every candidate the serial loop would backtrace,
     recovered in one native batch_recover call. Empty when batching can't
     reproduce the loop exactly (non-default accept/reject budgets: an
@@ -675,19 +726,8 @@ def _batch_tracebacks(prof, tdb, tids, cand_keys, params, q_len,
     from .. import native
     if native.get_lib() is None or not isinstance(tdb, StructDB):
         return {}
-    surv = []
-    for ci in range(len(tids)):
-        t_len = tdb.entry_len(tids[ci])
-        if not can_be_covered(params.cov_thr, params.cov_mode, q_len, t_len):
-            continue
-        q_cov0 = min(1.0, (qend[ci] + 1) / q_len)
-        t_cov0 = min(1.0, (tend[ci] + 1) / t_len)
-        if not has_coverage(params.cov_thr, params.cov_mode, q_cov0, t_cov0):
-            continue
-        if ev_fwd[ci] > params.evalue_thr or ev_corr[ci] > params.evalue_thr:
-            continue
-        surv.append(ci)
-    if not surv:
+    surv = np.nonzero(pre_ok)[0]
+    if not len(surv):
         return {}
     fprof = getattr(prof, "_flipped_cache", None)
     if fprof is None:
@@ -705,7 +745,7 @@ def _batch_tracebacks(prof, tdb, tids, cand_keys, params, q_len,
     out = {}
     for j, ci in enumerate(surv):
         if ops[j] is not None:
-            out[ci] = bt_ops.Traceback(
+            out[int(ci)] = bt_ops.Traceback(
                 q_start=int(q_start[j]), t_start=int(t_start[j]),
                 backtrace=ops[j], identical_aa=int(ident[j]))
     return out
@@ -734,40 +774,42 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
     ev_fwd = ev.evalue_corr_batch(fwd, lam, mu)
     ev_corr = ev.evalue_corr_batch(scores, lam, mu)
 
+    offs = np.asarray(tdb.offsets)
+    t_lens_arr = offs[tids + 1] - offs[tids]
+    # vectorized pre-backtrace gates (canBeCovered + endpoint coverage +
+    # both E-values) — element-identical to the scalar checks
+    pre_ok = _pre_gate_mask(params, q_len, t_lens_arr, qend, tend,
+                            ev_fwd, ev_corr)
+
     # batched native start+traceback recovery: with the default INT_MAX
     # accept/reject budgets no candidate is skipped by an early break, so
     # every candidate passing the pre-backtrace gates gets its traceback
     # from ONE native call (vs 2 ctypes round trips per hit)
     pre_tb = _batch_tracebacks(
-        prof, tdb, tids, cand_keys, params, q_len, fwd, qend, tend,
-        ev_fwd, ev_corr)
+        prof, tdb, tids, cand_keys, params, q_len, fwd, qend, tend, pre_ok)
 
+    qkey_int = int(qdb.keys[qi])
+    identity_ok = same_db or params.include_identity
+    pre_ok_l = pre_ok.tolist()
+    scores_l = scores.tolist()
+    ev_corr_l = ev_corr.tolist()
+    qend_l = qend.tolist()
+    tend_l = tend.tolist()
+    t_lens_l = t_lens_arr.tolist()
     results: List[AlnResult] = []
     passed = 0
     rejected = 0
     for ci in range(len(tids)):
         if passed >= params.max_accept or rejected >= params.max_rejected:
             break
-        ti = tids[ci]
         tkey = int(cand_keys[ci])
-        t_len = tdb.entry_len(ti)
+        t_len = t_lens_l[ci]
         # reference: isIdentity = (queryId == targetId && (includeIdentity || sameDB))
-        is_identity = (int(qdb.keys[qi]) == tkey) and (same_db or params.include_identity)
-        if not can_be_covered(params.cov_thr, params.cov_mode, q_len, t_len):
+        is_identity = (qkey_int == tkey) and identity_ok
+        if not pre_ok_l[ci]:
             rejected += 1
             continue
-        # coverage estimate from end positions only (alignScoreEndPos)
-        q_cov0 = min(1.0, (qend[ci] + 1) / q_len)
-        t_cov0 = min(1.0, (tend[ci] + 1) / t_len)
-        if not has_coverage(params.cov_thr, params.cov_mode, q_cov0, t_cov0):
-            rejected += 1
-            continue
-        if ev_fwd[ci] > params.evalue_thr:
-            rejected += 1
-            continue
-        if ev_corr[ci] > params.evalue_thr:
-            rejected += 1
-            continue
+        ti = tids[ci]
 
         t_aa = tdb.get_aa(ti)
         t_ss = tdb.get_ss(ti)
@@ -785,13 +827,13 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
 
         aln_len = len(tb.backtrace)
         seq_id = tb.identical_aa / aln_len if aln_len else 0.0
-        qcov = (qend[ci] - tb.q_start + 1) / q_len
-        tcov = (tend[ci] - tb.t_start + 1) / t_len
+        qcov = (qend_l[ci] - tb.q_start + 1) / q_len
+        tcov = (tend_l[ci] - tb.t_start + 1) / t_len
         res = AlnResult(
-            db_key=tkey, score=int(scores[ci]), seq_id=float(np.float32(seq_id)),
-            evalue=float(ev_corr[ci]),
-            q_start=int(tb.q_start), q_end=int(qend[ci]), q_len=q_len,
-            t_start=int(tb.t_start), t_end=int(tend[ci]), t_len=t_len,
+            db_key=tkey, score=scores_l[ci], seq_id=float(np.float32(seq_id)),
+            evalue=ev_corr_l[ci],
+            q_start=int(tb.q_start), q_end=qend_l[ci], q_len=q_len,
+            t_start=int(tb.t_start), t_end=tend_l[ci], t_len=t_len,
             backtrace=tb.backtrace, qcov=qcov, tcov=tcov,
             aln_length=aln_len, identical=tb.identical_aa)
 
