@@ -292,16 +292,30 @@ def kmer_threshold(k: int, sensitivity: float) -> int:
     raise ValueError(f"unsupported k-mer size {k}")
 
 
-def kmer_threshold_profile(k: int, sensitivity: float) -> int:
-    """Profile-query thresholds, context-pseudocount branch
-    (Prefiltering::getKmerThreshold, Prefiltering.cpp:1035-1048; our
-    result2profile applies context-specific pseudocounts)."""
-    if k == 7:
-        return int(158.75 - 9.75 * sensitivity)
-    if k == 6:
-        return int(132.75 - 8.75 * sensitivity)
-    if k == 5:
-        return int(97.75 - 8.75 * sensitivity)
+def kmer_threshold_profile(k: int, sensitivity: float,
+                           context_pseudo_counts: bool = False) -> int:
+    """Profile-query thresholds (Prefiltering::getKmerThreshold,
+    Prefiltering.cpp:1035-1064). The branch keys on the profile DB's
+    DBTYPE_EXTENDED_CONTEXT_PSEUDO_COUNTS flag, which result2profile only
+    sets under --pseudo-cnt-mode 1 (PCMODE_CONTEXT_SPECIFIC,
+    result2profile.cpp:116-118); the DEFAULT pcmode is substitution-score
+    (Parameters.cpp:2551), so foldseek profile searches take the no-ctx
+    constants — verified against the reference binary's own
+    "k-mer similarity threshold" report (75 at k=6 s=9.5)."""
+    if context_pseudo_counts:
+        if k == 7:
+            return int(158.75 - 9.75 * sensitivity)
+        if k == 6:
+            return int(132.75 - 8.75 * sensitivity)
+        if k == 5:
+            return int(97.75 - 8.75 * sensitivity)
+    else:
+        if k == 7:
+            return int(149.15 - 6.85 * sensitivity)
+        if k == 6:
+            return int(134.35 - 6.15 * sensitivity)
+        if k == 5:
+            return int(108.8 - 4.7 * sensitivity)
     raise ValueError(f"unsupported k-mer size {k}")
 
 

@@ -30,3 +30,19 @@ def test_fuzz_parity_seeded():
         env=dict(os.environ, PYTHONPATH=REPO))
     assert r.returncode == 0, r.stdout + r.stderr
     assert "BYTE-IDENTICAL" in r.stdout, r.stdout
+
+
+@pytest.mark.skipif(not os.path.isfile(REF_BIN),
+                    reason="reference binary not built")
+def test_pssm_prefilter_exact_vs_reference():
+    """Full-stack k-mer PSSM prefilter A/B: the reference's own stored
+    profile bytes through both its prefilter module and query_pssm must
+    produce identical (target, score, diagonal) rows in identical order
+    (closed r4: no-ctx threshold branch + chunked-flush semantics)."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "ab_pssm_prefilter.py"),
+         "16", "3"],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO))
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-500:]
+    assert "RESULT: EXACT" in r.stdout

@@ -95,7 +95,8 @@ def test_query_pssm_profile_mode(example_dir, tmp_path):
     from foldseek_tpu.search.pipeline import search
     from foldseek_tpu.search.profile import pssm_store_bytes, result2profile
 
-    assert kmer_threshold_profile(6, 9.5) == 49
+    assert kmer_threshold_profile(6, 9.5) == 75  # no-ctx branch (ref-verified)
+    assert kmer_threshold_profile(6, 9.5, context_pseudo_counts=True) == 49
     files = [str(example_dir / f) for f in
              ("d1asha_", "d1mbaa_", "d1or4a_", "d1naza_")]
     db = create_db(files, str(tmp_path / "db"))
@@ -104,7 +105,7 @@ def test_query_pssm_profile_mode(example_dir, tmp_path):
     profs = result2profile(db, db, results)
     kp = KmerPrefilter(db, SearchParams(), bias_scale=0.15,
                        profile_mode=True)
-    assert kp.index_thr == 0 and kp.kmer_thr == 49
+    assert kp.index_thr == 0 and kp.kmer_thr == 75
     from foldseek_tpu.ops.matrices import mat3di
     m3 = mat3di()
     for qi in range(db.size):

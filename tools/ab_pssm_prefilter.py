@@ -32,16 +32,18 @@ def run_ref(args):
                            % (args[0], r.stderr.decode()[-400:]))
 
 
-def read_dbr(path):
-    """Reference DBReader records: returns {key: bytes} (trailing \\0
-    stripped)."""
+def read_dbr(path, binary=False):
+    """Reference DBReader records: {key: bytes}. The index length counts
+    ONE trailing \\0 terminator; binary records (profiles) may contain
+    legitimate 0x00 data bytes, so exactly one byte is stripped (an
+    rstrip would truncate zero-valued trailing positions)."""
     out = {}
     with open(path, "rb") as f:
         data = f.read()
     for line in open(path + ".index"):
         key, off, ln = line.split()
         rec = data[int(off): int(off) + int(ln)]
-        out[int(key)] = rec.rstrip(b"\x00")
+        out[int(key)] = rec[:-1] if binary else rec.rstrip(b"\x00")
     return out
 
 
@@ -79,7 +81,7 @@ def main():
                  os.path.join(td, "rpref"), "-s", "9.5",
                  "--max-seqs", "1000", "--threads", "1"])
 
-        profs = read_dbr(prof + "_ss")
+        profs = read_dbr(prof + "_ss", binary=True)
         rpref = read_dbr(os.path.join(td, "rpref"))
         ref_names = read_lookup(rdb + ".lookup")
 
@@ -104,7 +106,10 @@ def main():
             pssm = arr[:, :20].astype(np.int32)
             letters = arr[:, 20].astype(np.int64)
             hits = kp.query_pssm(pssm, letters, 1000)
-            ours = [(ourdb.names[t], int(s), int(d)) for t, s, d in hits]
+            # our diagonals are uint16; the reference prints signed shorts
+            ours = [(ourdb.names[t], int(s),
+                     int(d) - 65536 if int(d) >= 32768 else int(d))
+                    for t, s, d in hits]
             ref_rows = []
             for line in rpref.get(qkey, b"").decode().splitlines():
                 c = line.split("\t")
