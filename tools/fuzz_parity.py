@@ -596,7 +596,15 @@ def main():
                     continue
                 for (rq, rt_), (oq, ot_) in zip(rv, ov):
                     worst_tm = max(worst_tm, abs(rq - oq), abs(rt_ - ot_))
-            mm_ok = mm_missed == 0 and worst_tm < 2e-2
+            # Band root-caused (r4, tools/trace_multimer_band.py +
+            # tools/ab_aln2tmscore.py): the TM ENGINES agree to <=5e-5 on
+            # identical fixed alignments; the report-level qTM/tTM spread
+            # (<=6.8e-3 over 10 seeds x 1271 values, ours HIGHER in 95%)
+            # is carried by the upstream chain-pair backtraces, where the
+            # patched reference's stubbed-block-aligner fallback yields
+            # slightly different (marginally worse) alignments feeding the
+            # assignment superposition. Tightened 2e-2 -> 1e-2.
+            mm_ok = mm_missed == 0 and worst_tm < 1e-2
             print("multimer-mode: %d assignments (%d group-diff), worst "
                   "|dTM| %.1e -> %s"
                   % (n_asn, mm_missed, worst_tm,
