@@ -151,24 +151,36 @@ def test_resume_keeps_backtraces_without_add_backtrace(small_db, tmp_path):
 
 
 def test_rebuilt_db_invalidates_stage_cache(small_db, tmp_path):
-    """A same-shape rebuild of the DB (manifest rewritten) must change the
-    param hash so stale artifacts are not reused."""
+    """The stage hash keys on DB CONTENT (r3 VERDICT weak #5): a rebuild
+    that changes the 3Di payload must change the hash even when shape,
+    path, mtime, and size are all identical; a byte-identical copy with a
+    different mtime must NOT (a pure re-stat is resumable)."""
     import shutil
     params = SearchParams()
     copy_path = str(tmp_path / "dbcopy")
     shutil.copytree(small_db.path, copy_path)
     db1 = load_db(copy_path)
     h1 = param_hash(params, db1, db1)
-    # rewrite the manifest (same content, newer mtime) = rebuilt DB
+
+    # mtime-only change, identical bytes: hash must be stable
     m = os.path.join(copy_path, "manifest.json")
-    with open(m) as f:
-        blob = f.read()
     os.utime(m, ns=(os.stat(m).st_mtime_ns + 10**9,
                     os.stat(m).st_mtime_ns + 10**9))
     db2 = load_db(copy_path)
-    h2 = param_hash(params, db2, db2)
-    assert h1 != h2
-    assert blob  # manifest unchanged in content
+    assert param_hash(params, db2, db2) == h1
+
+    # same-shape payload change (one 3Di letter flipped in place): the
+    # mtime/size keying this test used to pin would MISS this case
+    ss_path = os.path.join(copy_path, "ss.npy")
+    st = os.stat(ss_path)
+    with open(ss_path, "r+b") as f:
+        f.seek(-1, os.SEEK_END)
+        old = f.read(1)
+        f.seek(-1, os.SEEK_END)
+        f.write(bytes([(old[0] + 1) % 20]))
+    os.utime(ss_path, ns=(st.st_mtime_ns, st.st_mtime_ns))
+    db3 = load_db(copy_path)
+    assert param_hash(params, db3, db3) != h1
 
 
 def test_multimersearch_resumes(small_db, tmp_path, caplog):
