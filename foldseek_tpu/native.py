@@ -115,6 +115,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                          ctypes.c_double, ctypes.c_double,
                                          ctypes.c_double, dp, dp]
         lib.fwbw_posterior_c.restype = ctypes.c_int
+        lib.dist_matrix_c.argtypes = [fp, ctypes.c_int, ctypes.c_int, fp]
+        lib.dist_matrix_c.restype = ctypes.c_int
+        lib.lol_init_query_vec.argtypes = [fp, ctypes.c_int, fp, fp, fp,
+                                           fp, ctypes.c_float, dp]
+        lib.lol_init_query_vec.restype = ctypes.c_int
         lib.lolalign_c.argtypes = [fp, ctypes.c_int, ctypes.c_int, fp, fp,
                                    ctypes.c_int, ctypes.c_int,
                                    fp, fp, fp, ctypes.c_float,
@@ -749,3 +754,39 @@ def batch_recover(fprof_aa, fprof_ss, prof_aa, prof_ss, q_aa,
            if out_len[i] >= 0 else None
            for i in range(n)]
     return out_qs, out_ts, out_id, ops
+
+
+def dist_matrix(ca: np.ndarray, cutoff: bool):
+    """[L, L] float32 pairwise distances (bit-identical to the numpy
+    broadcast form); None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ca = np.ascontiguousarray(ca, dtype=np.float32)
+    L = len(ca)
+    out = np.empty((L, L), dtype=np.float32)
+    rc = lib.dist_matrix_c(_ptr(ca, ctypes.c_float), L, int(cutoff),
+                           _ptr(out, ctypes.c_float))
+    return out if rc == 0 else None
+
+
+def lol_init_query_vec(dist_q: np.ndarray, sd_table: np.ndarray,
+                       w1, b1, w2, b2, lol_vec: np.ndarray) -> bool:
+    """Accumulate the LoLalign initQuery self-score rows into lol_vec
+    (float64, in place); sd_table = numpy seq-dist values for
+    diff in [-(L-1), L-1]. Returns False if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    dq = np.ascontiguousarray(dist_q, dtype=np.float32)
+    sd = np.ascontiguousarray(sd_table, dtype=np.float32)
+    w1f = np.ascontiguousarray(np.asarray(w1, np.float32).reshape(-1))
+    b1f = np.ascontiguousarray(np.asarray(b1, np.float32).reshape(-1))
+    w2f = np.ascontiguousarray(np.asarray(w2, np.float32).reshape(-1))
+    rc = lib.lol_init_query_vec(
+        _ptr(dq, ctypes.c_float), len(dq), _ptr(sd, ctypes.c_float),
+        _ptr(w1f, ctypes.c_float),
+        _ptr(b1f, ctypes.c_float), _ptr(w2f, ctypes.c_float),
+        ctypes.c_float(float(np.asarray(b2).reshape(-1)[0])),
+        _ptr(lol_vec, ctypes.c_double))
+    return rc == 0

@@ -74,6 +74,10 @@ def lol_nn(d_dist: np.ndarray, d_seq) -> np.ndarray:
 
 
 def _dist_matrix(ca: np.ndarray, cutoff: bool) -> np.ndarray:
+    from .. import native
+    nd = native.dist_matrix(ca, cutoff)  # bit-identical, ~4x faster
+    if nd is not None:
+        return nd
     d = np.sqrt(((ca[:, None, :] - ca[None, :, :]) ** 2).sum(-1)).astype(np.float32)
     if cutoff:
         d = np.where(d > 20.0, 0.0, d)
@@ -125,11 +129,16 @@ class LoLAligner:
         di_score = float(di_vec.sum())
         lol_vec = di_vec.copy()
         ii = np.arange(L)
-        for i in range(L):
-            valid = self.dist_q[i] > 0
-            d_seq = _seq_dist(i, ii)
-            lol_vec += lol_nn(np.where(valid, 0.0, -1.0),
-                              np.where(valid, d_seq, -1.0))
+        from .. import native
+        sd_table = _seq_dist(np.arange(2 * L - 1) - (L - 1),
+                             np.zeros(2 * L - 1))
+        if not native.lol_init_query_vec(self.dist_q, sd_table, W1, B1, W2,
+                                         B2, lol_vec):
+            for i in range(L):
+                valid = self.dist_q[i] > 0
+                d_seq = _seq_dist(i, ii)
+                lol_vec += lol_nn(np.where(valid, 0.0, -1.0),
+                                  np.where(valid, d_seq, -1.0))
         qq = float(lol_vec.sum()) + 3.0 * di_score
         if not self.multi_domain:
             qq /= (L * L) ** 0.25

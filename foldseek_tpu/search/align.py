@@ -671,7 +671,10 @@ def _device_gates_finish(fleets, params, need_tm, need_lddt):
             if need_lddt:
                 res.lddt = float(lddt[j])
             if params.sort_by_structure_bits and need_tm and need_lddt:
-                res.score = int(res.score * math.sqrt(res.lddt * res.tm))
+                # degenerate superpositions (toy/colinear coords) can yield
+                # NaN TM; finite-positive guard keeps parity elsewhere
+                f = res.lddt * res.tm
+                res.score = int(res.score * math.sqrt(f)) if f > 0 else 0
 
 
 def _host_gates_one(res, q_ca, t_ca, lddt_ctx, params, q_len, t_len,
@@ -692,7 +695,8 @@ def _host_gates_one(res, q_ca, t_ca, lddt_ctx, params, q_len, t_len,
                                    res.backtrace, q_ctx=lddt_ctx)
         res.lddt = lr.avg_lddt
     if params.sort_by_structure_bits and need_tm and need_lddt:
-        res.score = int(res.score * math.sqrt(res.lddt * res.tm))
+        f = res.lddt * res.tm
+        res.score = int(res.score * math.sqrt(f)) if f > 0 else 0
 
 
 def _pre_gate_mask(params, q_len, t_lens, qend, tend, ev_fwd, ev_corr):
@@ -867,7 +871,10 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                     continue
                 res.lddt = lr.avg_lddt
             if params.sort_by_structure_bits and need_tm and need_lddt:
-                res.score = int(res.score * math.sqrt(res.lddt * res.tm))
+                # degenerate superpositions (toy/colinear coords) can yield
+                # NaN TM; finite-positive guard keeps parity elsewhere
+                f = res.lddt * res.tm
+                res.score = int(res.score * math.sqrt(f)) if f > 0 else 0
 
         results.append(res)
         passed += 1

@@ -12,6 +12,7 @@
 // Double precision throughout the TM path matches the numpy float64 math.
 
 #include <cstdint>
+#include <ctime>
 #include <cstring>
 #include <cmath>
 #include <algorithm>
@@ -2439,6 +2440,69 @@ int lol_anchor_score_c(const int8_t* aq, const int8_t* at, int qL, int tL,
     return 0;
 }
 
+// [L, L] pairwise C-alpha distance matrix (LoLalign's dist_q/dist_t;
+// float32 arithmetic in numpy's reduce order so the values are
+// bit-identical to ops/lolalign._dist_matrix). cutoff: >20 A -> 0.
+__attribute__((optimize("fp-contract=off")))
+int dist_matrix_c(const float* ca, int L, int cutoff, float* out) {
+    for (int i = 0; i < L; i++) {
+        const float xi = ca[3 * i], yi = ca[3 * i + 1], zi = ca[3 * i + 2];
+        float* row = out + (size_t)i * L;
+        row[i] = 0.0f;
+        for (int j = i + 1; j < L; j++) {
+            const float dx = xi - ca[3 * j];
+            const float dy = yi - ca[3 * j + 1];
+            const float dz = zi - ca[3 * j + 2];
+            float d = std::sqrt(dx * dx + dy * dy + dz * dz);
+            if (cutoff && d > 20.0f) d = 0.0f;
+            row[j] = d;
+            out[(size_t)j * L + i] = d;
+        }
+    }
+    return 0;
+}
+
+// LoLalign initQuery self-score accumulation (ops/lolalign.py
+// init_query:125-133): for every row i of dist_q, add the LoL net over
+// (d_dist = dist_q[i, j] if > 0 else -1, d_seq = seq_dist(i, j) or -1)
+// into the float64 lol_vec — same row order and f32->f64 accumulation as
+// the numpy loop, so qq stays bit-identical.
+__attribute__((optimize("fp-contract=off")))
+int lol_init_query_vec(const float* dist_q, int L, const float* sd_table,
+                       const float* w1, const float* b1, const float* w2,
+                       float b2, double* lol_vec) {
+    // sd_table: numpy-computed seq-dist values for diff = i - j in
+    // [-(L-1), L-1] at index (L-1) + diff — keeps the float32 log1p
+    // rounding identical to the python loop (numpy's SIMD log1p differs
+    // from libm log1pf by 1 ulp on some inputs)
+    for (int i = 0; i < L; i++) {
+        const float* dr = dist_q + (size_t)i * L;
+        for (int j = 0; j < L; j++) {
+            if (!(dr[j] > 0.0f)) continue;
+            const float ds = sd_table[L - 1 + i - j];
+            float outv = b2;
+            for (int h = 0; h < 3; h++)
+                outv += w2[h] * std::max(0.0f, ds * w1[h] + b1[h]);
+            lol_vec[j] += (double)outv;
+        }
+    }
+    return 0;
+}
+
+// section-time accumulators for the LoLalign hot path (perf diagnosis
+// only; zero overhead unless read): 0=global fwbw, 1=seed selection,
+// 2=block rescoring, 3=gap fwbw, 4=anchor qualify, 5=final selection
+static thread_local double lol_prof[8] = {0};
+extern "C" void lol_prof_reset() { for (int i = 0; i < 8; i++) lol_prof[i] = 0; }
+extern "C" void lol_prof_get(double* out) {
+    for (int i = 0; i < 8; i++) out[i] = lol_prof[i];
+}
+static inline double lol_now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+
 int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
                const float* dist_t, int sal, int multi_domain,
                const float* w1, const float* b1, const float* w2, float b2,
@@ -2452,8 +2516,10 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
     static thread_local std::vector<double> P;
     P.resize(NN);
     double mp0;
+    double _t0 = lol_now();
     fwbw_posterior_f32s(lol_m0, tL, qL, tL, sa_go, sa_ge, sa_T, P.data(),
                         &mp0);
+    lol_prof[0] += lol_now() - _t0; _t0 = lol_now();
 
     static thread_local std::vector<float> lol_seed;
     lol_seed.assign(lol_m0, lol_m0 + NN);  // zeroed in bands
@@ -2464,13 +2530,32 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
     for (int s = 0; s < NA; s++) {
         const int r0 = sal, r1 = qL - sal, c0 = sal, c1 = tL - sal;
         if (r1 <= r0 || c1 <= c0) break;
-        // argmax over the interior of P (row-major first max)
+        // argmax over the interior of P (row-major first max):
+        // vectorized two-pass — max reduction, then first cell == max
+        // (identical to the scalar strict-greater scan)
         int mi = r0, mj = c0;
         double best = -1.0;
         for (int i = r0; i < r1; i++) {
             const double* pr = P.data() + (size_t)i * tL;
+#if defined(__AVX2__)
+            __m256d vm = _mm256_set1_pd(best);
+            int j = c0;
+            for (; j + 4 <= c1; j += 4)
+                vm = _mm256_max_pd(vm, _mm256_loadu_pd(pr + j));
+            alignas(32) double lanes[4];
+            _mm256_store_pd(lanes, vm);
+            double rowmax = std::max(std::max(lanes[0], lanes[1]),
+                                     std::max(lanes[2], lanes[3]));
+            for (; j < c1; j++) rowmax = std::max(rowmax, pr[j]);
+            if (rowmax > best) {
+                for (int k = c0; k < c1; k++)
+                    if (pr[k] == rowmax) { mi = i; mj = k; break; }
+                best = rowmax;
+            }
+#else
             for (int j = c0; j < c1; j++)
                 if (pr[j] > best) { best = pr[j]; mi = i; mj = j; }
+#endif
         }
         // seed score: LoL over the seed diagonal (align:215-247)
         const int start_row = mi - std::min(mi, mj);
@@ -2506,6 +2591,7 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
         }
         n_seeds = s + 1;
     }
+    lol_prof[1] += lol_now() - _t0;
     if (n_seeds == 0) return 0;
 
     // stable ascending argsort of seed scores (python argsort kind=stable)
@@ -2536,6 +2622,7 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
             for (int i = 0; i < qL; i++) if (aqs[i] == 2) anq.push_back(i);
             for (int j = 0; j < tL; j++) if (ats[j] == 2) ant.push_back(j);
             const int n = (int)std::min(anq.size(), ant.size());
+            _t0 = lol_now();
             while (g[1] < qL && g[3] < tL) {
                 if (!lol_calc_gap(aqs, ats, qL, tL, g)) break;
                 for (int k = 0; k < n; k++) {
@@ -2563,11 +2650,13 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
                     }
                 }
             }
+            lol_prof[2] += lol_now() - _t0;
             for (int i = 0; i < qL; i++) if (aqs[i] == 2) aqs[i] = 1;
             for (int j = 0; j < tL; j++) if (ats[j] == 2) ats[j] = 1;
 
             // forward-backward over the gap segments
             double max_p_iter = (iteration == 0) ? 0.5 : lol_min_p;
+            _t0 = lol_now();
             g[0] = min_idx; g[1] = 0; g[2] = 0; g[3] = 0;
             while (g[1] < max_idx && g[3] < tL) {
                 if (!lol_calc_gap(aqs, ats, max_idx, tL, g)) break;
@@ -2585,6 +2674,7 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
                             blockP[(size_t)i * cols + j];
             }
 
+            lol_prof[3] += lol_now() - _t0; _t0 = lol_now();
             // anchor qualifying pairs
             int new_anchors = 0;
             g[0] = min_idx; g[1] = 0; g[2] = 0; g[3] = 0;
@@ -2604,6 +2694,7 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
                     }
                 }
             }
+            lol_prof[4] += lol_now() - _t0;
             if (new_anchors == 0) {
                 if (multi_domain && !add_seq) {
                     // multi-domain extension (align:281-322)
@@ -2620,6 +2711,7 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
     }
 
     // ---- pick the best anchor set by total LoL score ----
+    _t0 = lol_now();
     double best_score = -1e300;
     int best_seed = -1, best_snap = -1;
     std::vector<int> fa_q, fa_t;
@@ -2636,6 +2728,7 @@ int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
             dist_t, w1, b1, w2, b2, fa_q, fa_t);
         if (tot > best_score) { best_score = tot; best_snap = (int)k; }
     }
+    lol_prof[5] += lol_now() - _t0;
     if (best_snap >= 0) {
         std::memcpy(out_aq, snap_q[best_snap].data(), qL);
         std::memcpy(out_at, snap_t[best_snap].data(), tL);
