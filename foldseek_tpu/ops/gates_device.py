@@ -73,10 +73,12 @@ def _hbm_free_bytes() -> Optional[int]:
 def resident_ca_panel(db):
     """Device-resident [R, 3] float32 C-alpha panel for a DB, cached per
     process; None when it would not fit in a conservative HBM budget (the
-    caller then uploads a per-fleet union panel instead)."""
-    key = getattr(db, "path", None)
-    if key is None or db.ca is None:
+    caller then uploads a per-fleet union panel instead). Keyed on the
+    loaded array object identity, not just the path: a DB regenerated and
+    reloaded under the same path gets a fresh panel."""
+    if db.ca is None:
         return None
+    key = (getattr(db, "path", None), id(db.ca), int(db.offsets[-1]))
     arr = _ca_panels.get(key)
     if arr is not None:
         return arr
@@ -88,6 +90,7 @@ def resident_ca_panel(db):
         return None  # int32 gather indices
     import jax.numpy as jnp
     arr = jnp.asarray(np.asarray(db.ca, dtype=np.float32))
+    _ca_panels.clear()  # one resident target DB at a time (HBM budget)
     _ca_panels[key] = arr
     return arr
 

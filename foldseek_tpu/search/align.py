@@ -976,4 +976,5 @@ def _host_gates_batch(results, tdb, tkey_to_idx, params, q_len, q_ca,
         if need_lddt:
             res.lddt = float(out["lddt"][j])
         if params.sort_by_structure_bits and need_tm and need_lddt:
-            res.score = int(res.score * math.sqrt(res.lddt * res.tm))
+            f = res.lddt * res.tm
+            res.score = int(res.score * math.sqrt(f)) if f > 0 else 0

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import numpy as np
 from typing import Dict, List, Optional
 
 from ..db.storage import StructDB, is_db, load_db
@@ -197,15 +199,39 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
                 qprofiles = {k: profile_query(p, params.gap_open,
                                               params.gap_extend)
                              for k, p in profiles.items()}
-            # profile prefilter: gapless scan with the 3Di PSSM on device
-            from .ungapped import UngappedPrefilter
+            # profile prefilter. Default (KMER mode): the k-mer PSSM
+            # prefilter — element-exact vs the reference binary's profile
+            # search (tools/ab_pssm_prefilter.py, r4). Mode 1 (the GPU
+            # path, StructureSearch.cpp:110-112): gapless device scan
+            # with the 3Di PSSM.
+            from .params import PREF_MODE_UNGAPPED
             with Timer(f"profile prefilter(iter {it})"):
-                if upref is None:
-                    upref = UngappedPrefilter(tdb)
-                pref = {}
-                for qkey, qp in qprofiles.items():
-                    hits = upref.query_profile(qp.prof_ss, params)
-                    pref[qkey] = [k for k, _ in hits]
+                if params.prefilter_mode == PREF_MODE_UNGAPPED:
+                    from .ungapped import UngappedPrefilter
+                    if upref is None:
+                        upref = UngappedPrefilter(tdb)
+                    pref = {}
+                    for qkey, qp in qprofiles.items():
+                        hits = upref.query_profile(qp.prof_ss, params)
+                        pref[qkey] = [k for k, _ in hits]
+                else:
+                    from ..ops.matrices import mat3di
+                    from .kmer import KmerPrefilter
+                    from .profile import pssm_store_bytes
+                    if upref is None:
+                        upref = KmerPrefilter(tdb, params, bias_scale=0.15,
+                                              profile_mode=True)
+                    m3 = mat3di()
+                    qk_to_idx = qdb.key_to_index()
+                    tkeys = np.asarray(tdb.keys, dtype=np.int64)
+                    pref = {}
+                    for qkey, p in profiles.items():
+                        pssm = pssm_store_bytes(p.prob_ss, m3.p_back)
+                        letters = np.asarray(
+                            qdb.get_ss(qk_to_idx[int(qkey)]), dtype=np.int64)
+                        hits = upref.query_pssm(pssm, letters,
+                                                params.max_seqs)
+                        pref[qkey] = [int(tkeys[t]) for t, _s, _d in hits]
             # subtractdbs: only candidates NOT already aligned in earlier
             # rounds go to the profile alignment
             # (structureiterativesearch.sh:46-49)
