@@ -226,7 +226,10 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
                     tkeys = np.asarray(tdb.keys, dtype=np.int64)
                     pref = {}
                     for qkey, p in profiles.items():
-                        pssm = pssm_store_bytes(p.prob_ss, m3.p_back)
+                        # SS stored bytes carry NO composition-bias
+                        # correction (result2structprofile.cpp:40)
+                        pssm = pssm_store_bytes(p.prob_ss, m3.p_back,
+                                                comp_bias_correction=False)
                         letters = np.asarray(
                             qdb.get_ss(qk_to_idx[int(qkey)]), dtype=np.int64)
                         hits = upref.query_pssm(pssm, letters,
@@ -237,9 +240,13 @@ def iterative_search(qdb: StructDB, tdb: StructDB, params: SearchParams,
             # (structureiterativesearch.sh:46-49)
             aligned = {int(qkey): {int(r.db_key) for r in rs}
                        for qkey, rs in results.items()}
+            n_pref = sum(len(v) for v in pref.values())
             pref = {qkey: [k for k in cands
                            if int(k) not in aligned.get(int(qkey), set())]
                     for qkey, cands in pref.items()}
+            logger.debug("iter %d: %d prefilter candidates, %d new after "
+                         "subtract", it, n_pref,
+                         sum(len(v) for v in pref.values()))
             p_iter = p_final if it == num_iterations - 1 else p_nonfinal
             with Timer(f"structurealign(iter {it})"):
                 new = align_all(qdb, tdb, pref, p_iter, same_db=same_db,

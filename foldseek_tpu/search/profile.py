@@ -425,7 +425,7 @@ E_PROFILE = 0.1  # --e-profile default (result2profile.cpp:33)
 
 def result2profile(qdb: StructDB, tdb: StructDB,
                    results: Dict[int, List[AlnResult]],
-                   e_profile: float = E_PROFILE,
+                   e_profile: float = None,
                    filter_msa: bool = True,
                    wg: bool = False,
                    same_db: Optional[bool] = None) -> Dict[int, ProfileEntry]:
@@ -433,7 +433,13 @@ def result2profile(qdb: StructDB, tdb: StructDB,
     (reference: lib/mmseqs/src/util/result2profile.cpp:180-265 run once per
     track by data/result2structprofile.sh; hits enter the MSA only below
     --e-profile, the same-DB self hit is skipped, the MSA is
-    redundancy-filtered, then context-specific weighting + pseudocounts)."""
+    redundancy-filtered, then context-specific weighting + pseudocounts).
+
+    The two tracks use DIFFERENT parameters (result2structprofile.cpp:
+    24-44): AA — pca 1.1 / pcb 4.1, e-profile 0.001; 3Di — pca 1.4 /
+    pcb 1.5, e-profile 0.1 (when --e-profile is unset), no profile
+    masking, no composition-bias correction on the stored bytes.
+    An explicit e_profile overrides BOTH tracks (--e-profile wasSet)."""
     mb = blosum62()
     m3 = mat3di()
     sub_aa = blosum62(2.0, -0.2).scores
@@ -443,20 +449,24 @@ def result2profile(qdb: StructDB, tdb: StructDB,
     q_idx = qdb.key_to_index()
     t_idx = tdb.key_to_index()
     out = {}
+    e_aa = e_profile if e_profile is not None else 0.001
+    e_ss = e_profile if e_profile is not None else E_PROFILE
     for qkey, rs in results.items():
         qi = q_idx[int(qkey)]
         rs = [r for r in rs if r.backtrace
-              and not (same_db and int(r.db_key) == int(qkey))
-              and r.evalue < e_profile]
-        t_aa = [np.asarray(tdb.get_aa(t_idx[r.db_key])) for r in rs]
-        t_ss = [np.asarray(tdb.get_ss(t_idx[r.db_key])) for r in rs]
-        msa_aa = _build_msa(np.asarray(qdb.get_aa(qi)), rs, t_aa)
-        msa_ss = _build_msa(np.asarray(qdb.get_ss(qi)), rs, t_ss)
+              and not (same_db and int(r.db_key) == int(qkey))]
+        rs_aa = [r for r in rs if r.evalue < e_aa]
+        rs_ss = [r for r in rs if r.evalue < e_ss]
+        t_aa = [np.asarray(tdb.get_aa(t_idx[r.db_key])) for r in rs_aa]
+        t_ss = [np.asarray(tdb.get_ss(t_idx[r.db_key])) for r in rs_ss]
+        msa_aa = _build_msa(np.asarray(qdb.get_aa(qi)), rs_aa, t_aa)
+        msa_ss = _build_msa(np.asarray(qdb.get_ss(qi)), rs_ss, t_ss)
         if filter_msa:
             msa_aa = msa_aa[msa_filter(msa_aa, sub_aa)]
             msa_ss = msa_ss[msa_filter(msa_ss, sub_ss)]
         prob_aa = compute_pssm_probs(msa_aa, mb.p_back, mb.pseudo_counts, wg=wg)
-        prob_ss = compute_pssm_probs(msa_ss, m3.p_back, m3.pseudo_counts, wg=wg)
+        prob_ss = compute_pssm_probs(msa_ss, m3.p_back, m3.pseudo_counts,
+                                     pca=1.4, pcb=1.5, wg=wg)
         out[int(qkey)] = ProfileEntry(
             key=int(qkey), prob_aa=prob_aa, prob_ss=prob_ss,
             consensus_aa=np.asarray(qdb.get_aa(qi)).copy(),
