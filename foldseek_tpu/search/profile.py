@@ -625,14 +625,28 @@ class PSSMQueryProfile:
         return pa, ps
 
 
+def _alignment_scale(stored: np.ndarray) -> np.ndarray:
+    """Stored int8 profile bytes [L, 20] -> the alignment profile the
+    reference's Sequence::mapProfile derives (:334): stored / 4 with C
+    truncation toward zero, X row 0; int32 [21, L]."""
+    out = np.zeros((21, stored.shape[0]), dtype=np.int32)
+    out[:N_AA] = np.trunc(stored.astype(np.float64) / 4.0).astype(np.int32).T
+    return out
+
+
 def profile_query(entry: ProfileEntry, gap_open: int = 10,
                   gap_extend: int = 1) -> PSSMQueryProfile:
-    """Search profile from PSSM probabilities at the 3Di+AA scales
-    (2.1 / 1.4, structurealign.cpp:252-265)."""
+    """Search profiles at the reference's profile-alignment scale: the
+    STORED bytes (bit factor 8; AA with global comp-bias, SS without —
+    result2structprofile.cpp:24-44) divided by 4 with C truncation
+    (Sequence::mapProfile:334) — NOT a fresh rounding at the sequence
+    scales 1.4/2.1, whose double-rounding drifted scores vs the binary."""
     mb = blosum62()
     m3 = mat3di()
     return PSSMQueryProfile(
         entry.consensus_aa, entry.consensus_ss,
-        probs_to_scores(entry.prob_aa, mb.p_back, 1.4),
-        probs_to_scores(entry.prob_ss, m3.p_back, 2.1),
+        _alignment_scale(pssm_store_bytes(entry.prob_aa, mb.p_back,
+                                          comp_bias_correction=True)),
+        _alignment_scale(pssm_store_bytes(entry.prob_ss, m3.p_back,
+                                          comp_bias_correction=False)),
         gap_open, gap_extend)
