@@ -101,7 +101,10 @@ static int banded_sw_bt_core(const int32_t* sub,
     const int go = gap_open, ge = gap_extend;
     static thread_local std::vector<int8_t> direction;
     static thread_local std::vector<int32_t> row_s;
-    static thread_local std::vector<int64_t> row_prev_h, row_prev_e, row_cur_h;
+    // int32 state: h >= 0 always (clamped Gotoh), e/f >= -gap_open, and
+    // every value is bounded by the target score (< 2^20) — int64 was
+    // 2x the ring traffic for no range benefit
+    static thread_local std::vector<int32_t> row_prev_h, row_prev_e, row_cur_h;
     int width_d = 0;
     for (;;) {
         int w = band_width;
@@ -112,7 +115,7 @@ static int banded_sw_bt_core(const int32_t* sub,
         row_cur_h.assign(width, 0);
         direction.assign((size_t)qL * width_d * 3, 0);
         if ((int)row_s.size() < tL) row_s.resize(tL);
-        int64_t max_score = 0;
+        int32_t max_score = 0;
 
         auto band_col = [w](int i, int j) {
             int x = i - w;
@@ -124,7 +127,7 @@ static int banded_sw_bt_core(const int32_t* sub,
             int beg = std::max(0, i - w);
             int end = std::min(tL - 1, i + w);
             int edge = std::min(end + 1, width - 1);
-            int64_t f = 0;
+            int32_t f = 0;
             row_prev_h[0] = row_prev_e[0] = row_prev_h[edge] = row_prev_e[edge] = row_cur_h[0] = 0;
             int8_t* dline = direction.data() + (size_t)i * width_d * 3;
             const int32_t* row_sub;
@@ -145,7 +148,7 @@ static int banded_sw_bt_core(const int32_t* sub,
                 int d_coord = band_col(i - 1, j - 1);
                 int du = (j - std::max(0, i - w)) * 3;
 
-                int64_t temp1, temp2, e_val;
+                int32_t temp1, temp2, e_val;
                 if (i == 0) { temp1 = -go; temp2 = -ge; }
                 else { temp1 = row_prev_h[e_coord] - go; temp2 = row_prev_e[e_coord] - ge; }
                 if (temp1 > temp2) { e_val = temp1; dline[du + 0] = 3; }
@@ -156,11 +159,11 @@ static int banded_sw_bt_core(const int32_t* sub,
                 if (temp1 > temp2) { f = temp1; dline[du + 1] = 5; }
                 else { f = temp2; dline[du + 1] = 4; }
 
-                int64_t e1 = e_val > 0 ? e_val : 0;
-                int64_t f1 = f > 0 ? f : 0;
+                int32_t e1 = e_val > 0 ? e_val : 0;
+                int32_t f1 = f > 0 ? f : 0;
                 temp1 = e1 > f1 ? e1 : f1;
                 temp2 = row_prev_h[d_coord] + row_sub[j];
-                int64_t h = temp1 > temp2 ? temp1 : temp2;
+                int32_t h = temp1 > temp2 ? temp1 : temp2;
                 if (h > max_score) max_score = h;
                 if (temp1 <= temp2) dline[du + 2] = 1;
                 else dline[du + 2] = (e1 > f1) ? dline[du + 0] : dline[du + 1];

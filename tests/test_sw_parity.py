@@ -96,14 +96,15 @@ def test_pairscorer_stacked_matches_xla(tmp_path):
 
     ref = PairScorer(db, db, params, prefilter, idx, idx)  # CPU -> XLA path
     got = PairScorer(db, db, params, prefilter, idx, idx)
-    got.fwd.clear()
-    got.rev.clear()
+    got.per_query.clear()
     got._score_stacked(db, params,
                        {qk: list(tks) for qk, tks in prefilter.items()},
                        {tk: db.entry_len(idx[tk]) for tk in (2, 3, 4, 5)},
                        idx)
-    assert got.fwd == ref.fwd
-    assert got.rev == ref.rev
+    assert set(got.per_query) == set(ref.per_query)
+    for qk in ref.per_query:
+        for a, b in zip(got.per_query[qk], ref.per_query[qk]):
+            assert np.array_equal(a, b), qk
 
 
 def test_batched_native_traceback_matches_per_hit(example_dir, tmp_path):
