@@ -105,3 +105,23 @@ def test_threads_flag_caps_pool():
     finally:
         set_threads(0)
     assert n_host_threads(64) == auto
+
+
+def test_native_asan_ubsan_sweep():
+    """ASan+UBSan build of the native lib driven through the hot entry
+    points under a thread pool (the reference's ASanOpt CI analogue,
+    azure-pipelines.yml:36-40). Skipped when libasan is unavailable."""
+    import os
+    import subprocess
+    import sys
+    asan = subprocess.run(["g++", "-print-file-name=libasan.so"],
+                          capture_output=True, text=True).stdout.strip()
+    if not asan or not os.path.isabs(asan):
+        import pytest
+        pytest.skip("libasan unavailable")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "sanitize_native.py")],
+        capture_output=True, text=True, timeout=1100)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1000:]
+    assert "CLEAN" in r.stdout
