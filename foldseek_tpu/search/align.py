@@ -820,13 +820,12 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
             continue
         ti = tids[ci]
 
-        t_aa = tdb.get_aa(ti)
-        t_ss = tdb.get_ss(ti)
         tb = pre_tb.get(ci)
         if tb is None:
             try:
                 tb = bt_ops.recover_alignment(
-                    prof, np.asarray(t_aa), np.asarray(t_ss),
+                    prof, np.asarray(tdb.get_aa(ti)),
+                    np.asarray(tdb.get_ss(ti)),
                     int(fwd[ci]), int(qend[ci]), int(tend[ci]))
             except RuntimeError as e:
                 logger.warning("backtrace failed for query %d target %d: %s",
@@ -889,6 +888,8 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
         # re-align (structurealign.cpp:115-138, computeAlternativeAlignment)
         if params.alt_alignment > 0:
             from ..ops.sw import sw_score_endpos_np
+            t_aa = tdb.get_aa(ti)
+            t_ss = tdb.get_ss(ti)
             t_aa_m = np.asarray(t_aa).copy()
             t_ss_m = np.asarray(t_ss).copy()
             prev = res
