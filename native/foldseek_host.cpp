@@ -23,6 +23,22 @@
 
 extern "C" {
 
+// section-time accumulators for the LoLalign hot path (perf diagnosis
+// only; zero overhead unless read): 0=global fwbw, 1=seed selection,
+// 2=block rescoring, 3=gap fwbw, 4=anchor qualify, 5=final selection,
+// 6=recover reverse pass, 7=recover banded traceback
+static thread_local double lol_prof[8] = {0};
+extern "C" void lol_prof_reset() { for (int i = 0; i < 8; i++) lol_prof[i] = 0; }
+extern "C" void lol_prof_get(double* out) {
+    for (int i = 0; i < 8; i++) out[i] = lol_prof[i];
+}
+static inline double lol_now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+
+
 // ---------------------------------------------------------------------------
 // reverse Smith-Waterman with early termination (start-position recovery)
 // prof_*: [21 * lq] combined int32 profiles (row = target letter)
@@ -563,6 +579,7 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
         // --- reverse pass (reverse_sw over fprof[:, off:off+lq]) ---
         int64_t best = 0;
         int best_j = 0, best_qend = lq - 1;
+        double _t0 = lol_now();
 #if defined(__AVX2__)
         reverse_pass_avx2(fprof_aa, fprof_ss, Lq, off, lq, taa, tss, lt,
                           gap_open, gap_extend, score[hit],
@@ -601,6 +618,7 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
             if (col_max == score[hit]) break;
         }
         }  // scalar fallback block
+        lol_prof[6] += lol_now() - _t0; _t0 = lol_now();
         if (best != score[hit]) { out_len[hit] = -1; continue; }
         const int q_start = qe - best_qend;
         const int t_start = best_j;
@@ -613,6 +631,7 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
                                   taa + t_start, tss + t_start,
                                   wq, wt, score[hit],
                                   gap_open, gap_extend, ops);
+        lol_prof[7] += lol_now() - _t0;
         if (n < 0) { out_len[hit] = -1; continue; }
         // --- identity count over M columns ---
         int qi = q_start, ti = t_start, ident = 0;
@@ -2490,20 +2509,6 @@ int lol_init_query_vec(const float* dist_q, int L, const float* sd_table,
         }
     }
     return 0;
-}
-
-// section-time accumulators for the LoLalign hot path (perf diagnosis
-// only; zero overhead unless read): 0=global fwbw, 1=seed selection,
-// 2=block rescoring, 3=gap fwbw, 4=anchor qualify, 5=final selection
-static thread_local double lol_prof[8] = {0};
-extern "C" void lol_prof_reset() { for (int i = 0; i < 8; i++) lol_prof[i] = 0; }
-extern "C" void lol_prof_get(double* out) {
-    for (int i = 0; i < 8; i++) out[i] = lol_prof[i];
-}
-static inline double lol_now() {
-    struct timespec ts;
-    clock_gettime(CLOCK_MONOTONIC, &ts);
-    return ts.tv_sec + 1e-9 * ts.tv_nsec;
 }
 
 int lolalign_c(const float* lol_m0, int qL, int tL, const float* dist_q,
