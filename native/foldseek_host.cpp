@@ -452,6 +452,123 @@ static inline __m256i pmax_excl_carry(__m256i v, int32_t& carry) {
     return ex;
 }
 
+// 16-lane epi16 variant of reverse_pass_avx2 for hits whose value range
+// provably fits int16 (score + lq*ge + go + 512 < 32767; every DP cell of
+// the reverse SW is bounded by the known optimum `score`, gv by
+// score + i*ge, and e/f from below by -go / the -8192 sentinel, so no
+// saturation arithmetic is needed and results are bit-identical to the
+// epi32 pass). Profiles come as int16 copies padded to lqp + 16 columns
+// so full-width tail loads stay in-bounds.
+static void reverse_pass_avx2_i16(const int16_t* fpa16, const int16_t* fps16,
+                                  int Lq16, int off, int lq,
+                                  const int8_t* taa, const int8_t* tss, int lt,
+                                  int go, int ge, int32_t target,
+                                  int64_t* out_best, int* out_j,
+                                  int* out_qend) {
+    const int16_t NEG = -8192;
+    const int nb = (lq + 15) / 16;
+    const int lqp = nb * 16;
+    static thread_local std::vector<int16_t> Hbuf16, Ebuf16, ramp16;
+    if ((int)Hbuf16.size() < lqp + 16) {
+        Hbuf16.resize(lqp + 16);
+        Ebuf16.resize(lqp + 16);
+    }
+    std::fill(Hbuf16.begin(), Hbuf16.begin() + lqp + 16, (int16_t)0);
+    std::fill(Ebuf16.begin(), Ebuf16.begin() + lqp + 16, NEG);
+    int16_t* H = Hbuf16.data() + 1;
+    int16_t* E = Ebuf16.data() + 1;
+    if ((int)ramp16.size() < lqp || (lqp > 1 && ramp16[1] != ge)) {
+        ramp16.resize(std::max((size_t)lqp, ramp16.size()));
+        for (size_t i = 0; i < ramp16.size(); i++)
+            ramp16[i] = (int16_t)(i * ge);
+    }
+    alignas(32) int16_t tmask[16];
+    for (int k = 0; k < 16; k++)
+        tmask[k] = ((nb - 1) * 16 + k < lq) ? -1 : 0;
+    const __m256i tail = _mm256_load_si256((const __m256i*)tmask);
+    const __m256i vgo = _mm256_set1_epi16((int16_t)go);
+    const __m256i vge = _mm256_set1_epi16((int16_t)ge);
+    const __m256i vzero = _mm256_setzero_si256();
+    const __m256i vneg = _mm256_set1_epi16(NEG);
+
+    auto shl_lanes = [](const __m256i x, const int bytes) {
+        // shift epi16 lanes left by `bytes` within a virtual 32-byte lane
+        const __m256i lo = _mm256_permute2x128_si256(x, x, 0x08);
+        switch (bytes) {
+            case 2: return _mm256_alignr_epi8(x, lo, 14);
+            case 4: return _mm256_alignr_epi8(x, lo, 12);
+            case 8: return _mm256_alignr_epi8(x, lo, 8);
+            default: return lo;  // 16 bytes = 8 lanes
+        }
+    };
+
+    int32_t best = 0;
+    int best_j = 0, best_qend = lq - 1;
+    for (int j = lt - 1; j >= 0; j--) {
+        const int16_t* pa = fpa16 + (size_t)taa[j] * Lq16 + off;
+        const int16_t* ps = fps16 + (size_t)tss[j] * Lq16 + off;
+        int16_t carry = NEG;
+        int16_t prev_last = 0;
+        __m256i vcolmax = vzero;
+        for (int b = 0; b < nb; b++) {
+            const int i0 = b * 16;
+            __m256i s = _mm256_add_epi16(
+                _mm256_loadu_si256((const __m256i*)(pa + i0)),
+                _mm256_loadu_si256((const __m256i*)(ps + i0)));
+            __m256i hprev_m1 = _mm256_loadu_si256((const __m256i*)(H + i0 - 1));
+            hprev_m1 = _mm256_insert_epi16(hprev_m1, prev_last, 0);
+            __m256i diag = _mm256_add_epi16(hprev_m1, s);
+            __m256i e = _mm256_loadu_si256((const __m256i*)(E + i0));
+            __m256i h_noF = _mm256_max_epi16(_mm256_max_epi16(diag, e), vzero);
+            if (b == nb - 1)
+                h_noF = _mm256_blendv_epi8(vzero, h_noF, tail);
+            __m256i e_new = _mm256_max_epi16(_mm256_sub_epi16(e, vge),
+                                             _mm256_sub_epi16(h_noF, vgo));
+            _mm256_storeu_si256((__m256i*)(E + i0), e_new);
+            __m256i vramp = _mm256_loadu_si256(
+                (const __m256i*)(ramp16.data() + i0));
+            __m256i gv = _mm256_add_epi16(h_noF, vramp);
+            if (b == nb - 1)
+                gv = _mm256_blendv_epi8(vneg, gv, tail);
+            // inclusive max-scan then exclusive with carry
+            __m256i x = gv;
+            x = _mm256_max_epi16(x, shl_lanes(x, 2));
+            x = _mm256_max_epi16(x, shl_lanes(x, 4));
+            x = _mm256_max_epi16(x, shl_lanes(x, 8));
+            x = _mm256_max_epi16(x, shl_lanes(x, 16));
+            __m256i ex = shl_lanes(x, 2);
+            ex = _mm256_insert_epi16(ex, carry, 0);
+            ex = _mm256_max_epi16(ex, _mm256_set1_epi16(carry));
+            carry = std::max(carry, (int16_t)_mm256_extract_epi16(x, 15));
+            __m256i f = _mm256_sub_epi16(
+                _mm256_add_epi16(_mm256_sub_epi16(ex, vramp), vge), vgo);
+            __m256i h = _mm256_max_epi16(h_noF, f);
+            if (b == nb - 1)
+                h = _mm256_blendv_epi8(vzero, h, tail);
+            prev_last = H[i0 + 15];
+            _mm256_storeu_si256((__m256i*)(H + i0), h);
+            vcolmax = _mm256_max_epi16(vcolmax, h);
+        }
+        __m128i m = _mm_max_epi16(_mm256_castsi256_si128(vcolmax),
+                                  _mm256_extracti128_si256(vcolmax, 1));
+        m = _mm_max_epi16(m, _mm_shuffle_epi32(m, 0x4E));
+        m = _mm_max_epi16(m, _mm_shuffle_epi32(m, 0xB1));
+        m = _mm_max_epi16(m, _mm_shufflelo_epi16(m, 0xB1));
+        int32_t col_max = (int16_t)_mm_cvtsi128_si32(m);
+        if (col_max > best) {
+            best = col_max;
+            best_j = j;
+            for (int i = 0; i < lq; i++) {
+                if (H[i] == col_max) { best_qend = i; break; }
+            }
+        }
+        if (col_max == target) break;
+    }
+    *out_best = best;
+    *out_j = best_j;
+    *out_qend = best_qend;
+}
+
 static bool reverse_pass_avx2(const int32_t* fpa_base, const int32_t* fps_base,
                               int Lq, int off, int lq,
                               const int8_t* taa, const int8_t* tss, int lt,
@@ -568,6 +685,29 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
                   const int64_t* ops_off, int32_t* out_len) {
     std::vector<int64_t> H, E;
     std::vector<int32_t> sub;
+#if defined(__AVX2__)
+    // int16 copies of the flipped profiles (once per query-batch call):
+    // entries are small substitution/PSSM ints; the 16-lane reverse pass
+    // runs hits whose whole value range provably fits int16. Rows padded
+    // to Lq + 16 so tail loads stay in-bounds.
+    const int Lq16 = Lq + 16;
+    static thread_local std::vector<int16_t> fpa16, fps16;
+    bool prof_i16_ok = true;
+    fpa16.assign((size_t)21 * Lq16, 0);
+    fps16.assign((size_t)21 * Lq16, 0);
+    for (int r = 0; r < 21 && prof_i16_ok; r++) {
+        for (int i = 0; i < Lq; i++) {
+            const int32_t a = fprof_aa[(size_t)r * Lq + i];
+            const int32_t s2 = fprof_ss[(size_t)r * Lq + i];
+            if (a < -256 || a > 256 || s2 < -256 || s2 > 256) {
+                prof_i16_ok = false;
+                break;
+            }
+            fpa16[(size_t)r * Lq16 + i] = (int16_t)a;
+            fps16[(size_t)r * Lq16 + i] = (int16_t)s2;
+        }
+    }
+#endif
     for (int hit = 0; hit < n_hits; hit++) {
         const int qe = q_end[hit];
         const int te = t_end[hit];
@@ -581,9 +721,16 @@ int batch_recover(const int32_t* fprof_aa, const int32_t* fprof_ss,
         int best_j = 0, best_qend = lq - 1;
         double _t0 = lol_now();
 #if defined(__AVX2__)
-        reverse_pass_avx2(fprof_aa, fprof_ss, Lq, off, lq, taa, tss, lt,
-                          gap_open, gap_extend, score[hit],
-                          &best, &best_j, &best_qend);
+        if (prof_i16_ok
+            && (int64_t)score[hit] + (int64_t)lq * gap_extend
+               + gap_open + 512 < 32767)
+            reverse_pass_avx2_i16(fpa16.data(), fps16.data(), Lq16, off, lq,
+                                  taa, tss, lt, gap_open, gap_extend,
+                                  score[hit], &best, &best_j, &best_qend);
+        else
+            reverse_pass_avx2(fprof_aa, fprof_ss, Lq, off, lq, taa, tss, lt,
+                              gap_open, gap_extend, score[hit],
+                              &best, &best_j, &best_qend);
         if (false)
 #endif
         {
