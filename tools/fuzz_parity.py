@@ -17,7 +17,7 @@ the same all-vs-all workloads through BOTH implementations, and diffs:
   - iterative profile search (--num-iterations 2): informational
   - easy-cluster: cluster assignments IDENTICAL
   - easy-multimersearch (real-interface tim-derived dimers): assignment
-    groups identical; qTM/tTM within 1e-2 (f64-vs-float superpositions)
+    groups identical; qTM/tTM within 1.5e-2 (upstream backtrace class)
 
 Usage:  python tools/fuzz_parity.py [N_STRUCTURES] [SEED]
 Env:    FOLDSEEK_REF_BIN (default /tmp/ref/build/src/foldseek)
