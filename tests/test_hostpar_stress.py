@@ -125,3 +125,16 @@ def test_native_asan_ubsan_sweep():
         capture_output=True, text=True, timeout=1100)
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1000:]
     assert "CLEAN" in r.stdout
+
+
+def test_native_reverse_pass_ab_harnesses():
+    """Standalone A/B harnesses for the AVX2 reverse-SW passes (scalar vs
+    epi32 vs epi16) over thousands of randomized cases."""
+    import os
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["sh", os.path.join(repo, "tools", "native_tests",
+                                           "run.sh")],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-800:]
+    assert r.stdout.count("all ok") == 2
