@@ -41,7 +41,14 @@ def _pack_targets(tdb, tks, tkey_to_idx, t_lens, lt_pad, b_multiple=128):
     list, built with vectorized gathers — the per-target slice-assignment
     loop was ~30 s of pure python at a 64k-pair fleet."""
     n = len(tks)
-    b_pad = max(b_multiple, -(-n // b_multiple) * b_multiple)
+    # coarse 4x batch-padding family ({128, 512, 2048, 8192, ...}): b_pad
+    # is a kernel shape dimension, and free multiples of 128 gave the
+    # cluster cascade 300+ distinct executables (~0.8 s per-process load
+    # each on the remote backend); pad compute/transfer is noise next to
+    # launch overhead (int8 panels)
+    b_pad = b_multiple if b_multiple > 1 else 1
+    while b_pad < n:
+        b_pad *= 4
     # int8 panels: the device kernels want int32, but the H2D transfer is
     # 4x smaller shipped as int8 with an on-device upcast (the tunnel's
     # ~46 MB/s made the int32 panels ~0.5 s of the SW stage)
@@ -111,11 +118,12 @@ class PairScorer:
     # A stack always holds at least one fwd+rev pair (2 * lq_pad rows), so
     # the family tops out at SW_MAX_STACK_ROWS / 2 — 2048-row SW states
     # overflow the 16 MB scoped VMEM (measured).
-    # FOLDSEEK_TPU_SW_COARSE=1 switches to a deliberately coarse family
-    # ({128,384,768} x lt {64,256,1024,2048}): ~3x fewer first-contact
-    # kernel compiles (each ~20-40 s on the remote-compile backend) at the
-    # cost of pad compute that is noise next to launch overhead. The finer
-    # default matches the executables already in the persistent cache.
+    # The COARSE target-length family ({64,256,1024,2048}) is the default
+    # since r4: every distinct (lq, lt, b) shape is its own executable, and
+    # per-process executable loads cost ~0.8 s each on the remote backend —
+    # the cluster cascade's shape diversity paid ~190 s of loads under the
+    # fine family. Pad compute is noise next to launch overhead.
+    # FOLDSEEK_TPU_SW_FINE=1 restores the tight pow2 family.
     SW_LQ_FAMILY = (128, 256, 384, 512, 768)
     SW_LQ_FAMILY_COARSE = (128, 384, 768)
     SW_MAX_STACK_ROWS = 1536
@@ -124,7 +132,7 @@ class PairScorer:
     @classmethod
     def _coarse(cls) -> bool:
         import os
-        return os.environ.get("FOLDSEEK_TPU_SW_COARSE", "") == "1"
+        return os.environ.get("FOLDSEEK_TPU_SW_FINE", "") != "1"
 
     @classmethod
     def _sw_lt(cls, lt_need: int) -> int:

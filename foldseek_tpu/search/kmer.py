@@ -52,9 +52,12 @@ _GLOBAL_SUB_CACHE: dict = {}
 # memo of full similar-k-mer lists keyed by (matrix, window, threshold) —
 # deterministic, so repeat searches (iterative search rounds, the same
 # query set against several target DBs) skip the cartesian expansion.
-# Bounded: cleared wholesale past the cap (lists average a few KB).
+# Bounded: oldest half evicted past the cap.
 _GLOBAL_KMER_LIST_CACHE: dict = {}
-_KMER_LIST_CACHE_CAP = 50_000
+# sized for the cluster cascade: 3 sensitivities x ~1M distinct windows
+# thrashed the old 50k cap (477k misses of 2M lookups at 20k entries);
+# entries average ~1 KB so the cap is ~400 MB worst case
+_KMER_LIST_CACHE_CAP = 400_000
 MASK_N_REPEATS = 6
 
 
@@ -533,7 +536,11 @@ class KmerPrefilter:
             return cached
         out = self._similar_kmers_uncached(window, threshold)
         if len(_GLOBAL_KMER_LIST_CACHE) >= _KMER_LIST_CACHE_CAP:
-            _GLOBAL_KMER_LIST_CACHE.clear()
+            # evict the oldest half (insertion order) instead of a full
+            # clear — the clear threw away the hot window set wholesale
+            for _ in range(_KMER_LIST_CACHE_CAP // 2):
+                _GLOBAL_KMER_LIST_CACHE.pop(
+                    next(iter(_GLOBAL_KMER_LIST_CACHE)))
         _GLOBAL_KMER_LIST_CACHE[memo_key] = out
         return out
 
