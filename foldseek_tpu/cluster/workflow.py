@@ -243,7 +243,12 @@ def cluster_db(db: StructDB, params: ClusterParams,
                 spar = replace(align_par, sensitivity=s, max_seqs=max_res)
                 # step 0 runs without diagonal score gating, later steps
                 # restore the default --min-ungapped-score 15
-                # (StructureCluster.cpp:146-160)
+                # (StructureCluster.cpp:146-160). (A device-gapless
+                # cascade prefilter was measured and REJECTED: the
+                # reference's cluster workflow has no GPU path, and
+                # top-k-without-threshold candidates change the edge set
+                # — 553 vs 1736/1743 clusters at 20k — while the extra
+                # align volume made it slower, not faster.)
                 pref_step = kmer_prefilter(sdb, sdb, spar,
                                            min_diag_score=0 if step == 0 else 15)
                 aln_step = align_fn(sdb, sdb, pref_step, spar, same_db=True)
