@@ -292,6 +292,64 @@ def sw_scores_batch(paa_stack: jax.Array, pss_stack: jax.Array,
             tend.astype(jnp.int32))
 
 
+def sw_scores_batch_multi(paa_all: jax.Array, pss_all: jax.Array,
+                          rowadd_all: jax.Array, rowsub_all: jax.Array,
+                          t_aa_T_all: jax.Array, t_ss_T_all: jax.Array,
+                          t_len_all: jax.Array,
+                          n_stacks: int, q: int, lq_pad: int,
+                          gap_open: int = 10, gap_extend: int = 1):
+    """Multi-stack variant: ONE launch scores `n_stacks` independent
+    profile stacks, each against its own B-target panel — the stack axis
+    folds into the leading dimension of every operand and becomes the
+    outer grid axis, so the kernel body is byte-for-byte the single-stack
+    one. Built for many-query-few-candidate workloads (the cluster
+    cascade ran ~4000 per-stack launches; per-launch overhead on a
+    remote backend was ~100 s of a 350 s easy-cluster).
+
+    paa_all/pss_all: [n_stacks * q * lq_pad, 32]; rowadd/rowsub:
+    [n_stacks * q * lq_pad, 1]; t_*_all: [n_stacks * Lt, B];
+    t_len_all: [n_stacks, B]. Returns (score, q_end, t_end) int32
+    [n_stacks * q, B], identical per stack to sw_scores_batch."""
+    import numpy as _np
+    rows = q * lq_pad
+    SLt, B = t_aa_T_all.shape
+    Lt = SLt // n_stacks
+    assert paa_all.shape[0] == n_stacks * rows
+    assert B % 128 == 0
+    blk = 128
+    unroll = 8 if Lt % 8 == 0 else (4 if Lt % 4 == 0 else (2 if Lt % 2 == 0 else 1))
+    tl = t_len_all.astype(jnp.float32).reshape(n_stacks, B)
+    out_shapes = [jax.ShapeDtypeStruct((n_stacks * q, B), jnp.float32)] * 3
+    score, qend, tend = pl.pallas_call(
+        _make_sw_batch_kernel(blk, q, lq_pad, float(gap_open),
+                              float(gap_extend), unroll),
+        interpret=_interpret(),
+        grid=(n_stacks, B // blk),
+        in_specs=[
+            pl.BlockSpec((rows, PROF_LANES), lambda s, i: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, PROF_LANES), lambda s, i: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda s, i: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda s, i: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda s, i: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, blk), lambda s, i: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda s, i: (s, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((q, blk), lambda s, i: (s, i),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=out_shapes,
+    )(paa_all, pss_all, rowadd_all, rowsub_all,
+      t_aa_T_all.astype(jnp.int32), t_ss_T_all.astype(jnp.int32), tl)
+    return (score.astype(jnp.int32), qend.astype(jnp.int32),
+            tend.astype(jnp.int32))
+
+
 def pack_sw_profiles_batch(profs_aa, profs_ss, lq_pad: int,
                            gap_open: int = 10, gap_extend: int = 1,
                            pad_score: float = -1e9):

@@ -214,7 +214,7 @@ class PairScorer:
         import jax.numpy as jnp
 
         from ..ops.sw_pallas import (pack_sw_profile, pack_sw_profiles_batch,
-                                     sw_scores_batch, sw_scores_query)
+                                     sw_scores_query)
 
         # group queries by lq family; oversize queries take the single path
         fam: Dict[int, list] = {}
@@ -227,7 +227,9 @@ class PairScorer:
                 fam.setdefault(b, []).append(qk)
 
         dummy = np.full((21, 1), -1e9, dtype=np.float32)
-        pending = []
+        # phase 1: per-stack host data (profiles packed, candidate unions
+        # bucketed by target length) — no device work yet
+        stack_entries = []  # (lq_pad, per_stack, grp, paa, pss, ra, rs, buckets)
         for lq_pad, qks in sorted(fam.items()):
             per_stack = max(1, self.SW_MAX_STACK_ROWS // lq_pad // 2)
             for s0 in range(0, len(qks), per_stack):
@@ -245,10 +247,6 @@ class PairScorer:
                 paa, pss, radd, rsub = pack_sw_profiles_batch(
                     plist_aa, plist_ss, lq_pad,
                     gap_open=params.gap_open, gap_extend=params.gap_extend)
-                paa, pss = jnp.asarray(paa), jnp.asarray(pss)
-                radd, rsub = jnp.asarray(radd), jnp.asarray(rsub)
-
-                # per stack: union of candidates, bucketed by target length
                 buckets: Dict[int, list] = {}
                 seen = set()
                 for qk in grp:
@@ -257,24 +255,84 @@ class PairScorer:
                             seen.add(tk)
                             lt_pad = self._sw_lt(t_lens[tk])
                             buckets.setdefault(lt_pad, []).append(tk)
-                for lt_pad, tks in sorted(buckets.items()):
-                    t_aa, t_ss, t_len = _pack_targets(tdb, tks, tkey_to_idx,
-                                                      t_lens, lt_pad)
-                    out = sw_scores_batch(
-                        paa, pss, radd, rsub,
-                        jnp.asarray(np.ascontiguousarray(t_aa.T)).astype(jnp.int32),
-                        jnp.asarray(np.ascontiguousarray(t_ss.T)).astype(jnp.int32),
-                        jnp.asarray(t_len), 2 * per_stack, lq_pad,
-                        gap_open=params.gap_open, gap_extend=params.gap_extend)
-                    pending.append((grp, tks, out))
-        # drain after all launches are queued (async dispatch); one
-        # concatenated readback for every launch's outputs. Results land
-        # in per-query arrays aligned to the candidate order (vectorized
-        # gathers instead of 4 dict stores per pair).
-        drained = _drain_outputs([x for _, _, out in pending for x in out])
+                stack_entries.append((lq_pad, per_stack, grp, paa, pss,
+                                      radd, rsub, buckets))
+
+        # phase 2: group (stack, lt bucket) pairs by (lq_pad, lt_pad, B)
+        # and run each group as ONE multi-stack launch — the cluster
+        # cascade's many-query-few-candidate shape ran ~4000 per-stack
+        # launches (~100 s of per-launch overhead + ~50 s of device_puts
+        # on the remote backend); grouped, a cascade step is a handful
+        def _b_quant(n):
+            b = 128
+            while b < n:
+                b *= 4
+            return b
+
+        from ..ops.sw_pallas import sw_scores_batch_multi
+        groups: Dict[tuple, list] = {}
+        for ei, (lq_pad, per_stack, grp, paa, pss, radd, rsub,
+                 buckets) in enumerate(stack_entries):
+            for lt_pad, tks in sorted(buckets.items()):
+                key = (lq_pad, per_stack, lt_pad, _b_quant(len(tks)))
+                groups.setdefault(key, []).append((ei, tks))
+
+        S_MAX = 256  # stacks per launch: bounds the profile block to ~50 MB
+        multi_pending = []  # (chunk members, q, device outputs)
+        import jax
+        for (lq_pad, per_stack, lt_pad, Bq), members in sorted(groups.items()):
+            q = 2 * per_stack
+            rows = q * lq_pad
+            lanes = stack_entries[members[0][0]][3].shape[1]
+            for m0 in range(0, len(members), S_MAX):
+                chunk = members[m0:m0 + S_MAX]
+                # stack count quantized to the 4x family (it is part of
+                # the executable's grid) and padded with inert stacks
+                S = min(_b_quant(len(chunk)), S_MAX) if len(chunk) > 1 else 1
+                paa_all = np.full((S * rows, lanes), -1e9, dtype=np.float32)
+                pss_all = np.full((S * rows, lanes), -1e9, dtype=np.float32)
+                ra_all = np.zeros((S * rows, 1), dtype=np.float32)
+                rs_all = np.zeros((S * rows, 1), dtype=np.float32)
+                tA_all = np.full((S * lt_pad, Bq), 21, dtype=np.int8)
+                tS_all = np.full((S * lt_pad, Bq), 21, dtype=np.int8)
+                tl_all = np.zeros((S, Bq), dtype=np.int32)
+                for j, (ei, tks) in enumerate(chunk):
+                    _, _, _, paa, pss, radd, rsub, _ = stack_entries[ei]
+                    paa_all[j * rows:(j + 1) * rows] = paa
+                    pss_all[j * rows:(j + 1) * rows] = pss
+                    ra_all[j * rows:(j + 1) * rows] = radd
+                    rs_all[j * rows:(j + 1) * rows] = rsub
+                    t_aa, t_ss, t_len = _pack_targets(
+                        tdb, tks, tkey_to_idx, t_lens, lt_pad,
+                        b_multiple=Bq)
+                    tA_all[j * lt_pad:(j + 1) * lt_pad] = t_aa.T[:, :Bq]
+                    tS_all[j * lt_pad:(j + 1) * lt_pad] = t_ss.T[:, :Bq]
+                    tl_all[j] = t_len[:Bq]
+                paa_d, pss_d, ra_d, rs_d, tA_d, tS_d, tl_d = jax.device_put(
+                    (paa_all, pss_all, ra_all, rs_all, tA_all, tS_all,
+                     tl_all))
+                out = sw_scores_batch_multi(
+                    paa_d, pss_d, ra_d, rs_d, tA_d, tS_d,
+                    tl_d, S, q, lq_pad,
+                    gap_open=params.gap_open, gap_extend=params.gap_extend)
+                multi_pending.append((chunk, q, out))
+        # one drain for every group's outputs, then host-side unpacking
+        # into the per-(stack, bucket) records the query loop consumes
+        drained_multi = _drain_outputs(
+            [x for _, _, out in multi_pending for x in out])
+        pending = []
+        for gi, (chunk, q, _) in enumerate(multi_pending):
+            sc_all, qe_all, te_all = drained_multi[3 * gi: 3 * gi + 3]
+            for j, (ei, tks) in enumerate(chunk):
+                grp = stack_entries[ei][2]
+                pending.append((grp, tks,
+                                (sc_all[j * q:(j + 1) * q],
+                                 qe_all[j * q:(j + 1) * q],
+                                 te_all[j * q:(j + 1) * q])))
+        # results land in per-query arrays aligned to the candidate order
+        # (vectorized gathers instead of 4 dict stores per pair)
         by_query: Dict[int, list] = {}  # qk -> [(col_map, sc, qe, te, r)]
-        for j, (grp, tks, _) in enumerate(pending):
-            sc, qe, te = drained[3 * j: 3 * j + 3]
+        for grp, tks, (sc, qe, te) in pending:
             col = {tk: i for i, tk in enumerate(tks)}
             for r, qk in enumerate(grp):
                 by_query.setdefault(qk, []).append((col, sc, qe, te, r))

@@ -135,3 +135,51 @@ def test_batched_native_traceback_matches_per_hit(example_dir, tmp_path):
                      r.identical, r.seq_id) for r in v]
                 for k, v in res.items()}
     assert fmt(batched) == fmt(per_hit)
+
+
+def test_sw_scores_batch_multi_matches_per_stack():
+    """The multi-stack single-launch kernel must reproduce sw_scores_batch
+    per stack exactly (same kernel body; only the grid gains a stack
+    axis)."""
+    import numpy as np
+
+    from foldseek_tpu.ops.sw_pallas import (pack_sw_profiles_batch,
+                                            sw_scores_batch,
+                                            sw_scores_batch_multi)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    q, lq_pad, Lt, B, S = 4, 64, 96, 128, 3
+    paa_parts, pss_parts, ra_parts, rs_parts = [], [], [], []
+    tA_parts, tS_parts, tl_parts = [], [], []
+    refs = []
+    for s in range(S):
+        profs_aa, profs_ss = [], []
+        for _ in range(q):
+            L = rng.randint(20, lq_pad - 1)
+            profs_aa.append(rng.randint(-8, 9, (21, L)).astype(np.float32))
+            profs_ss.append(rng.randint(-8, 9, (21, L)).astype(np.float32))
+        paa, pss, ra, rs_ = pack_sw_profiles_batch(profs_aa, profs_ss, lq_pad)
+        t_aa = rng.randint(0, 20, (Lt, B)).astype(np.int32)
+        t_ss = rng.randint(0, 20, (Lt, B)).astype(np.int32)
+        t_len = rng.randint(10, Lt + 1, B).astype(np.int32)
+        refs.append(sw_scores_batch(jnp.asarray(paa), jnp.asarray(pss),
+                                    jnp.asarray(ra), jnp.asarray(rs_),
+                                    jnp.asarray(t_aa), jnp.asarray(t_ss),
+                                    jnp.asarray(t_len), q, lq_pad))
+        paa_parts.append(paa); pss_parts.append(pss)
+        ra_parts.append(ra); rs_parts.append(rs_)
+        tA_parts.append(t_aa); tS_parts.append(t_ss); tl_parts.append(t_len)
+    out = sw_scores_batch_multi(
+        jnp.asarray(np.concatenate(paa_parts)),
+        jnp.asarray(np.concatenate(pss_parts)),
+        jnp.asarray(np.concatenate(ra_parts)),
+        jnp.asarray(np.concatenate(rs_parts)),
+        jnp.asarray(np.concatenate(tA_parts)),
+        jnp.asarray(np.concatenate(tS_parts)),
+        jnp.asarray(np.stack(tl_parts)), S, q, lq_pad)
+    for s in range(S):
+        for k in range(3):
+            got = np.asarray(out[k])[s * q:(s + 1) * q]
+            want = np.asarray(refs[s][k])
+            assert np.array_equal(got, want), (s, k)
