@@ -234,9 +234,12 @@ def _make_sw_batch_kernel(blk: int, q: int, lqp: int, go: float, ge: float,
         z = jnp.zeros((q, blk), jnp.float32)
         _, _, best, bj, bq = jax.lax.fori_loop(
             0, Lt // unroll, body, (H0, E0, z, z, jnp.full((q, blk), lqp - 1.0)))
-        score_ref[:] = best
-        tend_ref[:] = bj
-        qend_ref[:] = bq
+        # pl.ds write: the multi-stack variant pads output blocks to a
+        # multiple of 8 rows (TPU block-shape rule); rows q.. stay unwritten
+        # and are sliced off by the wrapper.
+        score_ref[pl.ds(0, q), :] = best
+        tend_ref[pl.ds(0, q), :] = bj
+        qend_ref[pl.ds(0, q), :] = bq
     return kernel
 
 
@@ -292,6 +295,8 @@ def sw_scores_batch(paa_stack: jax.Array, pss_stack: jax.Array,
             tend.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("n_stacks", "q", "lq_pad",
+                                             "gap_open", "gap_extend"))
 def sw_scores_batch_multi(paa_all: jax.Array, pss_all: jax.Array,
                           rowadd_all: jax.Array, rowsub_all: jax.Array,
                           t_aa_T_all: jax.Array, t_ss_T_all: jax.Array,
@@ -310,7 +315,6 @@ def sw_scores_batch_multi(paa_all: jax.Array, pss_all: jax.Array,
     [n_stacks * q * lq_pad, 1]; t_*_all: [n_stacks * Lt, B];
     t_len_all: [n_stacks, B]. Returns (score, q_end, t_end) int32
     [n_stacks * q, B], identical per stack to sw_scores_batch."""
-    import numpy as _np
     rows = q * lq_pad
     SLt, B = t_aa_T_all.shape
     Lt = SLt // n_stacks
@@ -318,8 +322,17 @@ def sw_scores_batch_multi(paa_all: jax.Array, pss_all: jax.Array,
     assert B % 128 == 0
     blk = 128
     unroll = 8 if Lt % 8 == 0 else (4 if Lt % 4 == 0 else (2 if Lt % 2 == 0 else 1))
-    tl = t_len_all.astype(jnp.float32).reshape(n_stacks, B)
-    out_shapes = [jax.ShapeDtypeStruct((n_stacks * q, B), jnp.float32)] * 3
+    # TPU block-shape rule: the last two dims of every block must be
+    # divisible by (8, 128) or equal the array dims. With the stack axis
+    # folded into the leading dim, "equal" is off the table, so (a) t_len
+    # is replicated to 8 identical rows per stack (the kernel reads row 0
+    # via pl.ds(0, 1)) and (b) output blocks are padded to q8 rows; the
+    # kernel writes rows [0, q) and the pad rows are sliced away here.
+    q8 = -(-q // 8) * 8
+    tl = jnp.broadcast_to(
+        t_len_all.astype(jnp.float32).reshape(n_stacks, 1, B),
+        (n_stacks, 8, B)).reshape(n_stacks * 8, B)
+    out_shapes = [jax.ShapeDtypeStruct((n_stacks * q8, B), jnp.float32)] * 3
     score, qend, tend = pl.pallas_call(
         _make_sw_batch_kernel(blk, q, lq_pad, float(gap_open),
                               float(gap_extend), unroll),
@@ -338,14 +351,18 @@ def sw_scores_batch_multi(paa_all: jax.Array, pss_all: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Lt, blk), lambda s, i: (s, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk), lambda s, i: (s, i),
+            pl.BlockSpec((8, blk), lambda s, i: (s, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((q, blk), lambda s, i: (s, i),
+        out_specs=[pl.BlockSpec((q8, blk), lambda s, i: (s, i),
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=out_shapes,
     )(paa_all, pss_all, rowadd_all, rowsub_all,
       t_aa_T_all.astype(jnp.int32), t_ss_T_all.astype(jnp.int32), tl)
+    if q8 != q:
+        score = score.reshape(n_stacks, q8, B)[:, :q, :].reshape(n_stacks * q, B)
+        qend = qend.reshape(n_stacks, q8, B)[:, :q, :].reshape(n_stacks * q, B)
+        tend = tend.reshape(n_stacks, q8, B)[:, :q, :].reshape(n_stacks * q, B)
     return (score.astype(jnp.int32), qend.astype(jnp.int32),
             tend.astype(jnp.int32))
 
