@@ -357,6 +357,11 @@ def sw_scores_batch_multi(paa_all: jax.Array, pss_all: jax.Array,
         out_specs=[pl.BlockSpec((q8, blk), lambda s, i: (s, i),
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=out_shapes,
+        # the stack axis makes every input block grid-varying, so Pallas
+        # double-buffers the 192 KB profile blocks too — at the full
+        # SW_MAX_STACK_ROWS the working set lands ~0.1 MB over the 16 MB
+        # default scoped-VMEM budget; raise it (v5e has 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(paa_all, pss_all, rowadd_all, rowsub_all,
       t_aa_T_all.astype(jnp.int32), t_ss_T_all.astype(jnp.int32), tl)
     if q8 != q:
