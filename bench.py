@@ -68,6 +68,46 @@ def wait_for_device(budget_s: float = 1800.0, probe_timeout_s: float = 90.0):
         time.sleep(min(60.0, max(5.0, deadline - time.monotonic())))
 
 
+def probe_rtt_ms(n: int = 5):
+    """Tunnel-health telemetry: time n tiny device readbacks; the median is
+    the fixed round-trip cost, max/median >> 1 means the tunnel is stalling.
+    Returns (median_ms, max_ms)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((8, 8), jnp.float32)
+    f = jax.jit(lambda a: (a @ a).sum())
+    float(np.asarray(f(x)))  # compile
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(np.asarray(f(x)))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return round(float(np.median(times)), 2), round(max(times), 2)
+
+
+def rep_until_converged(fn, rel_tol: float = 0.15, max_reps: int = 8,
+                        budget_s: float = 600.0):
+    """Repeat fn() until two CONSECUTIVE reps agree within rel_tol (their
+    spread over their min), then return the faster of the pair. A 20-second
+    measurement through a lazily-warming remote tunnel descends for several
+    reps (r4 recorded 58.7 -> 42.1 -> 22.5 s, still falling, as the steady
+    state); best-of-k cannot distinguish "still warming" from "steady".
+    Returns (value_s, reps list, converged bool)."""
+    reps = []
+    t_start = time.monotonic()
+    while len(reps) < max_reps:
+        t0 = time.perf_counter()
+        fn()
+        reps.append(time.perf_counter() - t0)
+        if (len(reps) >= 2
+                and abs(reps[-1] - reps[-2]) / max(min(reps[-1], reps[-2]),
+                                                   1e-9) <= rel_tol):
+            return min(reps[-1], reps[-2]), reps, True
+        if time.monotonic() - t_start > budget_s:
+            break
+    return min(reps), reps, False
+
+
 def main():
     from foldseek_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -116,25 +156,40 @@ def main():
             return out
         return many
 
-    def run(n_batches):
-        many = make_many(n_batches)
-        np.asarray(many(stack_dev, caps_dev, 0))  # compile
-        best = float("inf")
-        for rep in range(5):
-            t0 = time.perf_counter()
-            np.asarray(many(stack_dev, caps_dev, rep + 1))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
     # the tunnel stalls for seconds at random; r02's n=(2,10) differencing
     # measured ~0.2 s of real compute, so stalls swung the estimate by
     # +-25% (recorded 419 vs 520-560 measured on a healthy tunnel). Sizing
     # the differenced work to seconds of device time bounds a stall's
     # relative error instead.
-    n1, n2 = 60, 180
+    n1, n2 = 60, 240
     # only real query rows count as useful cells (not the stack padding)
     cells_per_batch = B * Q * Lq * Lt
-    extra = bench_e2e()
+    # compile/load both executables ONCE (a fresh closure per round would
+    # re-trace and reload through the tunnel inside the timed window)
+    many_fns = {n: make_many(n) for n in (n1, n2)}
+    for n, f in many_fns.items():
+        np.asarray(f(stack_dev, caps_dev, 0))
+    stall_count = 0
+
+    def run(n_batches, round_i):
+        nonlocal stall_count
+        f = many_fns[n_batches]
+        times = []
+        for rep in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(stack_dev, caps_dev, 17 * round_i + rep + 1))
+            times.append(time.perf_counter() - t0)
+        stall_count += sum(1 for t in times if t > 1.5 * min(times))
+        return min(times)
+
+    extra = {}
+    try:
+        rtt_med, rtt_max = probe_rtt_ms()
+        extra["tunnel_rtt_ms_median"] = rtt_med
+        extra["tunnel_rtt_ms_max"] = rtt_max
+    except Exception as e:
+        extra["rtt_error"] = str(e)[:200]
+    extra.update(bench_e2e())
     try:
         extra.update(bench_aligners())
     except Exception as e:
@@ -143,19 +198,34 @@ def main():
         extra.update(bench_scale())
     except Exception as e:  # scale is auxiliary; never fail the line
         extra["scale_error"] = str(e)[:200]
-    # median of several differenced rounds: a stall inside either run of a
-    # round inflates or deflates that round's estimate; the median is robust
+    # rep-until-converged differencing: keep taking differenced estimates
+    # until two consecutive rounds agree within 10% (a stall inside either
+    # run of a round distorts that round; consecutive agreement means the
+    # tunnel was quiet for both). Median of all rounds is the fallback.
     estimates = []
-    for _ in range(4):
-        t1 = run(n1)
-        t2 = run(n2)
-        estimates.append((n2 - n1) * cells_per_batch / max(t2 - t1, 1e-9) / 1e9)
-    gcups = float(np.median(estimates))
+    converged = False
+    for round_i in range(8):
+        t1 = run(n1, round_i)
+        t2 = run(n2, round_i)
+        estimates.append(
+            (n2 - n1) * cells_per_batch / max(t2 - t1, 1e-9) / 1e9)
+        if (len(estimates) >= 2
+                and abs(estimates[-1] - estimates[-2])
+                / min(estimates[-1], estimates[-2]) <= 0.10):
+            converged = True
+            break
+    if converged:
+        gcups = float(0.5 * (estimates[-1] + estimates[-2]))
+    else:
+        gcups = float(np.median(estimates))
     out = {
         "metric": "prefilter_gcups_per_chip",
         "value": round(gcups, 2),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / REFERENCE_CPU_1CORE_GCUPS, 2),
+        "gcups_estimates": [round(e, 1) for e in estimates],
+        "gcups_converged": converged,
+        "gcups_stall_reps": stall_count,
     }
     out.update(extra)
     print(json.dumps(out))
@@ -187,17 +257,13 @@ def bench_e2e():
             db = create_db(files, os.path.join(td, "scopdb"))
             params = SearchParams(add_backtrace=True)
             search(db, db, params)  # warm (compile)
-            best = float("inf")
-            # best-of-4: the remote-dispatch tunnel stalls for seconds at
-            # random; steady-state on local hardware matches the best rep
-            for _ in range(4):
-                t0 = time.perf_counter()
-                search(db, db, params)
-                best = min(best, time.perf_counter() - t0)
+            best, reps, conv = rep_until_converged(
+                lambda: search(db, db, params), max_reps=6, budget_s=240.0)
         qps = db.size / best
         return {
             "e2e_scop_ava_seconds": round(best, 2),
             "e2e_scop_ava_queries_per_sec": round(qps, 2),
+            "e2e_scop_ava_converged": conv,
             "e2e_vs_reference_1thread": round(
                 qps / (26.0 / REFERENCE_E2E_SCOP_SECONDS), 2),
         }
@@ -240,23 +306,30 @@ def bench_aligners():
                for i in range(db.size)]
         aas = [_np.asarray(db.get_aa(i)) for i in range(db.size)]
         sss = [_np.asarray(db.get_ss(i)) for i in range(db.size)]
-        t0 = time.perf_counter()
-        for q, t in pairs:
-            tmalign(cas[q], cas[t], aas[q], aas[t])
-        dt_tm = time.perf_counter() - t0
+        # best-of-2 passes: these are host-only loops, but the driver
+        # environment showed ~8% slowdowns (r4 lolalign 0.98x vs 1.06x
+        # measured) — one competing process during a single pass is enough
+        dt_tm = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for q, t in pairs:
+                tmalign(cas[q], cas[t], aas[q], aas[t])
+            dt_tm = min(dt_tm, time.perf_counter() - t0)
         out["tmalign_ms_per_pair"] = round(dt_tm / len(pairs) * 1000, 2)
         out["tmalign_vs_reference_1thread"] = round(
             REFERENCE_TMALIGN_MS_PER_PAIR
             / (dt_tm / len(pairs) * 1000), 2)
 
         sub = blosum62(1.4).scores.astype(_np.float32)
-        t0 = time.perf_counter()
-        for q in range(db.size):
-            lol = LoLAligner(multi_domain=True)
-            lol.init_query(cas[q], aas[q], sss[q], sub)
-            for t in range(db.size):
-                lol.align(cas[t], aas[t], sss[t])
-        dt_lol = time.perf_counter() - t0
+        dt_lol = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for q in range(db.size):
+                lol = LoLAligner(multi_domain=True)
+                lol.init_query(cas[q], aas[q], sss[q], sub)
+                for t in range(db.size):
+                    lol.align(cas[t], aas[t], sss[t])
+            dt_lol = min(dt_lol, time.perf_counter() - t0)
         out["lolalign_ms_per_pair"] = round(dt_lol / len(pairs) * 1000, 2)
         out["lolalign_vs_reference_1thread"] = round(
             REFERENCE_LOLALIGN_MS_PER_PAIR
@@ -322,20 +395,40 @@ def bench_scale():
         # per-query rate is what matters and the fleet still exceeds the
         # device-gate threshold). Cold = first call in this process
         # (compile-cache warm from the runs above, CA panel + kernels
-        # first-contact); steady = repeat with resident panels.
+        # first-contact); steady = rep-until-converged — the r4 ledger
+        # recorded 58.7 -> 42.1 -> 22.5 s reps still monotonically
+        # falling under best-of-2, i.e. executable loads + tunnel warmup
+        # were charged to the engine.
         qdb16 = synth_db(base, 16, os.path.join(td, "q16"), seed=4)
         t0 = _t.perf_counter()
         res = search(qdb16, tdb, params, same_db=False)
         out["scale_100k_e2e_cold_seconds"] = round(_t.perf_counter() - t0, 2)
-        # steady = best of 2 (random multi-second tunnel stalls otherwise
-        # land in the single recorded number)
-        dt = float("inf")
-        for _ in range(2):
-            t0 = _t.perf_counter()
-            res = search(qdb16, tdb, params, same_db=False)
-            dt = min(dt, _t.perf_counter() - t0)
+
+        from foldseek_tpu.utils.log import (reset_stage_times,
+                                            snapshot_stage_times)
+        res_box = {}
+
+        def one_rep():
+            reset_stage_times()
+            res_box["res"] = search(qdb16, tdb, params, same_db=False)
+        dt, reps, conv = rep_until_converged(one_rep, max_reps=10,
+                                             budget_s=900.0)
+        res = res_box["res"]
+        stages = snapshot_stage_times()  # attribution of the LAST rep
         out["scale_100k_e2e_qps"] = round(qdb16.size / dt, 2)
         out["scale_100k_e2e_seconds"] = round(dt, 2)
+        out["scale_100k_e2e_reps"] = [round(r, 2) for r in reps]
+        out["scale_100k_e2e_converged"] = conv
+        # substage attribution (seconds, last rep): where a stalled run
+        # lost its time — device prefilter, SW launches, host per-hit
+        # loop, native batched tracebacks, device TM/LDDT drain
+        for k_out, k_in in (("scale_100k_prefilter_s", "prefilter"),
+                            ("scale_100k_sw_s", "sw_scoring"),
+                            ("scale_100k_host_loop_s", "host_loop"),
+                            ("scale_100k_recover_s", "batch_recover"),
+                            ("scale_100k_gates_s", "gates_drain")):
+            if k_in in stages:
+                out[k_out] = round(stages[k_in], 2)
         out["scale_100k_hits"] = int(sum(len(v) for v in res.values()))
         out["scale_100k_vs_reference_1thread"] = round(
             REFERENCE_SCALE_100K_E2E_SECONDS / dt, 2)
@@ -361,6 +454,17 @@ def bench_scale():
             pref1m.query_batch(seqs, params)
             dt = _t.perf_counter() - t0
             out["scale_1m_prefilter_qps"] = round(qdb.size / dt, 2)
+            # 1M end-to-end (16 queries), same convergence discipline;
+            # the r4 one-off manual note (4.48 s steady) becomes a
+            # recorded ledger field
+            create_index(tdb1m)
+            search(qdb16, tdb1m, params, same_db=False)  # warm
+            dt, reps, conv = rep_until_converged(
+                lambda: search(qdb16, tdb1m, params, same_db=False),
+                max_reps=6, budget_s=400.0)
+            out["scale_1m_e2e_seconds"] = round(dt, 2)
+            out["scale_1m_e2e_qps"] = round(qdb16.size / dt, 2)
+            out["scale_1m_e2e_converged"] = conv
         out["scale_peak_host_mb"] = round(peak_rss_mb(), 1)
     return out
 

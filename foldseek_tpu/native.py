@@ -756,6 +756,61 @@ def batch_recover(fprof_aa, fprof_ss, prof_aa, prof_ss, q_aa,
     return out_qs, out_ts, out_id, ops
 
 
+def batch_recover_block(q_aa_rev, q_ss_rev, bias_rev,
+                        mat_aa, mat_ss, db_aa, db_ss,
+                        t_off, t_end, score, q_end,
+                        gap_open: int, gap_extend: int):
+    """Batched block-aligner backtraces — the reference's DEFAULT
+    non-profile path (alignStartPosBacktraceBlock,
+    StructureSmithWaterman.cpp:369-527; algorithm reimplemented in
+    native/block_aligner.hpp). Returns (q_start, t_start, ident, ops_list);
+    ops_list[i] is the string "BLOCK_FAIL" sentinel where the exponential
+    block-size search could not reproduce the forward score — the caller
+    must then emit the reference's failure row (score1 = UINT32_MAX path).
+    Returns None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "batch_recover_block"):
+        return None
+    n = len(t_off)
+    if n == 0:
+        return (np.zeros(0, np.int32),) * 3 + ([],)
+    qa = np.ascontiguousarray(q_aa_rev, dtype=np.int8)
+    qs = np.ascontiguousarray(q_ss_rev, dtype=np.int8)
+    bias = np.ascontiguousarray(bias_rev, dtype=np.int16)
+    maa = np.ascontiguousarray(mat_aa, dtype=np.int8)
+    mss = np.ascontiguousarray(mat_ss, dtype=np.int8)
+    t_off = np.ascontiguousarray(t_off, dtype=np.int64)
+    t_end = np.ascontiguousarray(t_end, dtype=np.int32)
+    score = np.ascontiguousarray(score, dtype=np.int32)
+    q_end = np.ascontiguousarray(q_end, dtype=np.int32)
+    caps = (q_end.astype(np.int64) + t_end + 3)
+    ops_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(caps[:-1], out=ops_off[1:])
+    total = int(caps.sum())
+    out_qs = np.zeros(n, dtype=np.int32)
+    out_ts = np.zeros(n, dtype=np.int32)
+    out_id = np.zeros(n, dtype=np.int32)
+    out_len = np.zeros(n, dtype=np.int32)
+    ops_buf = ctypes.create_string_buffer(total)
+    lib.batch_recover_block(
+        _ptr(qa, ctypes.c_int8), _ptr(qs, ctypes.c_int8),
+        _ptr(bias, ctypes.c_int16), len(qa),
+        _ptr(maa, ctypes.c_int8), _ptr(mss, ctypes.c_int8),
+        _ptr(np.ascontiguousarray(db_aa, dtype=np.int8), ctypes.c_int8),
+        _ptr(np.ascontiguousarray(db_ss, dtype=np.int8), ctypes.c_int8),
+        _ptr(t_off, ctypes.c_int64), _ptr(t_end, ctypes.c_int32),
+        _ptr(score, ctypes.c_int32), _ptr(q_end, ctypes.c_int32),
+        n, int(gap_open), int(gap_extend),
+        _ptr(out_qs, ctypes.c_int32), _ptr(out_ts, ctypes.c_int32),
+        _ptr(out_id, ctypes.c_int32), ops_buf,
+        _ptr(ops_off, ctypes.c_int64), _ptr(out_len, ctypes.c_int32))
+    raw = ops_buf.raw
+    ops = [raw[ops_off[i]: ops_off[i] + out_len[i]].decode("ascii")
+           if out_len[i] >= 0 else "BLOCK_FAIL"
+           for i in range(n)]
+    return out_qs, out_ts, out_id, ops
+
+
 def dist_matrix(ca: np.ndarray, cutoff: bool):
     """[L, L] float32 pairwise distances (bit-identical to the numpy
     broadcast form); None if the lib is unavailable."""

@@ -497,6 +497,8 @@ def align_all(qdb: StructDB, tdb: StructDB,
     _t0 = _time.perf_counter()
     scorer = PairScorer(qdb, tdb, params, prefilter, qkey_to_idx, tkey_to_idx,
                         query_profiles=query_profiles)
+    from ..utils.log import record_stage as _rec
+    _rec("sw_scoring", _time.perf_counter() - _t0)
     logger.debug("align: SW pair scoring %.2fs",
                  _time.perf_counter() - _t0)
 
@@ -576,11 +578,13 @@ def align_all(qdb: StructDB, tdb: StructDB,
             in_flight.append(_device_gates_dispatch(
                 qdb, tdb, wave_out, params, qkey_to_idx, tkey_to_idx,
                 need_tm, need_lddt))
+        _rec("host_loop", _time.perf_counter() - _t0)
         logger.debug("align: host per-hit loop + wave dispatch %.2fs",
                      _time.perf_counter() - _t0)
         _t0 = _time.perf_counter()
         for fleets in in_flight:
             _device_gates_finish(fleets, params, need_tm, need_lddt)
+        _rec("gates_drain", _time.perf_counter() - _t0)
         logger.debug("align: device TM/LDDT gates drain %.2fs",
                      _time.perf_counter() - _t0)
         key = (compare_hits_by_structure_bits
@@ -589,6 +593,7 @@ def align_all(qdb: StructDB, tdb: StructDB,
             rs.sort(key=key)
         return out
     out = dict(map_queries(one, prefilter.items()))
+    _rec("host_loop", _time.perf_counter() - _t0)
     logger.debug("align: host per-hit loop %.2fs",
                  _time.perf_counter() - _t0)
     return out
@@ -751,6 +756,8 @@ def _device_gates_finish(fleets, params, need_tm, need_lddt):
 def _host_gates_one(res, q_ca, t_ca, lddt_ctx, params, q_len, t_len,
                     need_tm, need_lddt):
     """Host-native TM/LDDT for one survivor (the phase-B fallback)."""
+    if not res.backtrace:  # block-align failure row: TM/LDDT fixed at 0
+        return
     if need_tm:
         norm_len = tm_ops.normalization(
             params.tmscore_threshold_mode,
@@ -788,10 +795,87 @@ def _pre_gate_mask(params, q_len, t_lens, qend, tend, ev_fwd, ev_corr):
     return ok
 
 
+# sentinel: the block-aligner search could not reproduce the forward score
+# for this hit — the reference emits its failure row instead of falling
+# back (structurealign.cpp:78-89; the `align.score1 == UINT32_MAX` check
+# reads the pre-call struct and is dead code in the default build)
+BLOCK_FAIL = object()
+
+
+def use_block_aligner(prof) -> bool:
+    """True when the backtrace stage should run the reference's DEFAULT
+    block-aligner path (alignStartPosBacktraceBlock): plain sequence query
+    (profile searches take the alignStartPosBacktrace reverse-SW path,
+    structurealign.cpp:77+92), native lib present, not disabled via
+    FOLDSEEK_TPU_BLOCK_ALIGNER=0 (the pre-r5 reverse-SW + banded path —
+    byte-parity vs the block-aligner-stubbed reference build)."""
+    import os
+    if os.environ.get("FOLDSEEK_TPU_BLOCK_ALIGNER", "1") == "0":
+        return False
+    from ..ops.sw import QueryProfile
+    if type(prof) is not QueryProfile:  # PSSMQueryProfile = profile search
+        return False
+    from .. import native
+    lib = native.get_lib()
+    return lib is not None and hasattr(lib, "batch_recover_block")
+
+
+def _block_mats(prof):
+    """(mat_aa, mat_ss) int8 21x21 exactly as the block path receives them
+    (subMatAA/subMat3Di->subMatrix, StructureSmithWaterman.cpp:428-446);
+    3Di-only mode zeroes the AA matrix (structurealign.cpp:264-265)."""
+    from ..ops.matrices import blosum62, mat3di
+    maa = blosum62().scores.astype(np.int8)
+    if not getattr(prof, "_with_aa", True):
+        maa = np.zeros_like(maa)
+    return maa, mat3di().scores.astype(np.int8)
+
+
+def _block_tracebacks(prof, db_aa, db_ss, t_offs, t_ends, scores, q_ends):
+    """Run batch_recover_block over hit arrays; list of Traceback /
+    BLOCK_FAIL / None (native unavailable)."""
+    from .. import native
+    fprof = getattr(prof, "_flipped_cache", None)
+    if fprof is None:
+        fprof = prof.flipped()
+        prof._flipped_cache = fprof
+    bias_rev = (fprof.bias_aa.astype(np.int16)
+                + fprof.bias_ss.astype(np.int16))
+    maa, mss = _block_mats(prof)
+    res = native.batch_recover_block(
+        fprof.q_aa, fprof.q_ss, bias_rev, maa, mss, db_aa, db_ss,
+        t_offs, t_ends, scores, q_ends, prof.gap_open, prof.gap_extend)
+    if res is None:
+        return None
+    q_start, t_start, ident, ops = res
+    out = []
+    for j in range(len(ops)):
+        if ops[j] == "BLOCK_FAIL":
+            out.append(BLOCK_FAIL)
+        else:
+            out.append(bt_ops.Traceback(
+                q_start=int(q_start[j]), t_start=int(t_start[j]),
+                backtrace=ops[j], identical_aa=int(ident[j])))
+    return out
+
+
+def _block_traceback_one(prof, t_aa, t_ss, score, q_end, t_end):
+    """Single-pair block backtrace (alt-alignment / non-default-budget
+    paths); Traceback, BLOCK_FAIL, or None when native is unavailable."""
+    t_aa = np.ascontiguousarray(t_aa, dtype=np.int8)
+    t_ss = np.ascontiguousarray(t_ss, dtype=np.int8)
+    res = _block_tracebacks(
+        prof, t_aa, t_ss,
+        np.zeros(1, np.int64), np.asarray([t_end], np.int32),
+        np.asarray([score], np.int32), np.asarray([q_end], np.int32))
+    return None if res is None else res[0]
+
+
 def _batch_tracebacks(prof, tdb, tids, cand_keys, params, q_len,
                       fwd, qend, tend, pre_ok):
     """ci -> Traceback for every candidate the serial loop would backtrace,
-    recovered in one native batch_recover call. Empty when batching can't
+    recovered in one native call (block-aligner by default; reverse-SW +
+    banded with FOLDSEEK_TPU_BLOCK_ALIGNER=0). Empty when batching can't
     reproduce the loop exactly (non-default accept/reject budgets: an
     early break could skip candidates) or the native lib is absent."""
     from .params import INT_MAX
@@ -804,16 +888,26 @@ def _batch_tracebacks(prof, tdb, tids, cand_keys, params, q_len,
     surv = np.nonzero(pre_ok)[0]
     if not len(surv):
         return {}
+    offs = np.asarray(tdb.offsets)
+    from ..utils.log import StageTimer
+    if use_block_aligner(prof):
+        with StageTimer("batch_recover"):
+            res = _block_tracebacks(
+                prof, np.asarray(tdb.aa), np.asarray(tdb.ss),
+                offs[tids[surv]], tend[surv], fwd[surv], qend[surv])
+        if res is None:
+            return {}
+        return {int(ci): res[j] for j, ci in enumerate(surv)}
     fprof = getattr(prof, "_flipped_cache", None)
     if fprof is None:
         fprof = prof.flipped()
         prof._flipped_cache = fprof
-    offs = np.asarray(tdb.offsets)
-    res = native.batch_recover(
-        fprof.prof_aa, fprof.prof_ss, prof.prof_aa, prof.prof_ss,
-        np.asarray(prof.q_aa), np.asarray(tdb.aa), np.asarray(tdb.ss),
-        offs[tids[surv]], tend[surv], fwd[surv], qend[surv],
-        prof.gap_open, prof.gap_extend)
+    with StageTimer("batch_recover"):
+        res = native.batch_recover(
+            fprof.prof_aa, fprof.prof_ss, prof.prof_aa, prof.prof_ss,
+            np.asarray(prof.q_aa), np.asarray(tdb.aa), np.asarray(tdb.ss),
+            offs[tids[surv]], tend[surv], fwd[surv], qend[surv],
+            prof.gap_open, prof.gap_extend)
     if res is None:
         return {}
     q_start, t_start, ident, ops = res
@@ -887,6 +981,10 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
         ti = tids[ci]
 
         tb = pre_tb.get(ci)
+        if tb is None and use_block_aligner(prof):
+            tb = _block_traceback_one(
+                prof, np.asarray(tdb.get_aa(ti)), np.asarray(tdb.get_ss(ti)),
+                int(fwd[ci]), int(qend[ci]), int(tend[ci]))
         if tb is None:
             try:
                 tb = bt_ops.recover_alignment(
@@ -898,6 +996,45 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                                qi, ti, e)
                 rejected += 1
                 continue
+        if tb is BLOCK_FAIL:
+            # the reference's block-align failure row: score1 = UINT32_MAX
+            # propagates the alignScoreEndPos struct unchanged (the dead
+            # `align.score1 == UINT32_MAX` check never triggers a fallback),
+            # so qStart/dbStart stay -1, the backtrace stays empty, covs
+            # keep their start-0 estimates, seqId is 0 and alnLength =
+            # computeAlnLength(-1, qEnd, -1, dbEnd)
+            # (structurealign.cpp:78-108, Matcher.cpp:155-157)
+            aln_len = max(qend_l[ci] + 1, tend_l[ci] + 1) + 1
+            res = AlnResult(
+                db_key=tkey, score=scores_l[ci], seq_id=0.0,
+                evalue=ev_corr_l[ci],
+                q_start=-1, q_end=qend_l[ci], q_len=q_len,
+                t_start=-1, t_end=tend_l[ci], t_len=t_len,
+                backtrace="", qcov=min(1.0, (qend_l[ci] + 1) / q_len),
+                tcov=min(1.0, (tend_l[ci] + 1) / t_len),
+                aln_length=aln_len, identical=0)
+            ok = is_identity or (
+                res.evalue <= params.evalue_thr
+                and res.seq_id >= params.seq_id_thr
+                and has_coverage(params.cov_thr, params.cov_mode, res.qcov,
+                                 res.tcov)
+                and aln_len >= params.aln_len_thr)
+            if not ok:
+                rejected += 1
+                continue
+            if need_tm or need_lddt:
+                # no aligned pairs: TM/LDDT degenerate to 0 (the gates below
+                # then drop the row when a positive threshold is active)
+                res.tm = 0.0
+                res.lddt = 0.0
+                if params.tmscore_threshold > 0 or params.lddt_threshold > 0:
+                    continue
+                if params.sort_by_structure_bits and need_tm and need_lddt:
+                    res.score = 0
+            results.append(res)
+            passed += 1
+            rejected = 0
+            continue
 
         aln_len = len(tb.backtrace)
         seq_id = tb.identical_aa / aln_len if aln_len else 0.0
@@ -974,11 +1111,20 @@ def align_query(qi: int, qdb: StructDB, tdb: StructDB,
                 if (ev.evalue_corr(a_fwd, lam, mu) > params.evalue_thr
                         or a_ev > params.evalue_thr):
                     break
-                try:
-                    a_tb = bt_ops.recover_alignment(prof, t_aa_m, t_ss_m,
-                                                    int(a_fwd), a_qe, a_te)
-                except RuntimeError:
-                    break
+                a_tb = (_block_traceback_one(prof, t_aa_m, t_ss_m,
+                                             int(a_fwd), a_qe, a_te)
+                        if use_block_aligner(prof) else None)
+                if a_tb is BLOCK_FAIL:
+                    break  # reference would emit a -1/-1 empty-backtrace
+                    # alt row (computeAlternativeAlignment -> the same dead
+                    # fallback check); its X-masking of [-1, dbEnd) is UB,
+                    # so the alt chain stops here instead
+                if a_tb is None:
+                    try:
+                        a_tb = bt_ops.recover_alignment(
+                            prof, t_aa_m, t_ss_m, int(a_fwd), a_qe, a_te)
+                    except RuntimeError:
+                        break
                 a_len = len(a_tb.backtrace)
                 a_seqid = a_tb.identical_aa / a_len if a_len else 0.0
                 a_qcov = (a_qe - a_tb.q_start + 1) / q_len
@@ -1017,6 +1163,7 @@ def _host_gates_batch(results, tdb, tkey_to_idx, params, q_len, q_ca,
     """TM/LDDT for one query's accepted hits in ONE native call
     (native batch_gates — the same C routines as the per-hit path, so the
     scores are bit-identical; only the per-hit python marshalling goes)."""
+    results = [r for r in results if r.backtrace]  # skip block-failure rows
     if not results:
         return
     from .. import native as native_mod

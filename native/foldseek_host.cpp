@@ -16,10 +16,13 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <string>
 #include <vector>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
+
+#include "block_aligner.hpp"
 
 extern "C" {
 
@@ -3387,6 +3390,74 @@ int fwbw_forward_m(const double* s, int L1, int L2, double go, double ge,
         std::memcpy(M_prev.data(), M_row, sizeof(double) * L2);
         std::swap(E_prev, E_row);
         std::swap(F_prev, F_row);
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Block-aligner backtrace (the reference's DEFAULT non-profile path:
+// StructureSmithWaterman::alignStartPosBacktraceBlock,
+// StructureSmithWaterman.cpp:369-527, algorithm in native/block_aligner.hpp).
+// One call per query batch; per hit the reversed, cropped query/target go
+// through the exponential block-size search. out_len semantics:
+//   >= 0  ops length — success, start/ident/ops filled
+//   -2    block search could not reproduce the target score — the caller
+//         must emit the reference's failure row (score1 = UINT32_MAX path:
+//         qStart/dbStart = -1, empty backtrace; structurealign.cpp:78-89,
+//         where the unpatched `align.score1 == UINT32_MAX` check is dead
+//         code so the failed alignTmp is used as-is)
+int batch_recover_block(
+    const int8_t* q_aa_rev, const int8_t* q_ss_rev, const int16_t* bias_rev,
+    int Lq, const int8_t* mat_aa, const int8_t* mat_ss, const int8_t* db_aa,
+    const int8_t* db_ss, const int64_t* t_off, const int32_t* t_end,
+    const int32_t* score, const int32_t* q_end, int n_hits, int gap_open,
+    int gap_extend, int32_t* out_qstart, int32_t* out_tstart,
+    int32_t* out_ident, char* out_ops, const int64_t* ops_off,
+    int32_t* out_len) {
+    static thread_local ba::BlockDriver drv;
+    ba::Mat27 maa, mss;
+    for (int a = 0; a < 21; a++)
+        for (int b = 0; b < 21; b++) {
+            maa.m[(size_t)a * 32 + b] = mat_aa[a * 21 + b];
+            mss.m[(size_t)a * 32 + b] = mat_ss[a * 21 + b];
+        }
+    std::vector<uint8_t> rt_aa, rt_ss;
+    std::string ops;
+    for (int hit = 0; hit < n_hits; hit++) {
+        const int qe = q_end[hit];
+        const int te = t_end[hit];
+        if (qe < 0 || te < 0 || qe >= Lq) {
+            out_len[hit] = -2;
+            continue;
+        }
+        const int q_aln = qe + 1;
+        const int t_aln = te + 1;
+        const int q_start_pos = Lq - q_aln;  // offset into the reversed query
+        const int8_t* taa = db_aa + t_off[hit];
+        const int8_t* tss = db_ss + t_off[hit];
+        rt_aa.resize(t_aln);
+        rt_ss.resize(t_aln);
+        for (int j = 0; j < t_aln; j++) {
+            rt_aa[j] = (uint8_t)taa[te - j];
+            rt_ss[j] = (uint8_t)tss[te - j];
+        }
+        int32_t qc = 0, tc = 0;
+        uint32_t ids = 0;
+        ops.clear();
+        bool ok = drv.align(
+            (const uint8_t*)q_aa_rev + q_start_pos,
+            (const uint8_t*)q_ss_rev + q_start_pos, bias_rev + q_start_pos,
+            q_aln, rt_aa.data(), rt_ss.data(), t_aln, maa, mss, gap_open,
+            gap_extend, score[hit], ops, &qc, &tc, &ids);
+        if (!ok) {
+            out_len[hit] = -2;
+            continue;
+        }
+        out_qstart[hit] = qe + 1 - qc;
+        out_tstart[hit] = te + 1 - tc;
+        out_ident[hit] = (int32_t)ids;
+        std::memcpy(out_ops + ops_off[hit], ops.data(), ops.size());
+        out_len[hit] = (int32_t)ops.size();
     }
     return 0;
 }
