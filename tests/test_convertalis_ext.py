@@ -30,10 +30,7 @@ def test_ext_columns_golden(scop_dir, golden_dir, tmp_path):
     ref = {}
     for l in golden:
         f = l.split("\t")
-        # the golden was generated with qstart duplicated after cigar —
-        # drop the extra column (index 19) to align with EXT_FMT
-        assert f[19] == f[6], "golden column layout changed"
-        ref[(f[0], f[1])] = f[:19] + f[20:]
+        ref[(f[0], f[1])] = f
     assert set(mine) == set(ref)
     text_exact = 0
     for k in ref:

@@ -98,6 +98,15 @@ def main():
                               db_ss, offs, np.array(te), np.array(sc),
                               np.array(qe), prof.gap_open, prof.gap_extend)
         assert out is not None
+        from foldseek_tpu.search.align import _block_mats
+        bias = (fprof.bias_aa.astype(np.int16)
+                + fprof.bias_ss.astype(np.int16))
+        maa, mss = _block_mats(prof)
+        out2 = N.batch_recover_block(fprof.q_aa, fprof.q_ss, bias, maa, mss,
+                                     db_aa, db_ss, offs, np.array(te),
+                                     np.array(sc), np.array(qe),
+                                     prof.gap_open, prof.gap_extend)
+        assert out2 is not None
 
     def lol_case(seed):
         r = np.random.default_rng(seed + 999)
