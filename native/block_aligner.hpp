@@ -36,6 +36,14 @@
 #include <string>
 #include <vector>
 
+// BA_FORCE_SCALAR disables the intrinsic path (A/B testing); the scalar
+// lane emulation and the AVX2 intrinsics compute bit-identical results by
+// construction (the scalar helpers emulate exactly these intrinsics).
+#if defined(__AVX2__) && !defined(BA_FORCE_SCALAR)
+#define BA_AVX2 1
+#include <immintrin.h>
+#endif
+
 namespace ba {
 
 constexpr int L = 16;           // 16-bit lanes per vector (AVX2 build of the reference)
@@ -47,13 +55,144 @@ constexpr int16_t ZERO_OFF = 1 << 14;  // score offset ("ZERO", avx2.rs:15)
 constexpr int16_t VMIN = 0;            // -inf sentinel ("MIN", avx2.rs:16)
 constexpr uint8_t NULL_IDX = 26;       // padding letter index ('A'+26)
 
-struct V {
-    int16_t e[L];
-};
-
 static inline int16_t sat16(int32_t v) {
     return v > 32767 ? 32767 : (v < -32768 ? (int16_t)-32768 : (int16_t)v);
 }
+
+#if defined(BA_AVX2)
+
+typedef __m256i V;
+
+static inline V set1(int16_t x) { return _mm256_set1_epi16(x); }
+static inline V adds(V a, V b) { return _mm256_adds_epi16(a, b); }
+static inline V subs(V a, V b) { return _mm256_subs_epi16(a, b); }
+static inline V vmax(V a, V b) { return _mm256_max_epi16(a, b); }
+static inline V cmpeq(V a, V b) { return _mm256_cmpeq_epi16(a, b); }
+static inline V loadu(const void* p) {
+    return _mm256_loadu_si256((const __m256i*)p);
+}
+static inline void storeu(void* p, V v) {
+    _mm256_storeu_si256((__m256i*)p, v);
+}
+// shift left by one lane, lane 0 filled from b's top lane (simd_sl_i16!(a,b,1))
+static inline V sl1(V a, V b) {
+    return _mm256_alignr_epi8(a, _mm256_permute2x128_si256(a, b, 0x03), 14);
+}
+template <int N>
+static inline V sllz(V a) {  // lane-local shift left by N i16, zero fill
+    return _mm256_slli_si256(a, 2 * N);
+}
+static inline V step8(V a, V b) { return _mm256_permute2x128_si256(a, b, 0x03); }
+static inline V broadcasthi(V v) {
+    v = _mm256_shufflehi_epi16(v, 0xFF);
+    return _mm256_permute4x64_epi64(v, 0xFF);
+}
+static inline int16_t lane0(V v) { return (int16_t)_mm256_extract_epi16(v, 0); }
+static inline int16_t lane15(V v) { return (int16_t)_mm256_extract_epi16(v, 15); }
+static inline V set_lane0(V v, int16_t x) {
+    return _mm256_insert_epi16(v, x, 0);
+}
+static inline int16_t hmax(V v) {  // simd_hmax_i16 (avx2.rs:186-193)
+    V v2 = _mm256_max_epi16(v, _mm256_srli_si256(v, 2));
+    v2 = _mm256_max_epi16(v2, _mm256_srli_si256(v2, 4));
+    v2 = _mm256_max_epi16(v2, _mm256_srli_si256(v2, 8));
+    v2 = _mm256_max_epi16(v2, _mm256_permute2x128_si256(v2, v2, 0x03));
+    return lane0(v2);
+}
+static inline int16_t prefix_hmax_step(V v) {  // max of lanes 0..7
+    v = _mm256_max_epi16(v, _mm256_srli_si256(v, 8));
+    v = _mm256_max_epi16(v, _mm256_srli_si256(v, 4));
+    v = _mm256_max_epi16(v, _mm256_srli_si256(v, 2));
+    return lane0(v);
+}
+static inline int16_t suffix_hmax(V v) {  // max of lanes 14..15
+    v = _mm256_max_epi16(v, _mm256_slli_si256(v, 2));
+    return lane15(v);
+}
+
+struct ScanConsts {
+    V consts;
+    V extend_all;
+};
+
+static inline ScanConsts scan_consts(int16_t gap) {
+    // get_prefix_scan_consts (avx2.rs:295-311)
+    V g = set1(gap);
+    V s1 = adds(sllz<1>(g), g);
+    V s2 = adds(sllz<2>(s1), s1);
+    V s4 = adds(sllz<4>(s2), s2);
+    V c1 = _mm256_srli_si256(_mm256_shufflehi_epi16(s4, 0xFF), 8);
+    c1 = _mm256_permute4x64_epi64(c1, 0x05);
+    ScanConsts sc;
+    sc.consts = s4;
+    sc.extend_all = adds(c1, s4);
+    return sc;
+}
+
+static inline V prefix_scan(V R, int16_t gap, const ScanConsts& sc) {
+    // simd_prefix_scan_i16 (avx2.rs:313-338), exact op sequence
+    V gv = set1(gap);
+    V s1 = vmax(R, adds(sllz<1>(R), gv));
+    V s2 = vmax(s1, adds(sllz<2>(s1), _mm256_slli_epi16(gv, 1)));
+    V s4 = vmax(s2, adds(sllz<4>(s2), _mm256_slli_epi16(gv, 2)));
+    V c1 = _mm256_shufflehi_epi16(s4, 0xFF);
+    c1 = _mm256_permute4x64_epi64(c1, 0x50);
+    c1 = adds(c1, sc.consts);
+    return vmax(s4, c1);
+}
+
+// per-lane score gather: mat rows are 32-byte lookup tables, query bytes
+// select via pshufb with the bit-4 table-half blend
+// (AAMatrix::get_scores + halfsimd_lookup2_i16, scores.rs:133-139,
+// avx2.rs:342-351)
+static inline V mat_lookup(const int8_t* row, const uint8_t* q) {
+    __m128i qv = _mm_loadu_si128((const __m128i*)q);
+    __m128i lut1 = _mm_loadu_si128((const __m128i*)row);
+    __m128i lut2 = _mm_loadu_si128((const __m128i*)(row + 16));
+    __m128i a = _mm_shuffle_epi8(lut1, qv);
+    __m128i b = _mm_shuffle_epi8(lut2, qv);
+    __m128i mask = _mm_slli_epi16(qv, 3);
+    return _mm256_cvtepi8_epi16(_mm_blendv_epi8(a, b, mask));
+}
+
+static inline V score_vec(const int8_t* row_aa, const int8_t* row_3di,
+                          const uint8_t* qa, const uint8_t* q3,
+                          const int16_t* qb, V rbias) {
+    V s_aa = mat_lookup(row_aa, qa);
+    V s_3di = mat_lookup(row_3di, q3);
+    V pos = adds(rbias, loadu(qb));
+    return adds(adds(s_aa, s_3di), pos);
+}
+
+// compressed trace words: movemask over the byte-blended compare masks
+// (place_block_3di TRACE section, scan_block.rs:1395-1405)
+static inline void trace_words(V D11, V C11, V R11, V C11_open, V D11_open,
+                               V& prev_trace_R, int32_t& t1, int32_t& t2) {
+    V mask = set1((int16_t)0xFF00);
+    t1 = _mm256_movemask_epi8(
+        _mm256_blendv_epi8(cmpeq(D11, C11), cmpeq(D11, R11), mask));
+    V temp_trace_R = cmpeq(R11, D11_open);
+    V trace_R = sl1(temp_trace_R, prev_trace_R);
+    t2 = _mm256_movemask_epi8(
+        _mm256_blendv_epi8(cmpeq(C11, C11_open), trace_R, mask));
+    prev_trace_R = temp_trace_R;
+}
+
+static inline void argmax_update(V& D_max, V& ai, V& aj, V D11, int16_t i,
+                                 int16_t j) {
+    D_max = vmax(D_max, D11);
+    V m = cmpeq(D_max, D11);
+    ai = _mm256_blendv_epi8(ai, set1(i), m);
+    aj = _mm256_blendv_epi8(aj, set1(j), m);
+}
+
+static inline void store_arr(int16_t* dst, V v) { storeu(dst, v); }
+
+#else  // scalar emulation of the exact AVX2 lane semantics
+
+struct V {
+    int16_t e[L];
+};
 
 static inline V set1(int16_t x) {
     V r;
@@ -77,6 +216,16 @@ static inline V vmax(const V& a, const V& b) {
     V r;
     for (int i = 0; i < L; i++) r.e[i] = a.e[i] > b.e[i] ? a.e[i] : b.e[i];
     return r;
+}
+
+static inline V loadu(const void* p) {
+    V r;
+    std::memcpy(r.e, p, sizeof(r.e));
+    return r;
+}
+
+static inline void storeu(void* p, const V& v) {
+    std::memcpy(p, v.e, sizeof(v.e));
 }
 
 // shift left by one lane, lane 0 filled from b's top lane (simd_sl_i16!(a,b,1))
@@ -109,6 +258,13 @@ static inline V step8(const V& a, const V& b) {
 }
 
 static inline V broadcasthi(const V& a) { return set1(a.e[L - 1]); }
+
+static inline int16_t lane15(const V& v) { return v.e[L - 1]; }
+
+static inline V set_lane0(V v, int16_t x) {
+    v.e[0] = x;
+    return v;
+}
 
 static inline int16_t hmax(const V& a) {
     int16_t m = a.e[0];
@@ -175,6 +331,49 @@ static inline V prefix_scan(const V& R, int16_t gap, const ScanConsts& sc) {
     c = adds(c, sc.consts);
     return vmax(s4, c);
 }
+
+static inline V score_vec(const int8_t* row_aa, const int8_t* row_3di,
+                          const uint8_t* qa, const uint8_t* q3,
+                          const int16_t* qb, const V& rbias) {
+    V scores;
+    for (int l = 0; l < L; l++)
+        scores.e[l] = sat16(
+            (int32_t)row_aa[qa[l]] + row_3di[q3[l]]
+            + sat16((int32_t)rbias.e[l] + qb[l]));
+    return scores;
+}
+
+static inline void trace_words(const V& D11, const V& C11, const V& R11,
+                               const V& C11_open, const V& D11_open,
+                               V& prev_trace_R, int32_t& t1, int32_t& t2) {
+    t1 = t2 = 0;
+    for (int l = 0; l < L; l++) {
+        t1 |= (D11.e[l] == C11.e[l] ? 1 : 0) << (2 * l);
+        t1 |= (D11.e[l] == R11.e[l] ? 1 : 0) << (2 * l + 1);
+        t2 |= (C11.e[l] == C11_open.e[l] ? 1 : 0) << (2 * l);
+        bool tr = l == 0 ? prev_trace_R.e[L - 1] != 0
+                         : R11.e[l - 1] == D11_open.e[l - 1];
+        t2 |= (tr ? 1 : 0) << (2 * l + 1);
+    }
+    for (int l = 0; l < L; l++)
+        prev_trace_R.e[l] = R11.e[l] == D11_open.e[l] ? (int16_t)-1 : 0;
+}
+
+static inline void argmax_update(V& D_max, V& ai, V& aj, const V& D11,
+                                 int16_t i, int16_t j) {
+    V newmax = vmax(D_max, D11);
+    for (int l = 0; l < L; l++) {
+        if (newmax.e[l] == D11.e[l]) {
+            ai.e[l] = i;
+            aj.e[l] = j;
+        }
+    }
+    D_max = newmax;
+}
+
+static inline void store_arr(int16_t* dst, const V& v) { storeu(dst, v); }
+
+#endif  // BA_AVX2
 
 // 27x32 substitution matrix, rows indexed by letter index (0..26; 26 is the
 // padding letter whose row stays at -128 = i8::MIN, scores.rs AAMatrix).
@@ -427,14 +626,8 @@ struct Border {
         ensure(n);
         std::fill(d.begin(), d.begin() + n, VMIN);
     }
-    inline V load(size_t i) const {
-        V v;
-        std::memcpy(v.e, d.data() + i, sizeof(v.e));
-        return v;
-    }
-    inline void store(size_t i, const V& v) {
-        std::memcpy(d.data() + i, v.e, sizeof(v.e));
-    }
+    inline V load(size_t i) const { return loadu(d.data() + i); }
+    inline void store(size_t i, const V& v) { storeu(d.data() + i, v); }
     inline int16_t* ptr(size_t i) { return d.data() + i; }
     inline const int16_t* ptr(size_t i) const { return d.data() + i; }
 };
@@ -485,22 +678,18 @@ struct Aligner {
             const int8_t* row_aa = mat_aa.row(c);
             const int8_t* row_3di = mat_3di.row(c3);
             for (size_t i = 0; i < height; i += L) {
-                V D10, C10;
-                std::memcpy(D10.e, D_colp + i, sizeof(D10.e));
-                std::memcpy(C10.e, C_colp + i, sizeof(C10.e));
+                V D10 = loadu(D_colp + i);
+                V C10 = loadu(C_colp + i);
                 V D00 = sl1(D10, D_corner);
                 D_corner = D10;
 
-                V scores;
-                const uint8_t* qa = q.aa->s.data() + start_i + i;
-                const uint8_t* q3 = q.di->s.data() + start_i + i;
-                const int16_t* qb = q.bias->b.data() + start_i + i;
-                for (int l = 0; l < L; l++)
-                    scores.e[l] = sat16(
-                        (int32_t)row_aa[qa[l]] + row_3di[q3[l]]
-                        + sat16((int32_t)rbias.e[l] + qb[l]));
+                V scores = score_vec(row_aa, row_3di,
+                                     q.aa->s.data() + start_i + i,
+                                     q.di->s.data() + start_i + i,
+                                     q.bias->b.data() + start_i + i, rbias);
                 D11 = adds(D00, scores);
-                if (start_i + i == 0 && start_j + j == 0) D11.e[0] = ZERO_OFF;
+                if (start_i + i == 0 && start_j + j == 0)
+                    D11 = set_lane0(D11, ZERO_OFF);
 
                 V C11_open = adds(D10, go);
                 V C11 = vmax(adds(C10, ge), C11_open);
@@ -512,35 +701,20 @@ struct Aligner {
                 D11 = vmax(D11, R11);
                 R01 = R11;
 
-                int32_t t1 = 0, t2 = 0;
-                for (int l = 0; l < L; l++) {
-                    t1 |= (D11.e[l] == C11.e[l] ? 1 : 0) << (2 * l);
-                    t1 |= (D11.e[l] == R11.e[l] ? 1 : 0) << (2 * l + 1);
-                    t2 |= (C11.e[l] == C11_open.e[l] ? 1 : 0) << (2 * l);
-                    bool tr = l == 0 ? prev_trace_R.e[L - 1] != 0
-                                     : R11.e[l - 1] == D11_open.e[l - 1];
-                    t2 |= (tr ? 1 : 0) << (2 * l + 1);
-                }
-                for (int l = 0; l < L; l++)
-                    prev_trace_R.e[l] =
-                        R11.e[l] == D11_open.e[l] ? (int16_t)-1 : 0;
+                int32_t t1, t2;
+                trace_words(D11, C11, R11, C11_open, D11_open, prev_trace_R,
+                            t1, t2);
                 trace.add(t1, t2);
 
-                V newmax = vmax(pr.D_max, D11);
-                for (int l = 0; l < L; l++) {
-                    if (newmax.e[l] == D11.e[l]) {
-                        pr.D_argmax_i.e[l] = (int16_t)i;
-                        pr.D_argmax_j.e[l] = (int16_t)j;
-                    }
-                }
-                pr.D_max = newmax;
+                argmax_update(pr.D_max, pr.D_argmax_i, pr.D_argmax_j, D11,
+                              (int16_t)i, (int16_t)j);
 
-                std::memcpy(D_colp + i, D11.e, sizeof(D11.e));
-                std::memcpy(C_colp + i, C11.e, sizeof(C11.e));
+                storeu(D_colp + i, D11);
+                storeu(C_colp + i, C11);
             }
             D_corner = set1(VMIN);
-            D_rowp[j] = D11.e[L - 1];
-            R_rowp[j] = R11.e[L - 1];
+            D_rowp[j] = lane15(D11);
+            R_rowp[j] = lane15(R11);
         }
         return pr;
     }
@@ -558,7 +732,9 @@ struct Aligner {
     static V shift_and_offset(size_t block_size, Border& b1, Border& b2,
                               Border& t1, Border& t2, const V& off_add) {
         V curr1 = adds(b1.load(0), off_add);
-        V corner = set1(curr1.e[STEP - 1]);
+        int16_t c7[L];
+        store_arr(c7, curr1);
+        V corner = set1(c7[STEP - 1]);
         V curr2 = adds(b2.load(0), off_add);
         size_t i = 0;
         for (; i + L < block_size; i += L) {
@@ -707,14 +883,15 @@ struct Aligner {
             if (off_max > best_max) {
                 size_t best_i = 0, best_j = 0;
                 bool grow_part = dir == Dir::Grow && D_max_max < grow_max;
-                const V& cd_max = grow_part ? grow_D_max : pb.D_max;
-                const V& cai = grow_part ? grow_argmax_i : pb.D_argmax_i;
-                const V& caj = grow_part ? grow_argmax_j : pb.D_argmax_j;
+                int16_t cd_max[L], cai[L], caj[L];
+                store_arr(cd_max, grow_part ? grow_D_max : pb.D_max);
+                store_arr(cai, grow_part ? grow_argmax_i : pb.D_argmax_i);
+                store_arr(caj, grow_part ? grow_argmax_j : pb.D_argmax_j);
                 int16_t curr_max = grow_part ? grow_max : D_max_max;
                 for (int l = 0; l < L; l++) {
-                    if (cd_max.e[l] != curr_max) continue;
-                    size_t idx_i = (size_t)(uint16_t)cai.e[l];
-                    size_t idx_j = (size_t)(uint16_t)caj.e[l];
+                    if (cd_max[l] != curr_max) continue;
+                    size_t idx_i = (size_t)(uint16_t)cai[l];
+                    size_t idx_j = (size_t)(uint16_t)caj[l];
                     size_t gi, gj;
                     if (grow_part) {
                         gi = si + prev_size + idx_j;

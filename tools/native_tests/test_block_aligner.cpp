@@ -124,6 +124,14 @@ int main() {
     };
 
     int n_ok = 0, n_fail_block = 0;
+    unsigned long long digest = 1469598103934665603ull;  // FNV-1a
+    auto fnv = [&](const void* p, size_t n) {
+        const unsigned char* b = (const unsigned char*)p;
+        for (size_t k = 0; k < n; k++) {
+            digest ^= b[k];
+            digest *= 1099511628211ull;
+        }
+    };
     ba::BlockDriver drv;
     for (int iter = 0; iter < 400; iter++) {
         int lq = 1 + (int)(rng() % (iter < 200 ? 120 : 900));
@@ -178,6 +186,9 @@ int main() {
             continue;
         }
         int qs = f.qend + 1 - qc, ts = f.tend + 1 - tc;
+        fnv(ops.data(), ops.size());
+        fnv(&qs, sizeof(qs));
+        fnv(&ts, sizeof(ts));
         if (qs < 0 || ts < 0) {
             fprintf(stderr, "iter %d: negative start %d %d\n", iter, qs, ts);
             return 1;
@@ -209,6 +220,9 @@ int main() {
     }
     printf("block-aligner A/B: %d paths validated, %d block-search misses\n",
            n_ok, n_fail_block);
+    // FNV-1a over all paths: the AVX2 and BA_FORCE_SCALAR builds must print
+    // the same digest (bit-identical tie paths, run.sh compares them)
+    printf("paths digest: %016llx\n", (unsigned long long)digest);
     if (n_ok < 200) {
         fprintf(stderr, "too few validated cases\n");
         return 1;
