@@ -377,6 +377,64 @@ def parse_mmjson_text(text: str, name: str) -> Structure:
     return st
 
 
+def _parse_chemcomp(lines, st: Structure) -> Structure:
+    """Single-residue structure from a _chem_comp_atom loop (ChemComp
+    input format; gemmi chemcomp_xyz.hpp). Coordinate tag preference
+    follows gemmi's model order: x / model_Cartn_x /
+    pdbx_model_Cartn_x_ideal — foldseek reads the first model."""
+    i = 0
+    tags = []
+    rows = []
+    comp_id = ""
+    while i < len(lines):
+        if lines[i].strip() == "loop_":
+            cand = []
+            j = i + 1
+            while j < len(lines) and lines[j].startswith("_"):
+                cand.append(lines[j].split()[0])
+                j += 1
+            if cand and cand[0].startswith("_chem_comp_atom."):
+                tags = [t.split(".", 1)[1] for t in cand]
+                while j < len(lines):
+                    row = lines[j]
+                    if not row or row.startswith(("#", "loop_", "_", "data_")):
+                        break
+                    rows.append(row.split())
+                    j += 1
+                break
+            i = j
+            continue
+        i += 1
+    if not tags:
+        return st
+    cols = {t: k for k, t in enumerate(tags)}
+    for trip in (("x", "y", "z"),
+                 ("model_Cartn_x", "model_Cartn_y", "model_Cartn_z"),
+                 ("pdbx_model_Cartn_x_ideal", "pdbx_model_Cartn_y_ideal",
+                  "pdbx_model_Cartn_z_ideal")):
+        if all(t in cols for t in trip):
+            xyz = trip
+            break
+    else:
+        return st
+    if "comp_id" in cols and rows:
+        comp_id = rows[0][cols["comp_id"]]
+    acc = _ResidueAccum(comp_id or st.name)
+    for row in rows:
+        try:
+            x = float(row[cols[xyz[0]]])
+            y = float(row[cols[xyz[1]]])
+            z = float(row[cols[xyz[2]]])
+        except (ValueError, IndexError):
+            continue
+        atom_id = row[cols["atom_id"]] if "atom_id" in cols else ""
+        acc.add(atom_id, "", x, y, z, 0.0)
+    ch = _finish_chain("", 1, [acc])
+    if ch is not None:
+        st.chains = [ch]
+    return st
+
+
 def parse_mmcif_text(text: str, name: str) -> Structure:
     """Minimal mmCIF parser: _atom_site loop + title."""
     st = Structure(name=name)
@@ -414,7 +472,13 @@ def parse_mmcif_text(text: str, name: str) -> Structure:
 
     st.title = title
     if not columns:
-        return st
+        # chemical-component CIF (CCD entry / Refmac monomer library): no
+        # _atom_site loop, coordinates in _chem_comp_atom
+        # (GemmiWrapper.h:20 Format::ChemComp,
+        # lib/gemmi/chemcomp_xyz.hpp make_structure_from_chemcomp_doc) —
+        # a single-residue model; the normal min-length filter then drops
+        # it downstream exactly like the reference
+        return _parse_chemcomp(lines, st)
 
     def col(row, key, default=""):
         idx = columns.get(key)

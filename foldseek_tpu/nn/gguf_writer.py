@@ -16,7 +16,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .prostt5 import GGUF_MAGIC, ProstT5Config
+from .prostt5 import GGML_F16, GGUF_MAGIC, ProstT5Config
 
 _T_U32, _T_F32, _T_STR, _T_ARR = 4, 6, 8, 9
 GGML_F32 = 0
@@ -51,8 +51,20 @@ def _w_value(f, v):
         raise TypeError(type(v))
 
 
-def write_gguf(path: str, meta: Dict, tensors: Dict[str, np.ndarray]):
-    """Write f32 tensors; dims are stored innermost-first per the spec."""
+def write_gguf(path: str, meta: Dict, tensors: Dict[str, np.ndarray],
+               f16_weights: bool = False):
+    """Write tensors; dims are stored innermost-first per the spec.
+
+    f16_weights mirrors the released ProstT5 GGUF's dtype layout
+    (prostt5_manifest.json: f16 matmul weights, f32 norms/biases) — every
+    tensor with ndim >= 2 is stored GGML_F16, 1-D tensors stay GGML_F32."""
+    def _dtype(arr):
+        return (GGML_F16 if f16_weights and arr.ndim >= 2 else GGML_F32)
+
+    def _bytes(arr):
+        dt = np.float16 if _dtype(arr) == GGML_F16 else np.float32
+        return np.ascontiguousarray(arr.astype(dt)).tobytes()
+
     with open(path, "wb") as f:
         f.write(struct.pack("<II", GGUF_MAGIC, 3))
         f.write(struct.pack("<QQ", len(tensors), len(meta)))
@@ -65,19 +77,18 @@ def write_gguf(path: str, meta: Dict, tensors: Dict[str, np.ndarray]):
             dims = tuple(reversed(arr.shape))
             f.write(struct.pack("<I", len(dims)))
             f.write(struct.pack(f"<{len(dims)}Q", *dims))
-            f.write(struct.pack("<I", GGML_F32))
+            f.write(struct.pack("<I", _dtype(arr)))
             f.write(struct.pack("<Q", offset))
-            nbytes = arr.size * 4
+            nbytes = len(_bytes(arr))
             offset += (nbytes + ALIGNMENT - 1) // ALIGNMENT * ALIGNMENT
         base = f.tell()
         pad = (base + ALIGNMENT - 1) // ALIGNMENT * ALIGNMENT - base
         f.write(b"\0" * pad)
-        offset = 0
         for arr in tensors.values():
-            a = np.ascontiguousarray(arr, dtype=np.float32)
-            f.write(a.tobytes())
-            nbytes = a.size * 4
-            pad = (nbytes + ALIGNMENT - 1) // ALIGNMENT * ALIGNMENT - nbytes
+            b = _bytes(arr)
+            f.write(b)
+            pad = ((len(b) + ALIGNMENT - 1) // ALIGNMENT * ALIGNMENT
+                   - len(b))
             f.write(b"\0" * pad)
 
 
@@ -90,7 +101,7 @@ def default_vocab(vocab_size: int) -> List[str]:
 
 
 def write_prostt5_gguf(path: str, cfg: ProstT5Config, params,
-                       vocab: List[str] = None):
+                       vocab: List[str] = None, f16_weights: bool = False):
     """Serialize our param tree into the llama.cpp T5ENCODER GGUF layout
     that load_params_gguf consumes (matmul weights stored [out, in])."""
     arch = "t5encoder"
@@ -127,4 +138,4 @@ def write_prostt5_gguf(path: str, cfg: ProstT5Config, params,
     tensors["classifier.0.bias"] = params["conv0_b"]
     tensors["classifier.3.weight"] = params["conv3_w"]
     tensors["classifier.3.bias"] = params["conv3_b"]
-    write_gguf(path, meta, tensors)
+    write_gguf(path, meta, tensors, f16_weights=f16_weights)

@@ -72,3 +72,24 @@ def test_zstd_ingest(example_dir, tmp_path):
     assert db.size == dbg.size == 2
     assert [db.get_ss_str(i) for i in range(2)] == [dbg.get_ss_str(i) for i in range(2)]
     assert db.names == dbg.names
+
+
+def test_chemcomp_cif_ingest():
+    """Chemical-component CIF (CCD entry) parses to a single-residue chain
+    (GemmiWrapper Format::ChemComp, gemmi chemcomp_xyz.hpp); createdb then
+    drops it as too short, exactly like the reference."""
+    from foldseek_tpu.ingest.pdb import parse_structure_text
+    ccd = "\n".join([
+        "data_ALA", "#", "_chem_comp.id ALA", "loop_",
+        "_chem_comp_atom.comp_id", "_chem_comp_atom.atom_id",
+        "_chem_comp_atom.type_symbol", "_chem_comp_atom.model_Cartn_x",
+        "_chem_comp_atom.model_Cartn_y", "_chem_comp_atom.model_Cartn_z",
+        "ALA N N -0.966 0.493 1.500",
+        "ALA CA C 0.257 0.418 0.692",
+        "ALA C C -0.094 0.017 -0.716",
+        "ALA O O -1.056 -0.682 -0.923",
+        "ALA CB C 1.204 -0.620 1.296", "#", ""])
+    st = parse_structure_text(ccd, "ALA.cif")
+    assert len(st.chains) == 1
+    assert st.chains[0].aa == "A"
+    assert st.chains[0].ca.shape == (1, 3)

@@ -142,8 +142,19 @@ def test_createdb_prostt5_synthetic_gguf(tmp_path):
     assert len(ss) == 7 and ss.isupper()
 
 
-@pytest.mark.skipif(not os.environ.get("PROSTT5_GGUF"),
-                    reason="set PROSTT5_GGUF=/path/to/prostt5-*.gguf to run "
+def _find_real_gguf():
+    """PROSTT5_GGUF env or the fixture drop point tests/fixtures/
+    prostt5.gguf (see README 'Fixture request')."""
+    p = os.environ.get("PROSTT5_GGUF")
+    if p and os.path.isfile(p):
+        return p
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "prostt5.gguf")
+    return fix if os.path.isfile(fix) else ""
+
+
+@pytest.mark.skipif(not _find_real_gguf(),
+                    reason="drop the released GGUF at tests/fixtures/"
+                           "prostt5.gguf (or set PROSTT5_GGUF) to run "
                            "the released-weight end-to-end test")
 def test_prostt5_real_weights_e2e(tmp_path):
     """Turnkey real-weight flow (reference: structcreatedb.cpp:741-872):
@@ -155,7 +166,7 @@ def test_prostt5_real_weights_e2e(tmp_path):
     ffn_gate (gated-GELU when present), sentencepiece tokens with
     <AA2fold> prefix and per-residue "▁C" pieces."""
     from foldseek_tpu.nn.prostt5 import ProstT5
-    model = ProstT5(model_file=os.environ["PROSTT5_GGUF"])
+    model = ProstT5(model_file=_find_real_gguf())
     # d1asha_'s N-terminal 40 residues; prediction must be 3Di-alphabet
     seq = "ANKTRELCMKSLEHAKVDTSNEARQDGIDLYKHMFENYP"
     [pred] = model.predict([seq])
@@ -248,3 +259,40 @@ def test_release_manifest_pins_loader():
     missing = required - touched
     assert not missing, "loader ignored required release tensors: %s" % (
         sorted(missing)[:5])
+
+
+def test_release_dtype_conformance(tmp_path):
+    """The released GGUF ships f16 matmul weights with f32 norms/biases
+    (prostt5_manifest.json dtype note). Write a release-SHAPED model
+    (true d_model/d_kv/d_ff/vocab dims, 2 blocks) in exactly that dtype
+    layout and load it through read_gguf's real code path: every f16
+    tensor must dequantize bit-exactly (float32(float16(x))) and the
+    model must predict. Guards the quantization/dtype leg of the loader
+    that the synthetic f32 round-trip test cannot."""
+    import numpy as np
+
+    from foldseek_tpu.nn.gguf_writer import default_vocab, write_prostt5_gguf
+    from foldseek_tpu.nn.prostt5 import (ProstT5, ProstT5Config,
+                                         init_random_params,
+                                         load_params_gguf)
+    cfg = ProstT5Config(vocab_size=150, d_model=1024, d_kv=128,
+                        num_heads=32, d_ff=16384, num_layers=2)
+    params = init_random_params(cfg, seed=3)
+    path = str(tmp_path / "relshape.gguf")
+    write_prostt5_gguf(path, cfg, params, f16_weights=True)
+    cfg2, params2, _ = load_params_gguf(path)
+    assert (cfg2.d_model, cfg2.d_kv, cfg2.num_heads, cfg2.d_ff,
+            cfg2.num_layers) == (1024, 128, 32, 16384, 2)
+    # exact f16 dequantization through the loader
+    np.testing.assert_array_equal(
+        np.asarray(params2["embed"]),
+        np.float32(np.float16(params["embed"])))
+    np.testing.assert_array_equal(
+        np.asarray(params2["layers"][0]["wq"]),
+        np.float32(np.float16(params["layers"][0]["wq"])))
+    # norms stay f32 exact
+    np.testing.assert_array_equal(np.asarray(params2["final_norm"]),
+                                  params["final_norm"])
+    model = ProstT5(model_file=path)
+    [pred] = model.predict(["MKVLAW"])
+    assert len(pred) == 6

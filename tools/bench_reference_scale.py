@@ -35,21 +35,41 @@ AA3 = ["ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS",
        "TYR", "VAL", "UNK", "UNK"]
 
 
-def export_tar(db, tar_path):
-    """Write every entry as a CA-only PDB member of an uncompressed tar."""
+def export_tar(db, tar_path, full_backbone=False):
+    """Write every entry as a PDB member of an uncompressed tar.
+
+    CA-only by default (both sides then rebuild N/C with their pulchra
+    implementations — float differences flip ~1% of entries' near-tie
+    3Di partner selections, measured by tools/scale_parity.py, so this
+    mode is a throughput yardstick). full_backbone=True writes N/CA/C
+    (rebuilt once here, rounded to the PDB's 3 decimals) so BOTH engines
+    ingest identical backbones and the comparison isolates the search
+    engines."""
     aa = np.asarray(db.aa)
     ca = np.asarray(db.ca)
     offs = np.asarray(db.offsets)
     with tarfile.open(tar_path, "w") as tf:
         for e in range(db.size):
             s, t = offs[e], offs[e + 1]
+            atoms = [("CA", ca[s:t], "C")]
+            if full_backbone:
+                from foldseek_tpu.ingest.backbone import rebuild_backbone
+                n_xyz, c_xyz = rebuild_backbone(
+                    np.asarray(ca[s:t], dtype=np.float64))
+                atoms = [("N", n_xyz, "N"), ("CA", ca[s:t], "C"),
+                         ("C", c_xyz, "C")]
             lines = []
+            serial = 1
             for i in range(t - s):
-                x, y, z = ca[s + i]
-                lines.append(
-                    "ATOM  %5d  CA  %3s A%4d    %8.3f%8.3f%8.3f  1.00  0.00           C"
-                    % ((i + 1) % 100000, AA3[aa[s + i]], (i + 1) % 10000,
-                       x, y, z))
+                for aname, arr, elem in atoms:
+                    x, y, z = arr[i]
+                    if not np.isfinite(x):
+                        continue
+                    lines.append(
+                        "ATOM  %5d  %-3s %3s A%4d    %8.3f%8.3f%8.3f  1.00  0.00           %s"
+                        % (serial % 100000, aname, AA3[aa[s + i]],
+                           (i + 1) % 10000, x, y, z, elem))
+                    serial += 1
             data = ("\n".join(lines) + "\nEND\n").encode()
             ti = tarfile.TarInfo(name="e%06d.pdb" % e)
             ti.size = len(data)
