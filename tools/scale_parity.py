@@ -178,6 +178,25 @@ def main():
                 for q, a, b in diverged[:3]:
                     print(f"top-hit diff {q}:\n  ref {a}\n  our {b}",
                           file=sys.stderr)
+                shown = 0
+                for q in queries:
+                    r = ref_rows.get(q, set())
+                    o = our_rows.get(q, set())
+                    ro_only = sorted(r - o)
+                    oo_only = sorted(o - r)
+                    for a in ro_only[:2]:
+                        # pair with the same-target row on our side if any
+                        t = a.split("\t")[1]
+                        match = [x for x in oo_only
+                                 if x.split("\t")[1] == t]
+                        print("row diff  ref:", a, file=sys.stderr)
+                        if match:
+                            print("          our:", match[0], file=sys.stderr)
+                        shown += 1
+                        if shown >= 8:
+                            break
+                    if shown >= 8:
+                        break
     kmer_parity = (out["kmer_query_rowsets_equal"] == out["kmer_queries"]
                    and out["kmer_ref_rows"] == out["kmer_our_rows"])
     out["kmer_byte_parity"] = kmer_parity
