@@ -278,6 +278,21 @@ class PairScorer:
                 groups.setdefault(key, []).append((ei, tks))
 
         S_MAX = 256  # stacks per launch: bounds the profile block to ~50 MB
+
+        def _s_quant(n):
+            # stack-count family {1,2,4,8,16,64,256}: S is part of the
+            # executable's grid, so it must be quantized — but the family
+            # must start at 1: r4 quantized S with _b_quant (minimum 128),
+            # so the common 16-query search padded ~8 real stacks to 128,
+            # allocating ~600 MB of inert np.full profile/target panels and
+            # shipping them H2D EVERY rep (74 s host fill + 28 s transfer
+            # per rep in the 100k profile — the "still descending" reps the
+            # r4 driver bench recorded)
+            for b in (1, 2, 4, 8, 16, 64, 256):
+                if n <= b:
+                    return b
+            return 256
+
         multi_pending = []  # (chunk members, q, device outputs)
         import jax
         for (lq_pad, per_stack, lt_pad, Bq), members in sorted(groups.items()):
@@ -286,9 +301,7 @@ class PairScorer:
             lanes = stack_entries[members[0][0]][3].shape[1]
             for m0 in range(0, len(members), S_MAX):
                 chunk = members[m0:m0 + S_MAX]
-                # stack count quantized to the 4x family (it is part of
-                # the executable's grid) and padded with inert stacks
-                S = min(_b_quant(len(chunk)), S_MAX) if len(chunk) > 1 else 1
+                S = _s_quant(len(chunk))
                 paa_all = np.full((S * rows, lanes), -1e9, dtype=np.float32)
                 pss_all = np.full((S * rows, lanes), -1e9, dtype=np.float32)
                 ra_all = np.zeros((S * rows, 1), dtype=np.float32)
