@@ -60,9 +60,17 @@ def multimer_search(qdb: StructDB, tdb: StructDB,
             hits = {qk: [r.db_key for r in rs] for qk, rs in hits_aln.items()}
             with Timer("expandmultimer"):
                 expanded = expand_multimer(qdb, tdb, hits)
-            # re-align every expanded chain pair with the relaxed e-value
+            # re-align every expanded chain pair with the relaxed e-value.
+            # comp-bias-corr-scale is 1.0 here, NOT the search default 0.5:
+            # MultimerSearch.cpp serializes MULTIMER_ALIGN_PAR from the raw
+            # LocalParameters (structureAlignDefault's 0.5 override only
+            # applies to the standalone structurealign command), so the
+            # reference's expand re-align runs with the scale-1.0 bias —
+            # the source of the r4 "multimer TM band" (different profile ->
+            # one fewer/more matched pair on near-tie chain alignments)
             apar = replace(params, add_backtrace=True,
-                           evalue_thr=EVALUE_THR_EXPAND_MULTIMER)
+                           evalue_thr=EVALUE_THR_EXPAND_MULTIMER,
+                           comp_bias_correction_scale=1.0)
             with Timer("structurealign(expand)"):
                 return align_fn(qdb, tdb, expanded, apar, same_db=same_db)
         alns = (cache.run_aln("aln_expand", run_expand_align)
