@@ -23,6 +23,31 @@ STRUCTURE_EXTS = (".pdb", ".cif", ".mmcif", ".ent", ".pdb.gz", ".cif.gz",
                   ".mmcif.gz", ".ent.gz")
 
 
+def coordinate16_roundtrip(ca) -> np.ndarray:
+    """Store C-alpha exactly as the reference's readers will SEE them:
+    createdb compresses _ca with Coordinate16 (int32 start + int16 diffs of
+    trunc(x*1000), structcreatedb.cpp:636-638) and every consumer decodes
+    (start + cumdiff) / 1000.0f (Coordinate16.h:15-56) — i.e. the effective
+    coordinate is float32(int32(trunc(x_double * 1000)) / 1000.0f), per
+    axis, UNLESS any consecutive diff overflows int16 (a >32.7 A jump), in
+    which case the whole chain stays raw float32. Reproducing this
+    quantization at ingest makes every CA-derived number (TM, LDDT, rmsd,
+    u/t, structure bits) byte-comparable with the reference binary."""
+    ca = np.asarray(ca, dtype=np.float64)
+    if ca.size == 0:
+        return ca.astype(np.float32)
+    q = np.trunc(ca * 1000.0)
+    # int16 diff overflow check per axis (convertToDiff16 returns true)
+    if len(ca) > 1:
+        d = np.diff(q, axis=0)
+        if (np.abs(d) > 32767).any():
+            return ca.astype(np.float32)
+    if (np.abs(q) > 2**31 - 1).any():  # int32 start overflow safety
+        return ca.astype(np.float32)
+    # C semantics: int32 value converted to float, then float division
+    return q.astype(np.int32).astype(np.float32) / np.float32(1000.0)
+
+
 def collect_input_files(inputs: List[str],
                         file_include: str = ".*",
                         file_exclude: str = "^$",
@@ -248,7 +273,7 @@ def create_db(inputs: List[str], out_path: str,
                 if st.title:
                     header = f"{name} {st.title}"
                 mask = (ch.bfactor < mask_bfactor_threshold).astype(np.uint8)
-                ca = np.nan_to_num(ch.ca, nan=0.0).astype(np.float32)
+                ca = coordinate16_roundtrip(np.nan_to_num(ch.ca, nan=0.0))
                 entries.append((name, header, encode_seq(ch.aa), states, ca, mask,
                                 file_id))
 

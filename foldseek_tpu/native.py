@@ -105,6 +105,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.nw_gotoh_f32.restype = ctypes.c_int
         lib.lddt_aligned.argtypes = [fp, fp, fp, ctypes.c_int, dp, fp]
         lib.lddt_aligned.restype = ctypes.c_int
+        if hasattr(lib, "tm_score_aligned_ref"):
+            lib.tm_score_aligned_ref.argtypes = [fp, fp, ctypes.c_int,
+                                                 ctypes.c_int, dp]
+            lib.tm_score_aligned_ref.restype = ctypes.c_int
+        if hasattr(lib, "lddt_aligned_ref"):
+            lib.lddt_aligned_ref.argtypes = [fp, fp, fp, ctypes.c_int, dp, fp]
+            lib.lddt_aligned_ref.restype = ctypes.c_int
+        if hasattr(lib, "lddt_degree_ref"):
+            lib.lddt_degree_ref.argtypes = [fp, ctypes.c_int, fp]
+            lib.lddt_degree_ref.restype = ctypes.c_int
         lib.lol_block.argtypes = [fp, ctypes.c_int, fp, ctypes.c_int,
                                   i64p, i64p, ctypes.c_int,
                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -207,7 +217,29 @@ def banded_sw_bt(sub: np.ndarray, score: int, gap_open: int, gap_extend: int):
 
 def tm_score_aligned(x: np.ndarray, y: np.ndarray, norm_len: int):
     """x = matched target coords [n,3], y = matched query coords [n,3].
-    Returns (tm, rmsd, u [3,3], t [3]) or None if the library is missing."""
+    Returns (tm, rmsd, u [3,3], t [3]) or None if the library is missing.
+    Since r5 this runs the float-exact reference engine (tm_ref.hpp,
+    bit-identical to TMaligner::computeAppoximateTMscore); the double
+    engine stays callable as tm_score_aligned_f64."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if hasattr(lib, "tm_score_aligned_ref"):
+        xf = np.ascontiguousarray(x, dtype=np.float32)
+        yf = np.ascontiguousarray(y, dtype=np.float32)
+        out = np.zeros(14, dtype=np.float64)
+        rc = lib.tm_score_aligned_ref(
+            _ptr(xf, ctypes.c_float), _ptr(yf, ctypes.c_float),
+            len(xf), norm_len, _ptr(out, ctypes.c_double))
+        if rc == 0:
+            return (float(out[0]), float(out[1]),
+                    out[2:11].reshape(3, 3).copy(), out[11:14].copy())
+    return tm_score_aligned_f64(x, y, norm_len)
+
+
+def tm_score_aligned_f64(x: np.ndarray, y: np.ndarray, norm_len: int):
+    """The r1-r4 double-precision engine (numerically nicer; kept for
+    A/B and as the fallback)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -683,12 +715,27 @@ def lddt_aligned(qa: np.ndarray, ta: np.ndarray, deg: np.ndarray):
     m = len(qa)
     out = np.zeros(2, dtype=np.float64)
     per_col = np.zeros(m, dtype=np.float32)
-    rc = lib.lddt_aligned(_ptr(qa, ctypes.c_float), _ptr(ta, ctypes.c_float),
-                          _ptr(deg, ctypes.c_float), m,
-                          _ptr(out, ctypes.c_double), _ptr(per_col, ctypes.c_float))
+    fn = (lib.lddt_aligned_ref if hasattr(lib, "lddt_aligned_ref")
+          else lib.lddt_aligned)
+    rc = fn(_ptr(qa, ctypes.c_float), _ptr(ta, ctypes.c_float),
+            _ptr(deg, ctypes.c_float), m,
+            _ptr(out, ctypes.c_double), _ptr(per_col, ctypes.c_float))
     if rc != 0:
         return None
     return float(out[0]), per_col, int(out[1])
+
+
+def lddt_degree(q_ca: np.ndarray):
+    """Full-query <15A neighbor counts with the reference's exact float
+    distance (LDDT.cpp initQuery); None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lddt_degree_ref"):
+        return None
+    q = np.ascontiguousarray(q_ca, dtype=np.float32)
+    out = np.zeros(len(q), dtype=np.float32)
+    rc = lib.lddt_degree_ref(_ptr(q, ctypes.c_float), len(q),
+                             _ptr(out, ctypes.c_float))
+    return out if rc == 0 else None
 
 
 def fwbw_forward_m(s: np.ndarray, go: float, ge: float):

@@ -45,6 +45,13 @@ def lddt_query_context(q_ca: np.ndarray):
     maxSeqLen would be tens of GB."""
     q = np.asarray(q_ca, dtype=np.float32)
     L = len(q)
+    from .. import native
+    deg = native.lddt_degree(q)
+    if deg is not None:
+        # reference-exact float distance + cutoff (LDDT.cpp:100-116);
+        # the squared-distance numpy fallback below can flip borderline
+        # ~15.000A pairs by a float ulp
+        return q, deg
     degree = np.zeros(L, dtype=np.float32)
     blk = 1024
     for r0 in range(0, L, blk):

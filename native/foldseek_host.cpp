@@ -23,6 +23,7 @@
 #endif
 
 #include "block_aligner.hpp"
+#include "tm_ref.hpp"
 
 extern "C" {
 
@@ -2305,6 +2306,11 @@ int tm_search8f(const float* xtm, const float* ytm, int l_ali,
 // n_cols==0 hits follow the python conventions (tm 0, identity u, lddt 0).
 int lddt_aligned(const float* qa, const float* ta, const float* deg, int m,
                  double* out2, float* per_col);  // defined below
+// float-exact reference engines, defined near the end of this file
+int tm_score_aligned_ref(const float* xtm, const float* ytm, int n,
+                         int norm_len, double* out14);
+int lddt_aligned_ref(const float* qa, const float* ta, const float* deg,
+                     int m, double* out2, float* per_col);
 
 int batch_gates(const float* q_ca, int lq, const float* q_deg,
                 const float* t_ca_flat, const int64_t* t_off,
@@ -2348,9 +2354,15 @@ int batch_gates(const float* q_ca, int lq, const float* q_deg,
             }
         }
         if (need_tm) {
+            // float-exact reference engine (tm_ref.hpp): x = target coords
             const int n = (int)ytm.size() / 3;
-            if (n > 0 && tm_score_aligned(xtm.data(), ytm.data(), n,
-                                          norm_len[h], out14) == 0) {
+            std::vector<float> xf(3 * n), yf(3 * n);
+            for (int k = 0; k < 3 * n; k++) {
+                xf[k] = (float)xtm[k];
+                yf[k] = (float)ytm[k];
+            }
+            if (n > 0 && tm_score_aligned_ref(xf.data(), yf.data(), n,
+                                              norm_len[h], out14) == 0) {
                 tm[h] = out14[0];
                 rmsd[h] = out14[1];
                 std::memcpy(u + 9 * h, out14 + 2, 9 * sizeof(double));
@@ -2365,8 +2377,8 @@ int batch_gates(const float* q_ca, int lq, const float* q_deg,
             const int n = (int)deg.size();
             if (n > 0) {
                 percol.resize(n);
-                lddt_aligned(qa.data(), ta.data(), deg.data(), n, o2,
-                             percol.data());
+                lddt_aligned_ref(qa.data(), ta.data(), deg.data(), n, o2,
+                                 percol.data());
                 lddt_out[h] = o2[0];
             } else {
                 lddt_out[h] = 0.0;
@@ -3391,6 +3403,96 @@ int fwbw_forward_m(const double* s, int L1, int L2, double go, double ge,
         std::swap(E_prev, E_row);
         std::swap(F_prev, F_row);
     }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Float-exact TM/LDDT engines (native/tm_ref.hpp): bit-identical to the
+// reference binary's TMaligner::computeAppoximateTMscore and
+// LDDTCalculator (validated 300/300 bitwise vs the reference's own
+// compiled objects, tools/native_tests/test_tm_ref.cpp). These power the
+// structure-bit score so the sqrt(lddt*tm) scaling matches byte-for-byte.
+
+// xtm/ytm: [n,3] float32 row-major aligned pairs (x = target, y = query —
+// the TMaligner invmap convention). out14 = [tm, rmsd, u(9), t(3)].
+int tm_score_aligned_ref(const float* xtm, const float* ytm, int n,
+                         int norm_len, double* out14) {
+    if (n < 1) return -1;
+    float u[3][3], t[3], rmsd = 0;
+    double tm = tmref::tm_approx_ref(xtm, ytm, n, norm_len, u, t, &rmsd);
+    out14[0] = tm;
+    out14[1] = rmsd;
+    for (int a = 0; a < 3; a++)
+        for (int b = 0; b < 3; b++) out14[2 + 3 * a + b] = u[a][b];
+    for (int a = 0; a < 3; a++) out14[11 + a] = t[a];
+    return 0;
+}
+
+// the reference's per-pair distance (LDDT.cpp:6-12): float accumulation
+// in loop shape so the compiler contracts it exactly like the reference's
+// build (LDDT.cpp compiles WITH default -ffp-contract, unlike tmalign)
+static inline float lddt_dist_ref(const float* a, const float* b) {
+    float D2 = 0;
+    for (int i = 0; i < 3; i++) D2 += (a[i] - b[i]) * (a[i] - b[i]);
+    return sqrt(D2);
+}
+
+// per-residue <15A neighbor counts over the FULL query
+// (LDDTCalculator::initQuery norm accumulation, LDDT.cpp:100-116)
+int lddt_degree_ref(const float* q, int L, float* out_deg) {
+    for (int col = 0; col < L; col++) {
+        float n = 0;
+        for (int row = 0; row < L; row++) {
+            float d = lddt_dist_ref(q + 3 * row, q + 3 * col);
+            n += (row != col) && (d < 15.0f);
+        }
+        out_deg[col] = n;
+    }
+    return 0;
+}
+
+// float-exact LDDT over aligned pairs: qa/ta [m,3] f32, deg = full-query
+// neighbor counts per aligned column. The reference's grid only changes
+// ITERATION ORDER; every added score is an exact multiple of 0.25 so the
+// accumulation is order-insensitive, and the remaining float ops (dist,
+// the 1/deg reciprocal multiply, the final float sum / float len) are
+// reproduced exactly (LDDT.cpp:157-215, LDDT.h:102-119).
+int lddt_aligned_ref(const float* qa, const float* ta, const float* deg,
+                     int m, double* out2, float* per_col) {
+    if (m <= 0) {
+        out2[0] = 0.0;
+        out2[1] = 0.0;
+        return 0;
+    }
+    std::vector<float> col_sum(m, 0.0f);
+    for (int i = 0; i < m; i++) {
+        for (int j = i + 1; j < m; j++) {
+            float dq = lddt_dist_ref(qa + 3 * i, qa + 3 * j);
+            if (!(dq < 15.0f)) continue;
+            float dt = lddt_dist_ref(ta + 3 * i, ta + 3 * j);
+            float d_l = std::fabs(dq - dt);
+            float score =
+                0.25 * ((d_l < 0.5) + (d_l < 1.0) + (d_l < 2.0) + (d_l < 4.0));
+            col_sum[i] += score;
+            col_sum[j] += score;
+        }
+    }
+    float sum = 0.0;
+    int score_len = m;
+    for (int i = 0; i < m; i++) {
+        if (deg[i] > 0.0f) {
+            float norm = 1 / deg[i];  // the reference's reciprocal-multiply
+            float v = col_sum[i] * norm;
+            per_col[i] = v;
+            sum += v;
+        } else {
+            // reference: 0 * INF = NaN -> excluded from scoreLength
+            per_col[i] = 0.0f;
+            score_len--;
+        }
+    }
+    out2[0] = score_len ? (double)(sum / (float)score_len) : 0.0;
+    out2[1] = score_len;
     return 0;
 }
 

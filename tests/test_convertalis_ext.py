@@ -75,7 +75,12 @@ def test_extended_columns_vs_reference_binary(example_dir, tmp_path):
             if x == y:
                 continue
             is_self = pa[0] == pa[1]
-            tol = 0.05 if (i == 6 and is_self) else 5e-4
+            # rmsd (col 6): the reference decodes Coordinate16-compressed
+            # CA (int16 diffs at 0.001 A scale, ~5e-4 A noise per coord)
+            # while this db stores raw float32 — rmsd at %.3f can differ
+            # by 1-2 ulp-of-print; self-hits additionally carry the
+            # reference's iterative-superposition artifact
+            tol = 0.05 if (i == 6 and is_self) else (2e-3 if i == 6 else 5e-4)
             assert abs(float(x) - float(y)) <= tol, (i, x, y)
 
 
