@@ -5,10 +5,12 @@ TMaligner::computeTMscore the multimer assignment TM uses,
 scoremultimer.cpp Assignment::getTmScore) with a synthetic alignment DB,
 and compare against our compute_tm_score on the same coordinates.
 
-If the engines agree to ~1e-5 on identical inputs, the multimer report's
-qTM/tTM band comes from UPSTREAM differences (the chain-pair backtraces
-of the patched reference build's stubbed block-aligner fallback + DBSCAN
-assignment composition), not from the TM computation.
+Since r5 the engines are BIT-IDENTICAL (native/tm_ref.hpp, validated
+300/300 bitwise against the reference's own TMaligner object code by
+tools/native_tests/test_tm_ref.cpp); the residual ~5e-5 this tool reports
+is purely aln2tmscore's 4-decimal text output being parsed back
+(SSTR(double)), not an engine difference — verified by running both
+engines on identical binary coords (/tmp/tmdual, bitwise equal).
 
 Usage: python tools/ab_aln2tmscore.py [N_PAIRS=60] [SEED=1]
 """

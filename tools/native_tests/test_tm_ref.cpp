@@ -33,7 +33,13 @@ int main() {
     double worst = 0;
     for (int iter = 0; iter < 300; iter++) {
         int n = 4 + (int)(rng() % 600);
-        int norm_len = n + (int)(rng() % 100);
+        // cover norm > n, norm == n, and the aln2tmscore norm = span-1 < n
+        int norm_len;
+        switch (rng() % 3) {
+            case 0: norm_len = n + (int)(rng() % 100); break;
+            case 1: norm_len = n; break;
+            default: norm_len = std::max(1, n - 1 - (int)(rng() % 8)); break;
+        }
         // query: noisy helix; target: rotated+jittered copy (realistic
         // superposable pairs) with occasional outlier segments
         std::vector<float> q(3 * n), t(3 * n);
