@@ -48,6 +48,34 @@ def coordinate16_roundtrip(ca) -> np.ndarray:
     return q.astype(np.int32).astype(np.float32) / np.float32(1000.0)
 
 
+_TAR_CACHE: dict = {}
+
+
+def _tar_handle(archive: str):
+    """Open tar + name->TarInfo map, cached per (path, mtime, size).
+
+    tarfile's getmember()/extractfile(name) rescan the member list (and,
+    before _load, the archive itself) on EVERY call — per-member access
+    through them is O(archive) and made tar ingest O(N^2): 2k members
+    cost ~140 s, 100k would be hours. One full scan here, then every
+    member read seeks straight to its stored offset."""
+    import tarfile
+    st = os.stat(archive)
+    key = (os.path.abspath(archive), st.st_mtime_ns, st.st_size)
+    hit = _TAR_CACHE.get(key)
+    if hit is None:
+        while len(_TAR_CACHE) >= 8:  # bound open fds
+            old = next(iter(_TAR_CACHE))
+            try:
+                _TAR_CACHE.pop(old)[0].close()
+            except Exception:
+                pass
+        tf = tarfile.open(archive)
+        hit = (tf, {m.name: m for m in tf.getmembers()})
+        _TAR_CACHE[key] = hit
+    return hit
+
+
 def collect_input_files(inputs: List[str],
                         file_include: str = ".*",
                         file_exclude: str = "^$",
@@ -81,12 +109,11 @@ def collect_input_files(inputs: List[str],
                     if finc.search(fn) and not fexc.search(fn):
                         files.append(os.path.join(root, fn))
         elif inp.endswith((".tar", ".tar.gz", ".tgz")) and os.path.isfile(inp):
-            import tarfile
-            with tarfile.open(inp) as tf:
-                for m in sorted(tf.getnames()):
-                    if tf.getmember(m).isfile() and tinc.search(m) \
-                            and not texc.search(m):
-                        files.append(f"{inp}::{m}")
+            _, members = _tar_handle(inp)
+            for m in sorted(members):
+                if members[m].isfile() and tinc.search(m) \
+                        and not texc.search(m):
+                    files.append(f"{inp}::{m}")
         elif os.path.isfile(inp):
             files.append(inp)
         else:
@@ -99,10 +126,9 @@ def _parse_any(path: str, input_format: int = 0):
     from . import foldcomp as fc
     if "::" in path and not os.path.exists(path):
         import gzip as gz
-        import tarfile
         archive, member = path.split("::", 1)
-        with tarfile.open(archive) as tf:
-            data = tf.extractfile(member).read()
+        tf, members = _tar_handle(archive)
+        data = tf.extractfile(members[member]).read()
         if member.endswith(".gz"):
             data = gz.decompress(data)
             member = member[:-3]

@@ -121,17 +121,17 @@ def _compiled_gates(m_pad: int, chunk_tm: int, chunk_lddt: int,
         pairm = valid[:, None] & valid[None, :] & (idx[:, None] != idx[None, :])
 
         def pdist(x):
-            # centered Gram form: |xi-xj|^2 = ni + nj - 2 xi.xj — the
-            # cross term is an MXU matmul instead of a [M, M, 3] VPU
-            # subtract/square/sum pass (~3x the HBM traffic). Centering
-            # keeps |x|^2 ~ 1e2 so f32 cancellation stays ~1e-4 A.
-            xm = jnp.where(valid[:, None], x, 0.0)
-            c = xm.sum(0) / jnp.maximum(ml.astype(jnp.float32), 1.0)
-            xc = jnp.where(valid[:, None], x - c, 0.0)
-            n2 = (xc * xc).sum(-1)
-            g = xc @ xc.T
-            return jnp.sqrt(jnp.maximum(n2[:, None] + n2[None, :] - 2.0 * g,
-                                        0.0))
+            # direct per-pair differences. The earlier centered-Gram form
+            # (n_i + n_j - 2 x_i.x_j off an MXU matmul) cancels by a
+            # factor |x_c|^2/d^2 ~ 2.5e3 at d ~ 1 A — ~1e-3 A absolute
+            # error, which biases |dq - dt| UP near the 0.5/1/2/4
+            # thresholds and measured as a one-sided LDDT deficit
+            # (median -1.4e-3 on a 2k scale-parity run, 79% of pairs
+            # low). Direct differences keep the error at d * eps_f32;
+            # XLA fuses the [M, M, 3] subtract-square-reduce into the
+            # comparison consumers without materializing the cube.
+            d = x[:, None, :] - x[None, :, :]
+            return jnp.sqrt((d * d).sum(-1))
 
         dq = pdist(q)
         close = (dq < 15.0) & pairm
